@@ -1,0 +1,37 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+This is the CI "fake backend" called for by SURVEY.md §4: kernels run in
+XLA:CPU (Pallas in interpret mode), and sharding tests get 8 virtual devices
+without TPU hardware. Must run before jax creates its backends.
+
+Note: the environment presets JAX_PLATFORMS=axon (a tunneled TPU) and a site
+hook that overrides the env var, so we must force the platform through
+jax.config, not the environment.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _check_cpu_devices():
+    assert jax.devices()[0].platform == "cpu", "tests must run on XLA:CPU"
+    assert len(jax.devices()) == 8, "tests expect an 8-device virtual mesh"
