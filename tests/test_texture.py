@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.ops import texture as tx
+
+
+def make_pool(imgs, srgb=False, wrap=tx.WRAP_REPEAT, mipmapped=True):
+    b = tx.TexturePoolBuilder(max_textures=16, pool_capacity=1 << 20)
+    ids = [b.add(i, srgb=srgb, wrap=wrap, mipmapped=mipmapped) for i in imgs]
+    return b.finalize(), ids
+
+
+def test_pack_unpack_roundtrip(rng):
+    img = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    packed = tx.pack_rgba8(img)
+    un = np.asarray(tx.unpack_rgba8(jnp.asarray(packed)))
+    np.testing.assert_allclose(un.reshape(4, 4, 4), img / 255.0, atol=1e-6)
+
+
+def test_mip_chain_sizes():
+    img = np.zeros((8, 16, 4), np.uint8)
+    mips = tx.generate_mip_chain(img)
+    assert [(m.shape[0], m.shape[1]) for m in mips] == [
+        (8, 16), (4, 8), (2, 4), (1, 2), (1, 1),
+    ]
+
+
+def test_nearest_texel_at_center(rng):
+    img = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    pool, (tid,) = make_pool([img])
+    # Sample exactly at texel centers: bilinear == the texel.
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    uv = np.stack([(xs.ravel() + 0.5) / 8, (ys.ravel() + 0.5) / 8], -1).astype(np.float32)
+    ids = jnp.full((64,), tid, jnp.int32)
+    out = np.asarray(tx.sample_trilinear(pool, ids, jnp.asarray(uv), decode_srgb=False))
+    np.testing.assert_allclose(out, img.reshape(-1, 4) / 255.0, atol=1e-5)
+
+
+def test_bilinear_midpoint():
+    img = np.zeros((1, 2, 4), np.uint8)
+    img[0, 0] = [0, 0, 0, 255]
+    img[0, 1] = [200, 100, 50, 255]
+    pool, (tid,) = make_pool([img], mipmapped=False)
+    uv = jnp.array([[0.5, 0.5]], jnp.float32)  # midway between the two texels
+    out = np.asarray(tx.sample_trilinear(pool, jnp.array([tid]), uv, decode_srgb=False))
+    np.testing.assert_allclose(out[0, :3], np.array([100, 50, 25]) / 255.0, atol=1e-5)
+
+
+def test_wrap_vs_clamp():
+    img = np.zeros((1, 4, 4), np.uint8)
+    img[0, 0] = [255, 0, 0, 255]
+    img[0, 3] = [0, 255, 0, 255]
+    pool_r, (tid_r,) = make_pool([img], wrap=tx.WRAP_REPEAT, mipmapped=False)
+    pool_c, (tid_c,) = make_pool([img], wrap=tx.WRAP_CLAMP, mipmapped=False)
+    uv = jnp.array([[1.0 + 0.125, 0.5]], jnp.float32)  # first texel center, next tile
+    out_r = np.asarray(tx.sample_trilinear(pool_r, jnp.array([tid_r]), uv, decode_srgb=False))
+    out_c = np.asarray(tx.sample_trilinear(pool_c, jnp.array([tid_c]), uv, decode_srgb=False))
+    np.testing.assert_allclose(out_r[0, :3], [1, 0, 0], atol=1e-5)  # wrapped to texel 0
+    np.testing.assert_allclose(out_c[0, :3], [0, 1, 0], atol=1e-5)  # clamped to texel 3
+
+
+def test_lod_selects_coarse_mip(rng):
+    # Checkerboard averages to mid-gray in coarse mips.
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255
+    img[..., 3] = 255
+    pool, (tid,) = make_pool([img])
+    uv = jnp.array([[32.5 / 64, 32.5 / 64]], jnp.float32)  # texel (32,32) center
+    ids = jnp.array([tid])
+    fine = np.asarray(tx.sample_trilinear(pool, ids, uv, jnp.array([0.0]), decode_srgb=False))
+    coarse = np.asarray(tx.sample_trilinear(pool, ids, uv, jnp.array([6.0]), decode_srgb=False))
+    assert abs(coarse[0, 0] - 0.5) < 0.02
+    assert abs(fine[0, 0] - 0.5) > 0.2  # fine mip has contrast at that point
+    # Gradient-based LOD: one full texture per pixel -> coarsest mip.
+    lod = np.asarray(tx.compute_lod(pool, ids, jnp.array([[1.0, 0.0]]), jnp.array([[0.0, 1.0]])))
+    assert lod[0] > 5.5
+
+
+def test_srgb_decode_monotonic():
+    c = jnp.linspace(0.0, 1.0, 32)
+    lin = np.asarray(tx.srgb_to_linear(c))
+    assert np.all(np.diff(lin) > 0)
+    np.testing.assert_allclose(np.asarray(tx.linear_to_srgb(jnp.asarray(lin))), np.asarray(c), atol=1e-5)
+    # spot values
+    np.testing.assert_allclose(np.asarray(tx.srgb_to_linear(jnp.array([0.5]))), [0.21404114], atol=1e-6)
+
+
+def test_default_textures_exist():
+    b = tx.TexturePoolBuilder(max_textures=8, pool_capacity=4096)
+    pool = b.finalize()
+    ids = jnp.arange(4)
+    uv = jnp.full((4, 2), 0.5)
+    out = np.asarray(tx.sample_trilinear(pool, ids, uv, decode_srgb=False))
+    np.testing.assert_allclose(out[0], [1, 1, 1, 1], atol=1e-3)         # white
+    np.testing.assert_allclose(out[1], [0, 0, 0, 1], atol=1e-3)         # black
+    np.testing.assert_allclose(out[2][:3], [0.502, 0.502, 1.0], atol=1e-2)  # flat normal
