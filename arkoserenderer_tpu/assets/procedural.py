@@ -1,0 +1,172 @@
+"""Procedural geometry + test scenes.
+
+Role-equivalent to the reference's engine test assets
+(assets/assets/engine/test/, loaded by ShowcaseApp as living regression
+scenes): self-contained scenes used by unit tests, golden-image tests, and
+benchmarks without any external asset files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from arkoserenderer_tpu.core.types import SceneLimits
+from arkoserenderer_tpu.scene.camera import Camera
+from arkoserenderer_tpu.scene.lights import DirectionalLight, SpotLight
+from arkoserenderer_tpu.scene.scene import Material, MeshSegment, Scene
+from arkoserenderer_tpu.scene.scene import generate_tangents_uv
+
+
+def make_plane(size: float = 1.0, uv_scale: float = 1.0) -> MeshSegment:
+    """XZ plane centered at origin, +Y normal, CCW winding seen from above."""
+    s = size * 0.5
+    positions = np.array(
+        [[-s, 0, -s], [-s, 0, s], [s, 0, s], [s, 0, -s]], np.float32
+    )
+    normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32) * uv_scale
+    indices = np.array([0, 1, 2, 0, 2, 3], np.int32)
+    tangents = generate_tangents_uv(positions, normals, uvs, indices)
+    return MeshSegment(positions, normals, uvs, tangents, indices)
+
+
+def make_box(extents=(1.0, 1.0, 1.0)) -> MeshSegment:
+    """Axis-aligned box with per-face normals/uvs, CCW outward winding."""
+    ex, ey, ez = [e * 0.5 for e in extents]
+    faces = []
+    # (normal, up, right) per face
+    axes = [
+        ((0, 0, 1), (0, 1, 0), (1, 0, 0)),
+        ((0, 0, -1), (0, 1, 0), (-1, 0, 0)),
+        ((1, 0, 0), (0, 1, 0), (0, 0, -1)),
+        ((-1, 0, 0), (0, 1, 0), (0, 0, 1)),
+        ((0, 1, 0), (0, 0, -1), (1, 0, 0)),
+        ((0, -1, 0), (0, 0, 1), (1, 0, 0)),
+    ]
+    half = np.array([ex, ey, ez], np.float32)
+    positions, normals, uvs, indices = [], [], [], []
+    for i, (n, u, r) in enumerate(axes):
+        n = np.array(n, np.float32)
+        u = np.array(u, np.float32)
+        r = np.array(r, np.float32)
+        c = n * half
+        ru = r * half
+        uu = u * half
+        quad = [c - ru - uu, c + ru - uu, c + ru + uu, c - ru + uu]
+        positions.extend(quad)
+        normals.extend([n] * 4)
+        uvs.extend([[0, 1], [1, 1], [1, 0], [0, 0]])
+        b = 4 * i
+        indices.extend([b, b + 1, b + 2, b, b + 2, b + 3])
+    positions = np.array(positions, np.float32)
+    normals = np.array(normals, np.float32)
+    uvs = np.array(uvs, np.float32)
+    indices = np.array(indices, np.int32)
+    tangents = generate_tangents_uv(positions, normals, uvs, indices)
+    return MeshSegment(positions, normals, uvs, tangents, indices)
+
+
+def make_uv_sphere(radius: float = 0.5, rings: int = 16, sectors: int = 32) -> MeshSegment:
+    ring = np.linspace(0, np.pi, rings + 1)
+    sect = np.linspace(0, 2 * np.pi, sectors + 1)
+    rr, ss = np.meshgrid(ring, sect, indexing="ij")
+    x = np.sin(rr) * np.cos(ss)
+    y = np.cos(rr)
+    z = np.sin(rr) * np.sin(ss)
+    positions = (radius * np.stack([x, y, z], -1)).reshape(-1, 3).astype(np.float32)
+    normals = (positions / radius).astype(np.float32)
+    uvs = np.stack([ss / (2 * np.pi), rr / np.pi], -1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    stride = sectors + 1
+    for r in range(rings):
+        for s in range(sectors):
+            a = r * stride + s
+            b = a + stride
+            idx.extend([a, a + 1, b, b, a + 1, b + 1])
+    indices = np.array(idx, np.int32)
+    tangents = generate_tangents_uv(positions, normals, uvs, indices)
+    return MeshSegment(positions, normals, uvs, tangents, indices)
+
+
+def checkerboard_texture(size: int = 64, squares: int = 8, c0=200, c1=60) -> np.ndarray:
+    img = np.zeros((size, size, 4), np.uint8)
+    q = size // squares
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    mask = ((yy // q) + (xx // q)) % 2 == 0
+    img[..., :3] = np.where(mask[..., None], c0, c1)
+    img[..., 3] = 255
+    return img
+
+
+def gradient_env_map(height: int = 64, zenith=(0.35, 0.55, 0.9), horizon=(0.8, 0.85, 0.95), ground=(0.25, 0.22, 0.2)) -> np.ndarray:
+    """Simple sky gradient equirect env map (linear radiance, unit scale)."""
+    width = height * 2
+    v = np.linspace(0.0, 1.0, height)[:, None, None]  # 0 = up
+    zen = np.array(zenith, np.float32)
+    hor = np.array(horizon, np.float32)
+    gnd = np.array(ground, np.float32)
+    sky = zen + (hor - zen) * np.clip(v * 2, 0, 1) ** 1.5
+    below = hor + (gnd - hor) * np.clip(v * 2 - 1, 0, 1) ** 0.5
+    img = np.where(v < 0.5, sky, below)
+    return np.broadcast_to(img, (height, width, 3)).astype(np.float32)
+
+
+def build_test_scene(
+    limits: SceneLimits | None = None,
+    viewport: tuple[int, int] = (256, 256),
+    n_spheres: int = 3,
+) -> tuple[Scene, Camera]:
+    """The standard small test scene: checkered floor, a few spheres of
+    varying roughness/metalness, one textured box, sunlight + sky."""
+    lim = limits or SceneLimits(
+        max_vertices=1 << 15, max_indices=3 << 15, max_drawables=64,
+        max_materials=32, max_textures=32, texture_pool_texels=1 << 19,
+    )
+    scene = Scene(limits=lim)
+
+    checker = scene.add_texture(checkerboard_texture(128, 16), srgb=True)
+    floor_mat = scene.add_material(
+        Material(base_color_tex=checker, roughness_factor=0.8)
+    )
+    floor = make_plane(size=20.0, uv_scale=10.0)
+    floor.material = floor_mat
+    fid = scene.add_segment(floor)
+    scene.add_instance(fid, np.eye(4, dtype=np.float32))
+
+    for i in range(n_spheres):
+        f = i / max(n_spheres - 1, 1)
+        mat = scene.add_material(
+            Material(
+                base_color_factor=np.array([0.8, 0.3 + 0.5 * f, 0.25, 1.0], np.float32),
+                roughness_factor=0.15 + 0.7 * f,
+                metallic_factor=1.0 if i % 2 else 0.0,
+            )
+        )
+        seg = make_uv_sphere(0.6, rings=12, sectors=24)
+        seg.material = mat
+        sid = scene.add_segment(seg)
+        w = np.eye(4, dtype=np.float32)
+        w[:3, 3] = (-2.0 + 2.0 * i, 0.6, 0.0)
+        scene.add_instance(sid, w)
+
+    box_mat = scene.add_material(
+        Material(base_color_factor=np.array([0.3, 0.45, 0.8, 1.0], np.float32), roughness_factor=0.4)
+    )
+    box = make_box((1.0, 1.4, 1.0))
+    box.material = box_mat
+    bid = scene.add_segment(box)
+    wb = np.eye(4, dtype=np.float32)
+    wb[:3, 3] = (0.0, 0.7, -2.2)
+    scene.add_instance(bid, wb)
+
+    scene.sun = DirectionalLight(
+        direction=np.array([0.4, -1.0, -0.3], np.float32),
+        illuminance_lux=90000.0,
+    )
+    scene.set_env_map(gradient_env_map(32), brightness=8000.0)
+    scene.ambient_lx = 6000.0
+
+    cam = Camera(viewport=viewport)
+    cam.look_at((4.0, 2.5, 5.0), (0.0, 0.6, -0.5))
+    cam.focus_depth = 6.0
+    return scene, cam

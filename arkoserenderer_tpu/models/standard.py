@@ -1,0 +1,96 @@
+"""Standard pipeline assemblies — the framework's "flagship models".
+
+Role-equivalent to the reference's app-defined pipelines (ShowcaseApp's node
+list, arkose/application/apps/ShowcaseApp.cpp:129-227 — the canonical pass
+order per SURVEY.md §3.2). Round 1 implements the forward slice of that
+order; RT / DDGI / meshlet passes slot into the same positions as they land.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.rendering.pipeline import PipelineConfig, RenderPipeline
+from arkoserenderer_tpu.rendering.passes import (
+    BloomPass,
+    GeometryPass,
+    OutputPass,
+    SkyPass,
+    SunShadowPass,
+    TAAPass,
+    VisibilityShadingPass,
+)
+from arkoserenderer_tpu.scene.camera import Camera
+from arkoserenderer_tpu.scene.scene import Scene
+
+
+def make_forward_pipeline(
+    cfg: PipelineConfig,
+    *,
+    taa: bool = True,
+    bloom: bool = True,
+    shadows: bool = True,
+    film_grain: float = 0.0,
+) -> RenderPipeline:
+    """Visibility-buffer raster -> deferred shade -> sky -> TAA -> bloom ->
+    tonemap. Mirrors the raster backbone of the Showcase order:
+    Scene -> [MeshletVisibilityBuffer] -> [DirShadow*] -> VisibilityBufferShading
+    -> SkyView -> ... -> Bloom -> TAA -> Output."""
+    pipe = RenderPipeline(cfg)
+    pipe.add_pass(GeometryPass())
+    if shadows:
+        pipe.add_pass(SunShadowPass())
+    pipe.add_pass(VisibilityShadingPass())
+    pipe.add_pass(SkyPass())
+    if taa:
+        pipe.add_pass(TAAPass())
+    if bloom:
+        pipe.add_pass(BloomPass())
+    pipe.add_pass(OutputPass(film_grain_gain=film_grain))
+    pipe.construct_all()
+    return pipe
+
+
+class Renderer:
+    """Simple host-side frame loop driver (the Arkose::runArkoseApplication
+    analogue, minus windowing): owns the pipeline, persistent frame state,
+    and camera prev-frame bookkeeping."""
+
+    def __init__(self, scene: Scene, camera: Camera, cfg: PipelineConfig, **pipeline_kw):
+        self.scene = scene
+        self.camera = camera
+        self.cfg = cfg
+        self.pipeline = make_forward_pipeline(cfg, **pipeline_kw)
+        self.scene_arrays = scene.build()
+        self.state = self.pipeline.initial_state()
+        self.frame_index = 0
+
+    def render_frame(self) -> jax.Array:
+        cam_state = self.camera.state(self.frame_index)
+        self.state = self.pipeline.render_frame(
+            self.state, self.scene_arrays, cam_state, self.frame_index
+        )
+        self.camera.post_render()
+        self.frame_index += 1
+        return self.state["LDR"]
+
+    def render_frames(self, n: int) -> jax.Array:
+        for _ in range(n):
+            out = self.render_frame()
+        return out
+
+    def benchmark(self, warmup: int = 3, iters: int = 10) -> dict:
+        """Steady-state ms/frame with blocking sync (per-pass timing lives in
+        utils/timing.py)."""
+        for _ in range(warmup):
+            jax.block_until_ready(self.render_frame())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = self.render_frame()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        return {"ms_per_frame": dt * 1e3, "fps": 1.0 / dt}

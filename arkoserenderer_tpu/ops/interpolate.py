@@ -1,6 +1,6 @@
 """Visibility-buffer attribute reconstruction.
 
-Given the raster's per-pixel triangle ids, rebuild perspective-correct
+Given the raster's per-pixel setup-row ids, rebuild perspective-correct
 barycentrics *analytically* at each pixel center — plus their screen-space
 derivatives for gradient-correct texture LOD — and interpolate vertex
 attributes. This is the TPU equivalent of the reference's deferred
@@ -9,8 +9,13 @@ shadeVisibilityBuffer.comp "CalcFullBary" + analytic gradients at lines
 ~183-187 per SURVEY.md §2.5): no implicit quad derivatives exist on TPU, so
 analytic gradients are the only (and better) option.
 
-All functions operate on flattened pixel arrays (N = H*W) so callers can
-reshape/tile however the pass prefers.
+Near-plane-clipped sub-triangles are transparent here: the per-pixel
+barycentrics are computed in the *sub*-triangle and then mapped to the
+ORIGINAL triangle through the setup's corner_bary matrices (barycentric
+coordinates are themselves linear attributes, so perspective-correct
+interpolation composes exactly).
+
+All functions operate on flattened pixel arrays (N = H*W).
 """
 
 from __future__ import annotations
@@ -26,10 +31,10 @@ from arkoserenderer_tpu.ops.raster import TriSetup, edge_fn
 class PixelGeom(NamedTuple):
     """Per-pixel interpolation data (all (N, ...))."""
 
-    tri: jax.Array       # (N,) i32 triangle id (clamped to 0 where invalid)
+    tri: jax.Array       # (N,) i32 ORIGINAL triangle id (clamped 0 if invalid)
     valid: jax.Array     # (N,) bool — pixel covered by geometry
-    corners: jax.Array   # (N, 3) i32 vertex indices of the triangle
-    bary: jax.Array      # (N, 3) perspective-correct barycentrics at center
+    corners: jax.Array   # (N, 3) i32 vertex indices of the original triangle
+    bary: jax.Array      # (N, 3) perspective-correct original barycentrics
     bary_dx: jax.Array   # (N, 3) bary at +1px in x (for gradients)
     bary_dy: jax.Array   # (N, 3) bary at +1px in y
 
@@ -52,17 +57,25 @@ def pixel_barycentrics(
     px: jax.Array,
     py: jax.Array,
 ) -> PixelGeom:
-    """vis_flat: (N,) tri ids (VIS_NONE = background); px/py: (N,) pixel centers."""
+    """vis_flat: (N,) setup-row ids (VIS_NONE = background); px/py: (N,)
+    pixel centers; indices: the scene triangle index pool (T, 3)."""
     valid = vis_flat >= 0
-    tri = jnp.maximum(vis_flat, 0)
-    sxy = setup.screen_xy[tri]       # (N, 3, 2)
-    inv_w = setup.inv_w[tri]         # (N, 3)
-    corners = indices[tri]           # (N, 3)
-    bary = _persp_bary(sxy, inv_w, px, py)
-    bary_dx = _persp_bary(sxy, inv_w, px + 1.0, py)
-    bary_dy = _persp_bary(sxy, inv_w, px, py + 1.0)
+    row = jnp.maximum(vis_flat, 0)
+    sxy = setup.screen_xy[row]       # (N, 3, 2)
+    inv_w = setup.inv_w[row]         # (N, 3)
+    orig = setup.orig_tri[row]       # (N,)
+    cb = setup.corner_bary[row]      # (N, 3, 3) rows = corner barys
+    corners = indices[orig]          # (N, 3)
+
+    def to_orig(sub_bary):
+        return jnp.einsum("nk,nkj->nj", sub_bary, cb)
+
+    bary = to_orig(_persp_bary(sxy, inv_w, px, py))
+    bary_dx = to_orig(_persp_bary(sxy, inv_w, px + 1.0, py))
+    bary_dy = to_orig(_persp_bary(sxy, inv_w, px, py + 1.0))
     return PixelGeom(
-        tri=tri, valid=valid, corners=corners, bary=bary, bary_dx=bary_dx, bary_dy=bary_dy
+        tri=orig, valid=valid, corners=corners,
+        bary=bary, bary_dx=bary_dx, bary_dy=bary_dy,
     )
 
 

@@ -5,28 +5,28 @@ both the classic vertex/fragment path (arkose/rendering/forward/
 ForwardRenderNode.cpp) and the GPU-driven mesh-shading visibility-buffer path
 (arkose/rendering/meshlet/MeshletVisibilityBufferRenderNode.cpp,
 arkose/shaders/meshlet/meshletVisibilityBuffer.{task,mesh}). There is no
-fixed-function rasterizer on a TPU, so the pipeline is rebuilt as three
+fixed-function rasterizer on a TPU, so the pipeline is rebuilt as four
 data-parallel stages over static-shape pools:
 
-  1. ``setup_triangles``   — batched vertex gather + screen mapping + backface
-                             cull (the "vertex + task shader" stage).
-  2. ``bin_triangles``     — conservative bbox binning of triangles into
-                             per-tile fixed-capacity lists via a scan of
-                             cumsum+scatter chunks (replaces the subgroup
-                             ballot + atomicAdd compaction of
-                             meshletTaskSetup.comp:19-53).
-  3. ``rasterize_tiles``   — per-tile z-buffered edge-function raster
-                             producing a *visibility buffer*: triangle id +
-                             depth per pixel (replaces the mesh shader +
-                             depth test; cf. meshletVisibilityBuffer.mesh).
+  1. ``setup_triangles``   — batched vertex gather + near-plane clipping +
+                             screen mapping + backface cull (the "vertex +
+                             task shader" stage).
+  2. near-plane clipping   — triangles crossing w = eps are clipped
+                             geometrically into 1-2 sub-triangles written to
+                             a fixed overflow region. Sub-triangles remember
+                             their ORIGINAL triangle id and the barycentric
+                             coordinates of their corners w.r.t. it, so the
+                             visibility buffer and deferred shading stay
+                             blissfully unaware of clipping.
+  3. ``bin_triangles``     — conservative bbox binning into per-tile
+                             fixed-capacity lists via a scan of cumsum +
+                             scatter chunks (replaces the subgroup ballot +
+                             atomicAdd compaction of meshletTaskSetup.comp).
+  4. ``rasterize_tiles``   — per-tile z-buffered edge-function raster
+                             producing a *visibility buffer*: setup-row id +
+                             depth per pixel.
 
-Depth is reverse-Z (see core/mathx.py). The visibility buffer stores the
-triangle index into the scene's triangle pool, ``VIS_NONE`` (= -1) for
-background — the shading pass reconstructs barycentrics analytically like the
-reference's shadeVisibilityBuffer.comp.
-
-Near-plane handling: triangles with any vertex behind ``w <= w_eps`` are
-dropped (no polygon clipping yet). TODO(raster): guard-band clip.
+Depth is reverse-Z (see core/mathx.py). ``VIS_NONE`` (-1) marks background.
 """
 
 from __future__ import annotations
@@ -36,26 +36,32 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from arkoserenderer_tpu.core.types import VIS_NONE, RasterConfig
 from arkoserenderer_tpu.core.mathx import DEPTH_FAR
 
 
 class TriSetup(NamedTuple):
-    """Per-triangle screen-space setup data (all shapes (T, ...))."""
+    """Per-raster-triangle screen-space setup data (shapes (T', ...) where
+    T' = T + clip budget)."""
 
-    screen_xy: jax.Array  # (T, 3, 2) pixel coords of the 3 vertices
-    z_ndc: jax.Array      # (T, 3) reverse-Z ndc depth per vertex
-    inv_w: jax.Array      # (T, 3) 1/w_clip per vertex (for persp-correct interp)
-    valid: jax.Array      # (T,) bool — in front of near plane, non-degenerate,
-                          #             front-facing (if culling), caller-valid
-    bbox: jax.Array       # (T, 4) [x0, y0, x1, y1] pixel-space AABB (inclusive)
+    screen_xy: jax.Array    # (T', 3, 2) pixel coords of the 3 corners
+    z_ndc: jax.Array        # (T', 3) reverse-Z ndc depth per corner
+    inv_w: jax.Array        # (T', 3) 1/w_clip per corner
+    valid: jax.Array        # (T',) bool
+    bbox: jax.Array         # (T', 4) [x0, y0, x1, y1] pixel AABB (inclusive)
+    orig_tri: jax.Array     # (T',) i32 original triangle id (for shading)
+    corner_bary: jax.Array  # (T', 3, 3) barycentrics of each corner w.r.t.
+                            #            the original triangle (identity when
+                            #            unclipped)
+    clip_overflow: jax.Array  # () i32 clipped sub-triangles dropped
 
 
 class TileBins(NamedTuple):
-    tri_ids: jax.Array    # (num_tiles, K) i32 triangle ids, -1 padded
+    tri_ids: jax.Array    # (num_tiles, K) i32 setup-row ids, -1 padded
     counts: jax.Array     # (num_tiles,) i32 number of valid entries (<= K)
-    overflow: jax.Array   # () i32 total triangle-tile pairs dropped (stat)
+    overflow: jax.Array   # () i32 triangle-tile pairs dropped (stat)
 
 
 def num_tiles(width: int, height: int, cfg: RasterConfig) -> tuple[int, int]:
@@ -63,19 +69,6 @@ def num_tiles(width: int, height: int, cfg: RasterConfig) -> tuple[int, int]:
         f"viewport {width}x{height} must be a multiple of tile {cfg.tile_w}x{cfg.tile_h}"
     )
     return height // cfg.tile_h, width // cfg.tile_w
-
-
-def clip_to_screen(clip: jax.Array, width: int, height: int):
-    """(V,4) clip -> (V,2) pixel coords, (V,) z_ndc, (V,) inv_w.
-
-    Screen convention: x right, y down, pixel centers at integer+0.5. Clip +Y
-    is up, so y is flipped here (the "viewport transform").
-    """
-    inv_w = 1.0 / clip[..., 3]
-    ndc = clip[..., :3] * inv_w[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[..., 1] * 0.5) * height
-    return jnp.stack([sx, sy], axis=-1), ndc[..., 2], inv_w
 
 
 def edge_fn(a, b, px, py):
@@ -87,6 +80,116 @@ def edge_fn(a, b, px, py):
     )
 
 
+# ---------------------------------------------------------------------------
+# Stage 1+2: gather, clip, setup
+
+
+def _near_clip(tri_clip, tri_valid, w_eps, extra_budget: int):
+    """Clip (T,3,4) triangles against w = w_eps.
+
+    Returns (clip (T+E,3,4), corner_bary (T+E,3,3), orig (T+E,), valid (T+E,),
+    overflow ()) where slot t < T holds triangle t's (possibly clipped)
+    replacement and the E extra slots hold second halves of quad clips.
+    """
+    t_total = tri_clip.shape[0]
+    w = tri_clip[..., 3]
+    inside = w > w_eps                      # (T, 3)
+    n_in = jnp.sum(inside, axis=-1)         # (T,)
+
+    # Canonical rotation: index of the distinguished vertex.
+    #   n_in == 2 -> rotate so the single OUTSIDE vertex lands at corner 2.
+    #   n_in == 1 -> rotate so the single INSIDE vertex lands at corner 0.
+    out_idx = jnp.argmin(inside, axis=-1)   # first False (any when none)
+    in_idx = jnp.argmax(inside, axis=-1)    # first True
+    start = jnp.where(n_in == 2, (out_idx + 1) % 3, in_idx)  # (T,)
+    perm = (start[:, None] + jnp.arange(3)[None, :]) % 3     # (T, 3)
+
+    rot = jnp.take_along_axis(tri_clip, perm[..., None], axis=1)  # (T,3,4)
+    ident = jnp.broadcast_to(jnp.eye(3, dtype=tri_clip.dtype), (t_total, 3, 3))
+    rot_bary = jnp.take_along_axis(ident, perm[..., None], axis=1)
+
+    a, b, c = rot[:, 0], rot[:, 1], rot[:, 2]
+    ba, bb, bc = rot_bary[:, 0], rot_bary[:, 1], rot_bary[:, 2]
+    wa, wb, wc = a[:, 3], b[:, 3], c[:, 3]
+
+    def lerp_to_plane(p, q, bp, bq, wp, wq):
+        t = ((w_eps - wp) / jnp.where(jnp.abs(wq - wp) > 1e-20, wq - wp, 1.0))[:, None]
+        t = jnp.clip(t, 0.0, 1.0)
+        return p + t * (q - p), bp + t * (bq - bp)
+
+    # n_in==2 (A,B in, C out): crossings on B->C and A->C.
+    i_bc, by_bc = lerp_to_plane(b, c, bb, bc, wb, wc)
+    i_ac, by_ac = lerp_to_plane(a, c, ba, bc, wa, wc)
+    # n_in==1 (A in, B,C out): crossings on A->B and A->C.
+    i_ab, by_ab = lerp_to_plane(a, b, ba, bb, wa, wb)
+
+    n_in_b = n_in[:, None, None]
+    # Primary slot replacement per case.
+    prim = jnp.where(
+        n_in_b == 3,
+        tri_clip,
+        jnp.where(
+            n_in_b == 2,
+            jnp.stack([a, b, i_bc], axis=1),
+            jnp.stack([a, i_ab, i_ac], axis=1),
+        ),
+    )
+    prim_bary = jnp.where(
+        n_in_b == 3,
+        ident,
+        jnp.where(
+            n_in_b == 2,
+            jnp.stack([ba, bb, by_bc], axis=1),
+            jnp.stack([ba, by_ab, by_ac], axis=1),
+        ),
+    )
+    prim_valid = tri_valid & (n_in > 0)
+
+    # Secondary (overflow) triangle for the quad case.
+    needs_extra = tri_valid & (n_in == 2)
+    extra_tri = jnp.stack([a, i_bc, i_ac], axis=1)
+    extra_bary = jnp.stack([ba, by_bc, by_ac], axis=1)
+
+    slot = jnp.cumsum(needs_extra.astype(jnp.int32)) - 1
+    ok = needs_extra & (slot < extra_budget)
+    dest = jnp.where(ok, slot, extra_budget)  # trash slot at the end
+
+    e_clip = jnp.zeros((extra_budget + 1, 3, 4), tri_clip.dtype)
+    e_bary = jnp.zeros((extra_budget + 1, 3, 3), tri_clip.dtype)
+    e_orig = jnp.zeros((extra_budget + 1,), jnp.int32)
+    e_valid = jnp.zeros((extra_budget + 1,), bool)
+    e_clip = e_clip.at[dest].set(extra_tri, mode="drop")
+    e_bary = e_bary.at[dest].set(extra_bary, mode="drop")
+    e_orig = e_orig.at[dest].set(jnp.arange(t_total, dtype=jnp.int32), mode="drop")
+    e_valid = e_valid.at[dest].set(ok, mode="drop")
+
+    clip_all = jnp.concatenate([prim, e_clip[:extra_budget]], axis=0)
+    bary_all = jnp.concatenate([prim_bary, e_bary[:extra_budget]], axis=0)
+    orig_all = jnp.concatenate(
+        [jnp.arange(t_total, dtype=jnp.int32), e_orig[:extra_budget]], axis=0
+    )
+    valid_all = jnp.concatenate([prim_valid, e_valid[:extra_budget]], axis=0)
+    overflow = jnp.sum(needs_extra & ~ok)
+    return clip_all, bary_all, orig_all, valid_all, overflow
+
+
+def clip_to_screen(clip: jax.Array, width: int, height: int):
+    """(..., 4) clip -> (..., 2) pixel coords, (...,) z_ndc, (...,) inv_w.
+
+    Screen convention: x right, y down, pixel centers at integer+0.5. Clip +Y
+    is up, so y is flipped here (the "viewport transform").
+    """
+    inv_w = 1.0 / clip[..., 3]
+    ndc = clip[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[..., 1] * 0.5) * height
+    return jnp.stack([sx, sy], axis=-1), ndc[..., 2], inv_w
+
+
+def default_clip_budget(num_tris: int) -> int:
+    return max(num_tris // 8, 64)
+
+
 def setup_triangles(
     clip: jax.Array,
     indices: jax.Array,
@@ -94,23 +197,33 @@ def setup_triangles(
     width: int,
     height: int,
     cull_backfaces: bool = True,
-    w_eps: float = 1e-6,
+    w_eps: float | jax.Array = 1e-4,
+    clip_budget: int | None = None,
 ) -> TriSetup:
-    """Stage 1: gather vertices, map to screen, cull, compute bboxes.
+    """Stage 1+2: gather vertices, near-clip, map to screen, cull, bbox.
 
     ``indices``: (T, 3) i32. ``tri_valid``: (T,) bool mask for pool padding.
-    Front-facing = counter-clockwise in standard (y-up) terms, which is
-    *clockwise* in our y-down screen space, giving positive doubled area with
-    our edge function.
+    Front-facing = counter-clockwise (y-up world terms).
+
+    ``w_eps``: the clip plane in w. Pass the camera NEAR value for
+    perspective projections — that both enforces the true near plane
+    (geometry closer than near would alias to depth > 1) and keeps clipped
+    corners' screen coordinates small enough for exact f32 edge functions.
+    May be a traced scalar.
     """
+    t_total = indices.shape[0]
+    if clip_budget is None:
+        clip_budget = default_clip_budget(t_total)
     tri_clip = clip[indices]  # (T, 3, 4)
-    w = tri_clip[..., 3]
-    in_front = jnp.all(w > w_eps, axis=-1)
+
+    tri_clip, corner_bary, orig_tri, valid, clip_overflow = _near_clip(
+        tri_clip, tri_valid, w_eps, clip_budget
+    )
 
     screen, z_ndc, inv_w = clip_to_screen(tri_clip, width, height)
 
     p0, p1, p2 = screen[:, 0], screen[:, 1], screen[:, 2]
-    area2 = edge_fn(p0, p1, p2[..., 0], p2[..., 1])  # (T,)
+    area2 = edge_fn(p0, p1, p2[..., 0], p2[..., 1])  # (T',)
     if cull_backfaces:
         facing = area2 > 1e-12
     else:
@@ -126,15 +239,26 @@ def setup_triangles(
         & (bbox[:, 1] < height)
     )
 
-    valid = tri_valid & in_front & facing & on_screen
-    return TriSetup(screen_xy=screen, z_ndc=z_ndc, inv_w=inv_w, valid=valid, bbox=bbox)
+    valid = valid & facing & on_screen
+    return TriSetup(
+        screen_xy=screen,
+        z_ndc=z_ndc,
+        inv_w=inv_w,
+        valid=valid,
+        bbox=bbox,
+        orig_tri=orig_tri,
+        corner_bary=corner_bary,
+        clip_overflow=clip_overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: binning
 
 
 def _tile_ranges(setup: TriSetup, width: int, height: int, cfg: RasterConfig):
     """Per-triangle inclusive tile index ranges (tx0, ty0, tx1, ty1)."""
     nty, ntx = num_tiles(width, height, cfg)
-    # Pixel centers sampled at +0.5: a bbox touching pixel column x only
-    # matters if x+0.5 in [x0, x1] — conservative floor/ceil is fine.
     tx0 = jnp.clip(jnp.floor(setup.bbox[:, 0] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(setup.bbox[:, 1] / cfg.tile_h), 0, nty - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(setup.bbox[:, 2] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
@@ -145,7 +269,7 @@ def _tile_ranges(setup: TriSetup, width: int, height: int, cfg: RasterConfig):
 def bin_triangles(
     setup: TriSetup, width: int, height: int, cfg: RasterConfig
 ) -> TileBins:
-    """Stage 2: build per-tile triangle lists.
+    """Stage 3: build per-tile triangle lists.
 
     Scan over triangle chunks; within a chunk compute the (chunk, num_tiles)
     overlap matrix, cumsum along the triangle axis for stable per-tile slots,
@@ -184,7 +308,7 @@ def bin_triangles(
         bins, counts, overflow = carry
         base = c * chunk
         ids = base + jnp.arange(chunk, dtype=jnp.int32)
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, chunk)
+        sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, base, chunk)
         overlap = (
             (tile_x_grid[None, :] >= sl(tx0)[:, None])
             & (tile_x_grid[None, :] <= sl(tx1)[:, None])
@@ -213,10 +337,13 @@ def bin_triangles(
     )
 
 
+# ---------------------------------------------------------------------------
+# Stage 4: per-tile raster
+
+
 def _tile_pixel_centers(width: int, height: int, cfg: RasterConfig):
     """Pixel-center coords for every tile: two (ntiles, P) arrays (P = tile px)."""
     nty, ntx = num_tiles(width, height, cfg)
-    p = cfg.tile_h * cfg.tile_w
     ty = jnp.repeat(jnp.arange(nty, dtype=jnp.float32), ntx)  # (ntiles,)
     tx = jnp.tile(jnp.arange(ntx, dtype=jnp.float32), nty)
     iy = jnp.repeat(jnp.arange(cfg.tile_h, dtype=jnp.float32), cfg.tile_w)  # (P,)
@@ -251,14 +378,14 @@ def rasterize_tiles(
     cfg: RasterConfig,
     depth_only: bool = False,
 ):
-    """Stage 3: z-buffered visibility raster.
+    """Stage 4: z-buffered visibility raster.
 
     For every tile, walk its binned triangle list (dynamic trip count — XLA
     lowers the vmapped fori_loop to a predicated while over the max count) and
     keep the closest coverage per pixel.
 
-    Returns (tri_id (H,W) i32, depth (H,W) f32); tri_id is all VIS_NONE when
-    ``depth_only`` (the shadow-map path, cf. MeshletDepthOnlyRenderNode).
+    Returns (vis (H,W) i32 setup-row ids, depth (H,W) f32); vis is all
+    VIS_NONE when ``depth_only`` (the shadow-map path).
     """
     px, py = _tile_pixel_centers(width, height, cfg)  # (ntiles, P)
     p = cfg.tile_h * cfg.tile_w
@@ -311,10 +438,12 @@ def rasterize(
     cfg: RasterConfig = RasterConfig(),
     cull_backfaces: bool = True,
     depth_only: bool = False,
+    w_eps: float | jax.Array = 1e-4,
 ):
     """Full pipeline: setup -> bin -> raster. Returns (vis, depth, setup, bins)."""
     setup = setup_triangles(
-        clip, indices, tri_valid, width, height, cull_backfaces=cull_backfaces
+        clip, indices, tri_valid, width, height,
+        cull_backfaces=cull_backfaces, w_eps=w_eps,
     )
     bins = bin_triangles(setup, width, height, cfg)
     vis, depth = rasterize_tiles(setup, bins, width, height, cfg, depth_only=depth_only)

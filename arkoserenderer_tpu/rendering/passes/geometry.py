@@ -1,0 +1,63 @@
+"""Geometry pass: vertex transform + visibility-buffer rasterization.
+
+Role-equivalent to the reference's GPU-driven visibility-buffer render node
+(arkose/rendering/meshlet/MeshletVisibilityBufferRenderNode.cpp): transforms
+the unified vertex pool by per-instance matrices (a batched matmul — MXU
+work), culls + bins triangles, and rasterizes triangle ids + depth.
+
+Publishes:
+  SceneDepth       (H, W)  f32 reverse-Z
+  Visibility       (H, W)  i32 triangle id (VIS_NONE background)
+  vis.setup        TriSetup pytree for the shading pass
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.core import mathx as mx
+from arkoserenderer_tpu.ops import raster
+from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
+from arkoserenderer_tpu.rendering.registry import Registry
+
+
+def transform_vertices_clip(scene, view_proj):
+    """Object-space vertex pool -> clip space via per-instance matrices.
+
+    One (D,4,4) matmul to fold VP into each instance matrix, then a gather +
+    batched (V,) transform — the whole thing is XLA-fused elementwise + MXU.
+    """
+    mvp = jnp.einsum("ij,djk->dik", view_proj, scene.world)  # (D, 4, 4)
+    m = mvp[scene.vertex_instance]                           # (V, 4, 4)
+    p = scene.positions
+    xyz = jnp.einsum("vij,vj->vi", m[:, :3, :3], p) + m[:, :3, 3]
+    w = jnp.einsum("vj,vj->v", m[:, 3, :3], p) + m[:, 3, 3]
+    return jnp.concatenate([xyz, w[:, None]], axis=-1)
+
+
+class GeometryPass(RenderPass):
+    name = "Geometry"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.create("SceneDepth", (cfg.height, cfg.width), jnp.float32,
+                   clear=mx.DEPTH_FAR)
+        reg.create("Visibility", (cfg.height, cfg.width), jnp.int32, clear=-1)
+        reg.publish("vis.setup")
+        w, h, rcfg = cfg.width, cfg.height, cfg.raster
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            clip = transform_vertices_clip(ctx.scene, ctx.camera.view_proj)
+            setup = raster.setup_triangles(
+                clip, ctx.scene.indices, ctx.scene.tri_valid, w, h,
+                w_eps=ctx.camera.near,
+            )
+            bins = raster.bin_triangles(setup, w, h, rcfg)
+            vis, depth = raster.rasterize_tiles(setup, bins, w, h, rcfg)
+            return {
+                "SceneDepth": depth,
+                "Visibility": vis,
+                "vis.setup": setup,
+                "vis.overflow": bins.overflow,
+            }
+
+        return execute

@@ -1,0 +1,59 @@
+"""Deferred shading pass wrapping ops/shading.shade_visibility_buffer.
+
+Publishes the G-buffer channels the reference's GpuScene creates
+(GpuScene.cpp:325-362) and VisibilityBufferShadingNode fills:
+SceneColor, SceneNormal, SceneVelocity, SceneBaseColor, SceneMaterial.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.ops.shading import shade_visibility_buffer
+from arkoserenderer_tpu.rendering.pipeline import (
+    FrameContext,
+    PipelineConfig,
+    RenderPass,
+    pixel_centers,
+)
+from arkoserenderer_tpu.rendering.registry import Registry
+
+
+class VisibilityShadingPass(RenderPass):
+    name = "VisibilityShading"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("Visibility")
+        reg.get("SceneDepth")
+        reg.get("vis.setup")
+        use_shadow = reg.has("ShadowMap.sun")
+        if use_shadow:
+            reg.get("ShadowMap.sun")
+        reg.create("SceneColor", (h, w, 3), jnp.float32)
+        reg.create("SceneNormal", (h, w, 3), jnp.float32)
+        reg.create("SceneVelocity", (h, w, 2), jnp.float32)
+        reg.create("SceneBaseColor", (h, w, 3), jnp.float32)
+        reg.create("SceneMaterial", (h, w, 3), jnp.float32)
+        reg.create("SceneCoverage", (h, w), jnp.bool_)
+        px, py = pixel_centers(cfg)
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            vis_flat = state["Visibility"].reshape(-1)
+            depth_flat = state["SceneDepth"].reshape(-1)
+            gb = shade_visibility_buffer(
+                ctx.scene, ctx.camera, vis_flat, depth_flat,
+                state["vis.setup"], px, py, w, h,
+                shadow_map=state["ShadowMap.sun"] if use_shadow else None,
+                sun_shadow_vp=ctx.scene.lights.sun_view_proj if use_shadow else None,
+            )
+            return {
+                "SceneColor": gb.color.reshape(h, w, 3),
+                "SceneNormal": gb.normal.reshape(h, w, 3),
+                "SceneVelocity": gb.velocity.reshape(h, w, 2),
+                "SceneBaseColor": gb.base_color.reshape(h, w, 3),
+                "SceneMaterial": gb.material.reshape(h, w, 3),
+                "SceneCoverage": gb.valid.reshape(h, w),
+            }
+
+        return execute

@@ -1,0 +1,66 @@
+"""Temporal anti-aliasing.
+
+Role-equivalent to TAANode (arkose/rendering/nodes/TAANode.cpp +
+shaders/taa/taa.comp): the camera jitters its projection with a Halton
+sequence (scene side); this pass reprojects the persistent history buffer
+along per-pixel motion vectors, clamps it to the 3x3 neighborhood of the
+current frame (AABB clamp in RGB), and exponentially blends. First frame
+(or history reset) takes the current frame wholesale.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.ops.image import bilinear_sample, neighborhood_min_max, sample_catmull_rom
+from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
+from arkoserenderer_tpu.rendering.registry import Registry
+
+
+class TAAPass(RenderPass):
+    name = "TAA"
+
+    def __init__(self, hysteresis: float = 0.9, use_catmull_rom: bool = True):
+        self.hysteresis = hysteresis
+        self.use_catmull_rom = use_catmull_rom
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneColor")
+        reg.get("SceneVelocity")
+        reg.create("TAAHistory", (h, w, 3), jnp.float32, persistent=True)
+        xs = (np.arange(w, dtype=np.float32) + 0.5)
+        ys = (np.arange(h, dtype=np.float32) + 0.5)
+        px, py = np.meshgrid(xs, ys)
+        px = jnp.asarray(px.ravel())
+        py = jnp.asarray(py.ravel())
+        hysteresis = self.hysteresis
+        catmull = self.use_catmull_rom
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            color = state["SceneColor"]
+            velocity = state["SceneVelocity"].reshape(-1, 2)
+            history = state["TAAHistory"]
+
+            prev_x = px - velocity[:, 0]
+            prev_y = py - velocity[:, 1]
+            if catmull:
+                hist = sample_catmull_rom(history, prev_x, prev_y)
+            else:
+                hist = bilinear_sample(history, prev_x, prev_y)
+            hist = hist.reshape(h, w, 3)
+
+            lo, hi = neighborhood_min_max(color)
+            hist = jnp.clip(hist, lo, hi)
+
+            # History is invalid where reprojection left the screen.
+            on_screen = (
+                (prev_x >= 0.0) & (prev_x < w) & (prev_y >= 0.0) & (prev_y < h)
+            ).reshape(h, w, 1)
+            first_frame = ctx.frame_index == 0
+            alpha = jnp.where(first_frame | ~on_screen, 1.0, 1.0 - hysteresis)
+            out = hist + (color - hist) * alpha
+            return {"SceneColor": out, "TAAHistory": out}
+
+        return execute

@@ -1,0 +1,156 @@
+"""RenderPipeline: the pass DAG and its compiled frame function.
+
+Role-equivalent to the reference's RenderPipeline + RenderPipelineNode
+(arkose/rendering/RenderPipeline.h:11-78, RenderPipelineNode.h:18-66) with
+the two-phase construct/execute split kept intact — because that split *is*
+XLA's compile/execute model:
+
+  * ``construct_all()``  — every pass declares resources against the Registry
+    and returns its execute callback (the reference's
+    ``construct(GpuScene&, Registry&) -> ExecuteCallback``). Reconstruction
+    on resize / pass changes = re-trace, exactly like the reference rebuilds
+    PSOs (VulkanBackend::reconstructRenderPipelineResources).
+  * ``compile()``        — traces all execute callbacks into ONE jitted
+    frame function ``(state, scene, camera, frame_index) -> state`` with
+    donated persistent buffers. Execution order is declared order
+    (forEachNodeInResolvedOrder is declared-order in the reference too,
+    RenderPipeline.cpp:60-62); Registry edges validate the declaration.
+
+The FrameContext bundles what every node's ExecuteCallback received in the
+reference (AppState + scene + upload budget); here it is the scene arrays,
+camera state, and frame index as traced values.
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.core.types import RasterConfig, SceneLimits
+from arkoserenderer_tpu.rendering.registry import Registry
+from arkoserenderer_tpu.scene.camera import CameraState
+from arkoserenderer_tpu.scene.scene import SceneArrays
+
+
+class FrameContext(NamedTuple):
+    scene: SceneArrays
+    camera: CameraState
+    frame_index: jax.Array  # () i32
+    delta_time: jax.Array   # () f32 seconds
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Static configuration shared by all passes (viewport, raster tiles)."""
+
+    width: int = 1920
+    height: int = 1080
+    raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
+    limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
+    shadow_map_size: int = 2048
+    tonemap_mode: str = "agx"
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+ExecuteFn = Callable[[dict, FrameContext], dict]
+# An execute callback maps (frame-state dict, ctx) -> dict of updates.
+
+
+class RenderPass(abc.ABC):
+    """Base pass (RenderPipelineNode analogue)."""
+
+    name: str = "UnnamedPass"
+
+    @abc.abstractmethod
+    def construct(self, cfg: PipelineConfig, reg: Registry) -> ExecuteFn:
+        ...
+
+
+class RenderPipeline:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.passes: list[RenderPass] = []
+        self.registry = Registry()
+        self._executes: list[tuple[str, ExecuteFn]] | None = None
+        self._compiled = None
+
+    def add_pass(self, p: RenderPass) -> "RenderPipeline":
+        self.passes.append(p)
+        return self
+
+    def construct_all(self):
+        """Run every pass's construct against a fresh Registry."""
+        self.registry = Registry()
+        self._executes = []
+        # Screen pixel centers are shared constants every pass may use.
+        for p in self.passes:
+            self.registry.set_current_node(p.name)
+            self._executes.append((p.name, p.construct(self.cfg, self.registry)))
+        self.registry.set_current_node(None)
+        self._compiled = None
+        return self
+
+    def initial_state(self) -> dict[str, jax.Array]:
+        assert self._executes is not None, "call construct_all() first"
+        return self.registry.initial_state()
+
+    # -- execution ------------------------------------------------------------------
+
+    def frame_fn(
+        self,
+        state: dict,
+        scene: SceneArrays,
+        camera: CameraState,
+        frame_index: jax.Array,
+        delta_time: jax.Array,
+    ) -> dict:
+        """The traceable frame body: runs all passes in declared order."""
+        assert self._executes is not None, "call construct_all() first"
+        ctx = FrameContext(
+            scene=scene,
+            camera=camera,
+            frame_index=jnp.asarray(frame_index, jnp.int32),
+            delta_time=jnp.asarray(delta_time, jnp.float32),
+        )
+        state = dict(state)
+        for _name, execute in self._executes:
+            updates = execute(state, ctx)
+            if updates:
+                state.update(updates)
+        return state
+
+    def compile(self, donate_state: bool = True):
+        """Jit the frame function (donating persistent buffers so history
+        updates are in-place on device — the 2-frames-in-flight analogue)."""
+        if self._compiled is None:
+            self._compiled = jax.jit(
+                self.frame_fn, donate_argnums=(0,) if donate_state else ()
+            )
+        return self._compiled
+
+    def render_frame(self, state, scene, camera_state, frame_index, delta_time=1 / 60):
+        fn = self.compile()
+        return fn(
+            state, scene, camera_state,
+            jnp.asarray(frame_index, jnp.int32), jnp.asarray(delta_time, jnp.float32),
+        )
+
+    def describe(self) -> str:
+        head = " -> ".join(p.name for p in self.passes)
+        return f"pipeline [{head}]\n{self.registry.describe()}"
+
+
+def pixel_centers(cfg: PipelineConfig):
+    """(N,) px / (N,) py flattened pixel-center coordinates."""
+    xs = (np.arange(cfg.width, dtype=np.float32) + 0.5)
+    ys = (np.arange(cfg.height, dtype=np.float32) + 0.5)
+    px, py = np.meshgrid(xs, ys)
+    return jnp.asarray(px.ravel()), jnp.asarray(py.ravel())

@@ -1,0 +1,363 @@
+"""Scene: host-side authoring + fixed-capacity device arrays.
+
+Role-equivalent to the reference's Scene + GpuScene + VertexManager trio
+(arkose/scene/Scene.h, arkose/rendering/GpuScene.h, VertexManager.h): the
+host ``Scene`` owns meshes / materials / textures / lights / instances, and
+``build()`` freezes them into ``SceneArrays`` — SoA device arrays in global
+unified pools with static capacities (the XLA analogue of VertexManager's
+single shared vertex/index buffers and GpuScene's bindless material set).
+
+Layouts mirror the reference's shared C++/GLSL structs
+(arkose/shaders/shared/{SceneData,MaterialData,LightData}.h) in spirit:
+ShaderDrawable -> per-instance transform/material arrays, ShaderMaterial ->
+MaterialArrays SoA rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.core.types import SceneLimits
+from arkoserenderer_tpu.ops.texture import TexturePool, TexturePoolBuilder
+from arkoserenderer_tpu.scene.lights import (
+    DirectionalLight,
+    LightArrays,
+    PointLight,
+    SpotLight,
+    build_light_arrays,
+)
+
+BLEND_OPAQUE = 0
+BLEND_MASKED = 1
+BLEND_TRANSLUCENT = 2
+
+
+@dataclasses.dataclass
+class Material:
+    """Host-side PBR material description (MaterialAsset analogue,
+    arkcore/asset/MaterialAsset.h)."""
+
+    base_color_factor: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(4, np.float32)
+    )
+    emissive_factor: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float32)
+    )
+    metallic_factor: float = 0.0
+    roughness_factor: float = 1.0
+    base_color_tex: int = 0   # default white
+    normal_tex: int = 2       # default flat normal
+    mr_tex: int = 0           # metallic(B) roughness(G), glTF convention
+    emissive_tex: int = 0
+    occlusion_tex: int = 0
+    blend_mode: int = BLEND_OPAQUE
+    alpha_cutoff: float = 0.5
+    double_sided: bool = False
+    clearcoat: float = 0.0
+    clearcoat_roughness: float = 0.0
+
+
+@dataclasses.dataclass
+class MeshSegment:
+    """One single-material geometry segment (MeshSegmentAsset analogue)."""
+
+    positions: np.ndarray           # (V, 3) f32
+    normals: np.ndarray             # (V, 3) f32
+    uvs: np.ndarray | None = None   # (V, 2) f32
+    tangents: np.ndarray | None = None  # (V, 4) f32 (xyz + handedness w)
+    indices: np.ndarray | None = None   # (I,) int — None = iota
+    material: int = 0
+
+    def __post_init__(self):
+        v = self.positions.shape[0]
+        if self.uvs is None:
+            self.uvs = np.zeros((v, 2), np.float32)
+        if self.tangents is None:
+            self.tangents = generate_tangents_simple(self.normals)
+        if self.indices is None:
+            self.indices = np.arange(v, dtype=np.int32)
+        self.indices = self.indices.astype(np.int32)
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self.indices) // 3
+
+
+class MaterialArrays(NamedTuple):
+    """SoA device materials (ShaderMaterial analogue)."""
+
+    base_color_factor: jax.Array   # (M, 4)
+    emissive_factor: jax.Array     # (M, 3)
+    metallic_factor: jax.Array     # (M,)
+    roughness_factor: jax.Array    # (M,)
+    base_color_tex: jax.Array      # (M,) i32
+    normal_tex: jax.Array          # (M,) i32
+    mr_tex: jax.Array              # (M,) i32
+    emissive_tex: jax.Array        # (M,) i32
+    occlusion_tex: jax.Array       # (M,) i32
+    blend_mode: jax.Array          # (M,) i32
+    alpha_cutoff: jax.Array        # (M,)
+    double_sided: jax.Array        # (M,) bool
+    clearcoat: jax.Array           # (M,)
+    clearcoat_roughness: jax.Array # (M,)
+
+
+class SceneArrays(NamedTuple):
+    """All GPU-resident scene data (the GpuScene analogue). A pytree —
+    pass it whole into jitted frame functions."""
+
+    # Unified geometry pools (VertexManager analogue)
+    positions: jax.Array        # (Vmax, 3) object-space
+    normals: jax.Array          # (Vmax, 3)
+    uvs: jax.Array              # (Vmax, 2)
+    tangents: jax.Array         # (Vmax, 4)
+    vertex_instance: jax.Array  # (Vmax,) i32 owning instance
+    indices: jax.Array          # (Tmax, 3) i32 into the vertex pool
+    tri_instance: jax.Array     # (Tmax,) i32
+    tri_valid: jax.Array        # (Tmax,) bool
+    # Instances (ShaderDrawable analogue)
+    world: jax.Array            # (Dmax, 4, 4)
+    prev_world: jax.Array       # (Dmax, 4, 4)
+    normal_mat: jax.Array       # (Dmax, 3, 3) inverse-transpose world
+    inst_material: jax.Array    # (Dmax,) i32
+    inst_sphere: jax.Array      # (Dmax, 4) world bounding sphere (xyz, r)
+    inst_valid: jax.Array       # (Dmax,) bool
+    # Materials + bindless textures
+    materials: MaterialArrays
+    textures: TexturePool
+    # Lights (raw photometric units; pre-exposure applied in shading)
+    lights: LightArrays
+    # Environment: equirect radiance map + multiplier
+    env_map: jax.Array          # (He, We, 3) f32 linear radiance (lum/sr-ish)
+    env_brightness: jax.Array   # ()
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host scene container. ``build()`` freezes to SceneArrays; transforms
+    can be re-uploaded per frame via ``update_transforms``."""
+
+    limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
+
+    def __post_init__(self):
+        self.materials: list[Material] = [Material()]  # 0 = default
+        self.segments: list[MeshSegment] = []          # flattened mesh segments
+        self.instances: list[tuple[int, np.ndarray, np.ndarray | None]] = []
+        # each: (segment id, world 4x4, prev world or None)
+        self.texture_builder = TexturePoolBuilder(
+            max_textures=self.limits.max_textures,
+            pool_capacity=self.limits.texture_pool_texels,
+        )
+        self.sun: DirectionalLight | None = None
+        self.spots: list[SpotLight] = []
+        self.points: list[PointLight] = []
+        self.env_map: np.ndarray = np.zeros((1, 2, 3), np.float32)
+        self.env_brightness: float = 1.0
+        self.ambient_lx: float = 0.0
+
+    # -- authoring API ---------------------------------------------------------
+
+    def add_material(self, mat: Material) -> int:
+        assert len(self.materials) < self.limits.max_materials
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def add_texture(self, img: np.ndarray, *, srgb: bool, **kw) -> int:
+        return self.texture_builder.add(img, srgb=srgb, **kw)
+
+    def add_segment(self, seg: MeshSegment) -> int:
+        self.segments.append(seg)
+        return len(self.segments) - 1
+
+    def add_mesh(self, segments: list[MeshSegment]) -> list[int]:
+        return [self.add_segment(s) for s in segments]
+
+    def add_instance(self, segment_ids, world: np.ndarray, prev_world=None):
+        if isinstance(segment_ids, int):
+            segment_ids = [segment_ids]
+        for sid in segment_ids:
+            self.instances.append(
+                (sid, np.asarray(world, np.float32), prev_world)
+            )
+
+    def set_env_map(self, img: np.ndarray, brightness: float = 1.0):
+        self.env_map = np.asarray(img, np.float32)
+        self.env_brightness = brightness
+
+    # -- freeze -----------------------------------------------------------------
+
+    def build(self) -> SceneArrays:
+        lim = self.limits
+        vmax, tmax, dmax, mmax = (
+            lim.max_vertices,
+            lim.max_triangles,
+            lim.max_drawables,
+            lim.max_materials,
+        )
+        positions = np.zeros((vmax, 3), np.float32)
+        normals = np.zeros((vmax, 3), np.float32)
+        uvs = np.zeros((vmax, 2), np.float32)
+        tangents = np.zeros((vmax, 4), np.float32)
+        vertex_instance = np.zeros((vmax,), np.int32)
+        indices = np.zeros((tmax, 3), np.int32)
+        tri_instance = np.zeros((tmax,), np.int32)
+        tri_valid = np.zeros((tmax,), bool)
+        world = np.tile(np.eye(4, dtype=np.float32), (dmax, 1, 1))
+        prev_world = world.copy()
+        normal_mat = np.tile(np.eye(3, dtype=np.float32), (dmax, 1, 1))
+        inst_material = np.zeros((dmax,), np.int32)
+        inst_sphere = np.zeros((dmax, 4), np.float32)
+        inst_valid = np.zeros((dmax,), bool)
+
+        assert len(self.instances) <= dmax, "drawable capacity exceeded"
+        v_cursor = 0
+        t_cursor = 0
+        for inst_id, (sid, w, pw) in enumerate(self.instances):
+            seg = self.segments[sid]
+            v = seg.positions.shape[0]
+            t = seg.num_triangles
+            assert v_cursor + v <= vmax, "vertex pool capacity exceeded"
+            assert t_cursor + t <= tmax, "triangle pool capacity exceeded"
+            positions[v_cursor : v_cursor + v] = seg.positions
+            normals[v_cursor : v_cursor + v] = seg.normals
+            uvs[v_cursor : v_cursor + v] = seg.uvs
+            tangents[v_cursor : v_cursor + v] = seg.tangents
+            vertex_instance[v_cursor : v_cursor + v] = inst_id
+            indices[t_cursor : t_cursor + t] = (
+                seg.indices.reshape(t, 3) + v_cursor
+            )
+            tri_instance[t_cursor : t_cursor + t] = inst_id
+            tri_valid[t_cursor : t_cursor + t] = True
+            world[inst_id] = w
+            prev_world[inst_id] = pw if pw is not None else w
+            normal_mat[inst_id] = np.linalg.inv(w[:3, :3]).T
+            inst_material[inst_id] = seg.material
+            # World bounding sphere from object AABB
+            center_obj = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
+            r_obj = np.linalg.norm(seg.positions - center_obj, axis=-1).max()
+            scale = np.linalg.norm(w[:3, :3], axis=0).max()
+            center_w = w[:3, :3] @ center_obj + w[:3, 3]
+            inst_sphere[inst_id] = (*center_w, r_obj * scale)
+            inst_valid[inst_id] = True
+            v_cursor += v
+            t_cursor += t
+
+        m = len(self.materials)
+        assert m <= mmax
+        mat = MaterialArrays(
+            base_color_factor=_soa([x.base_color_factor for x in self.materials], (mmax, 4)),
+            emissive_factor=_soa([x.emissive_factor for x in self.materials], (mmax, 3)),
+            metallic_factor=_soa([x.metallic_factor for x in self.materials], (mmax,)),
+            roughness_factor=_soa([x.roughness_factor for x in self.materials], (mmax,), fill=1.0),
+            base_color_tex=_soa([x.base_color_tex for x in self.materials], (mmax,), dtype=np.int32),
+            normal_tex=_soa([x.normal_tex for x in self.materials], (mmax,), dtype=np.int32, fill=2),
+            mr_tex=_soa([x.mr_tex for x in self.materials], (mmax,), dtype=np.int32),
+            emissive_tex=_soa([x.emissive_tex for x in self.materials], (mmax,), dtype=np.int32),
+            occlusion_tex=_soa([x.occlusion_tex for x in self.materials], (mmax,), dtype=np.int32),
+            blend_mode=_soa([x.blend_mode for x in self.materials], (mmax,), dtype=np.int32),
+            alpha_cutoff=_soa([x.alpha_cutoff for x in self.materials], (mmax,), fill=0.5),
+            double_sided=_soa([x.double_sided for x in self.materials], (mmax,), dtype=bool),
+            clearcoat=_soa([x.clearcoat for x in self.materials], (mmax,)),
+            clearcoat_roughness=_soa([x.clearcoat_roughness for x in self.materials], (mmax,)),
+        )
+
+        center, radius = self.bounding_sphere()
+        lights = build_light_arrays(
+            self.sun, self.spots, self.points,
+            exposure=1.0,  # raw units; pre-exposure happens in shading
+            scene_center=center, scene_radius=radius,
+            max_spots=self.limits.max_spot_lights,
+            max_points=self.limits.max_point_lights,
+            ambient_lx=self.ambient_lx,
+        )
+
+        return SceneArrays(
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            uvs=jnp.asarray(uvs),
+            tangents=jnp.asarray(tangents),
+            vertex_instance=jnp.asarray(vertex_instance),
+            indices=jnp.asarray(indices),
+            tri_instance=jnp.asarray(tri_instance),
+            tri_valid=jnp.asarray(tri_valid),
+            world=jnp.asarray(world),
+            prev_world=jnp.asarray(prev_world),
+            normal_mat=jnp.asarray(normal_mat),
+            inst_material=jnp.asarray(inst_material),
+            inst_sphere=jnp.asarray(inst_sphere),
+            inst_valid=jnp.asarray(inst_valid),
+            materials=mat,
+            textures=self.texture_builder.finalize(),
+            lights=lights,
+            env_map=jnp.asarray(self.env_map),
+            env_brightness=jnp.asarray(self.env_brightness, jnp.float32),
+        )
+
+    def bounding_sphere(self) -> tuple[np.ndarray, float]:
+        if not self.instances:
+            return np.zeros(3, np.float32), 1.0
+        mins = np.full(3, np.inf)
+        maxs = np.full(3, -np.inf)
+        for sid, w, _ in self.instances:
+            seg = self.segments[sid]
+            pts = seg.positions @ w[:3, :3].T + w[:3, 3]
+            mins = np.minimum(mins, pts.min(0))
+            maxs = np.maximum(maxs, pts.max(0))
+        center = 0.5 * (mins + maxs)
+        radius = float(np.linalg.norm(maxs - center))
+        return center.astype(np.float32), max(radius, 1e-3)
+
+
+def _soa(values, shape, dtype=np.float32, fill=0.0):
+    arr = np.full(shape, fill, dtype)
+    if values:
+        arr[: len(values)] = np.asarray(values, dtype)
+    return jnp.asarray(arr)
+
+
+def generate_tangents_simple(normals: np.ndarray) -> np.ndarray:
+    """Arbitrary-but-stable tangent frame from normals (placeholder until the
+    MikkTSpace-equivalent generator; reference uses mikktspace via
+    MeshAsset::generateTangents)."""
+    n = normals / np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+    helper = np.where(
+        (np.abs(n[:, 1:2]) < 0.99), np.array([[0.0, 1.0, 0.0]]), np.array([[1.0, 0.0, 0.0]])
+    )
+    t = np.cross(helper, n)
+    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-9)
+    return np.concatenate([t, np.ones((len(n), 1), np.float32)], axis=-1).astype(np.float32)
+
+
+def generate_tangents_uv(
+    positions: np.ndarray, normals: np.ndarray, uvs: np.ndarray, indices: np.ndarray
+) -> np.ndarray:
+    """Per-vertex tangents from UV derivatives (Lengyel's method), averaged
+    over incident triangles — the standard mikktspace-adjacent approach."""
+    tri = indices.reshape(-1, 3)
+    p = positions[tri]  # (T,3,3)
+    t = uvs[tri]        # (T,3,2)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    d1 = t[:, 1] - t[:, 0]
+    d2 = t[:, 2] - t[:, 0]
+    det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+    r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tan = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r[:, None]
+    acc = np.zeros_like(positions)
+    np.add.at(acc, tri[:, 0], tan)
+    np.add.at(acc, tri[:, 1], tan)
+    np.add.at(acc, tri[:, 2], tan)
+    # Gram-Schmidt against the normal
+    n = normals
+    acc = acc - n * np.sum(acc * n, axis=-1, keepdims=True)
+    ln = np.linalg.norm(acc, axis=-1, keepdims=True)
+    fallback = generate_tangents_simple(normals)[:, :3]
+    tan = np.where(ln > 1e-8, acc / np.maximum(ln, 1e-12), fallback)
+    return np.concatenate(
+        [tan, np.ones((len(n), 1), np.float32)], axis=-1
+    ).astype(np.float32)

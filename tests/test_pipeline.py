@@ -1,0 +1,87 @@
+"""End-to-end pipeline tests on the procedural test scene (BASELINE config #1
+analogue: forward shading + shadow-mapped sun, CPU/interpret path)."""
+
+import numpy as np
+import pytest
+
+from arkoserenderer_tpu.assets.procedural import build_test_scene
+from arkoserenderer_tpu.core.types import RasterConfig
+from arkoserenderer_tpu.models.standard import Renderer
+from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+W, H = 128, 128
+CFG = PipelineConfig(
+    width=W,
+    height=H,
+    raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256, bin_chunk=512),
+    shadow_map_size=256,
+)
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    scene, cam = build_test_scene(viewport=(W, H))
+    return Renderer(scene, cam, CFG, film_grain=0.0)
+
+
+def test_renders_valid_image(renderer):
+    img = np.asarray(renderer.render_frame())
+    assert img.shape == (H, W, 3)
+    assert np.all(np.isfinite(img))
+    assert np.all(img >= 0.0) and np.all(img <= 1.0)
+    # Scene is lit: mean brightness in a sane range, image not constant.
+    assert 0.05 < img.mean() < 0.95
+    assert img.std() > 0.05
+
+
+def test_geometry_covers_part_of_screen(renderer):
+    state = renderer.state
+    vis = np.asarray(state["Visibility"])
+    coverage = (vis >= 0).mean()
+    assert 0.2 < coverage < 0.95  # floor + objects visible, some sky
+
+
+def test_shadow_map_nonempty(renderer):
+    sm = np.asarray(renderer.state["ShadowMap.sun"])
+    assert (sm > 0).mean() > 0.05  # geometry wrote depth
+
+
+def test_shadows_darken_ground(renderer):
+    # The box at (0, 0.7, -2.2) with sun from (0.4,-1,-0.3) must cast a
+    # shadow: some floor pixels should be significantly darker than the
+    # brightest floor pixels.
+    img = np.asarray(renderer.state["LDR"]).mean(-1)
+    vis = np.asarray(renderer.state["Visibility"])
+    floor_mask = vis >= 0
+    vals = img[floor_mask]
+    assert vals.max() - vals.min() > 0.2
+
+
+def test_taa_converges_and_stays_stable(renderer):
+    for _ in range(5):  # let history converge over the jitter sequence
+        renderer.render_frame()
+    a = np.asarray(renderer.render_frame())
+    b = np.asarray(renderer.render_frame())
+    # Static scene + camera: consecutive TAA'd frames differ only slightly
+    # (jitter-induced differences are smoothed by history).
+    assert np.abs(a - b).mean() < 0.01
+
+
+def test_velocity_zero_for_static_scene(renderer):
+    vel = np.asarray(renderer.state["SceneVelocity"])
+    # Camera static + objects static: motion vectors ~0 everywhere.
+    assert np.abs(vel).max() < 0.1
+
+
+def test_overflow_is_zero(renderer):
+    assert int(np.asarray(renderer.state["vis.overflow"])) == 0
+
+
+def test_deterministic_rerender():
+    scene, cam = build_test_scene(viewport=(W, H))
+    r1 = Renderer(scene, cam, CFG)
+    scene2, cam2 = build_test_scene(viewport=(W, H))
+    r2 = Renderer(scene2, cam2, CFG)
+    a = np.asarray(r1.render_frame())
+    b = np.asarray(r2.render_frame())
+    np.testing.assert_array_equal(a, b)

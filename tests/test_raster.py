@@ -129,3 +129,51 @@ def test_tiled_roundtrip(rng):
     t = raster.image_to_tiled(jnp.asarray(img), CFG)
     back = raster.tiled_to_image(t, W, H, CFG)
     np.testing.assert_array_equal(np.asarray(back), img)
+
+
+def test_near_plane_clipping_floor():
+    # A huge floor quad extending behind the camera: without clipping these
+    # triangles would be dropped entirely. With clipping, the floor must
+    # cover the bottom of the screen, and interpolated original barycentrics
+    # must still reproject onto the pixel exactly.
+    import jax.numpy as jnp
+    from arkoserenderer_tpu.ops import interpolate as ip
+
+    verts = np.array(
+        [[-50.0, -1.0, 50.0], [50.0, -1.0, 50.0], [50.0, -1.0, -50.0], [-50.0, -1.0, -50.0]],
+        np.float32,
+    )
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    view = mx.look_at(np.array([0.0, 1.0, 0.0], np.float32), np.array([0.0, 0.0, -10.0], np.float32))
+    proj = mx.perspective_reverse_z(np.radians(70.0), W / H, 0.1, 1000.0)
+    vp = np.asarray(proj @ view)
+    clip = np.asarray(mx.transform_points_h(jnp.asarray(vp), jnp.asarray(verts)))
+    assert np.any(clip[:, 3] < 0)  # some vertices genuinely behind the camera
+
+    vis, depth, setup, bins = raster.rasterize(
+        jnp.asarray(clip), jnp.asarray(idx), jnp.ones(2, bool), width=W, height=H,
+        cfg=CFG, w_eps=0.1,  # = camera near: the correct clip plane
+    )
+    vis_np = np.asarray(vis)
+    assert int(setup.clip_overflow) == 0
+    # Bottom rows fully covered by the floor, top rows are sky.
+    assert np.all(vis_np[-1, :] >= 0)
+    assert np.all(vis_np[0, :] == -1)
+    # Reconstruct world positions through original barycentrics: y == -1.
+    xs = (np.arange(W) + 0.5).astype(np.float32)
+    ys = (np.arange(H) + 0.5).astype(np.float32)
+    px, py = np.meshgrid(xs, ys)
+    geom = ip.pixel_barycentrics(
+        vis.reshape(-1), setup, jnp.asarray(idx), jnp.asarray(px.ravel()), jnp.asarray(py.ravel())
+    )
+    world = np.asarray(ip.interpolate(jnp.asarray(verts), geom))
+    valid = np.asarray(geom.valid)
+    np.testing.assert_allclose(world[valid, 1], -1.0, atol=1e-3)
+    # Reprojection check on covered pixels.
+    reclip = np.asarray(mx.transform_points_h(jnp.asarray(vp), jnp.asarray(world)))
+    sx = (reclip[:, 0] / reclip[:, 3] * 0.5 + 0.5) * W
+    sy = (0.5 - reclip[:, 1] / reclip[:, 3] * 0.5) * H
+    # f32 edge functions lose ~0.1px of precision when clipped corners land
+    # far off-screen (TODO: guard-band clip for tighter bounds).
+    np.testing.assert_allclose(sx[valid], px.ravel()[valid], atol=0.5)
+    np.testing.assert_allclose(sy[valid], py.ravel()[valid], atol=0.5)
