@@ -1,0 +1,358 @@
+"""glTF 2.0 importer.
+
+Role-equivalent to the reference's GltfLoader / AssetImporter
+(arkcore/asset/import/GltfLoader.cpp, AssetImporter.h:29-94): parses .gltf /
+.glb, decodes accessors, flattens the node hierarchy into world-space mesh
+instances, imports PBR metallic-roughness materials and their textures, and
+feeds everything into a Scene. Written from the public glTF 2.0 spec on
+NumPy + PIL — no external glTF library.
+
+Supported: embedded/external buffers, data URIs, GLB container, POSITION /
+NORMAL / TEXCOORD_0 / TANGENT / JOINTS_0 / WEIGHTS_0 attributes, u8/u16/u32
+indices, node TRS + matrix transforms, baseColor / metallicRoughness /
+normal / emissive / occlusion textures, alphaMode, doubleSided, sampler wrap
+modes, KHR_materials_emissive_strength.
+TODO: sparse accessors, skins/animations wiring (accessors decode already),
+KHR_texture_transform, Draco.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from arkoserenderer_tpu.core.logging import get_logger
+from arkoserenderer_tpu.ops.texture import WRAP_CLAMP, WRAP_REPEAT
+from arkoserenderer_tpu.scene.scene import (
+    BLEND_MASKED,
+    BLEND_OPAQUE,
+    BLEND_TRANSLUCENT,
+    Material,
+    MeshSegment,
+    Scene,
+    generate_tangents_uv,
+)
+
+log = get_logger("gltf")
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+@dataclasses.dataclass
+class GltfFile:
+    doc: dict
+    buffers: list[bytes]
+    base_dir: Path
+
+
+def _load_uri(uri: str, base_dir: Path) -> bytes:
+    if uri.startswith("data:"):
+        return base64.b64decode(uri.split(",", 1)[1])
+    from urllib.parse import unquote
+
+    return (base_dir / unquote(uri)).read_bytes()
+
+
+def parse_gltf(path: str | Path) -> GltfFile:
+    path = Path(path)
+    data = path.read_bytes()
+    if data[:4] == b"glTF":  # GLB container
+        _, _, _ = struct.unpack_from("<III", data, 0)
+        offset = 12
+        doc = None
+        bin_chunk = b""
+        while offset < len(data):
+            length, kind = struct.unpack_from("<II", data, offset)
+            chunk = data[offset + 8 : offset + 8 + length]
+            if kind == 0x4E4F534A:  # JSON
+                doc = json.loads(chunk)
+            elif kind == 0x004E4942:  # BIN
+                bin_chunk = chunk
+            offset += 8 + length
+        assert doc is not None, "GLB missing JSON chunk"
+        buffers = []
+        for i, b in enumerate(doc.get("buffers", [])):
+            if "uri" in b:
+                buffers.append(_load_uri(b["uri"], path.parent))
+            else:
+                buffers.append(bin_chunk)
+    else:
+        doc = json.loads(data)
+        buffers = [_load_uri(b["uri"], path.parent) for b in doc.get("buffers", [])]
+    return GltfFile(doc=doc, buffers=buffers, base_dir=path.parent)
+
+
+def read_accessor(g: GltfFile, index: int) -> np.ndarray:
+    acc = g.doc["accessors"][index]
+    n = acc["count"]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    itemsize = np.dtype(dtype).itemsize * ncomp
+
+    if "bufferView" not in acc:
+        out = np.zeros((n, ncomp), dtype)
+    else:
+        bv = g.doc["bufferViews"][acc["bufferView"]]
+        buf = g.buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride", itemsize)
+        if stride == itemsize:
+            out = np.frombuffer(buf, dtype, count=n * ncomp, offset=start).reshape(n, ncomp)
+        else:
+            raw = np.frombuffer(buf, np.uint8)
+            rows = np.lib.stride_tricks.as_strided(
+                raw[start:], shape=(n, itemsize), strides=(stride, 1)
+            )
+            out = rows.reshape(-1).view(dtype).reshape(n, ncomp)
+    out = np.array(out)  # own the memory
+
+    if acc.get("normalized") and dtype != np.float32:
+        info = np.iinfo(dtype)
+        out = out.astype(np.float32) / float(info.max)
+    if "sparse" in acc:
+        sp = acc["sparse"]
+        cnt = sp["count"]
+        idx_acc = sp["indices"]
+        bv = g.doc["bufferViews"][idx_acc["bufferView"]]
+        idt = _COMPONENT_DTYPES[idx_acc["componentType"]]
+        idx = np.frombuffer(
+            g.buffers[bv["buffer"]], idt, count=cnt,
+            offset=bv.get("byteOffset", 0) + idx_acc.get("byteOffset", 0),
+        ).astype(np.int64)
+        val_acc = sp["values"]
+        bv = g.doc["bufferViews"][val_acc["bufferView"]]
+        vals = np.frombuffer(
+            g.buffers[bv["buffer"]], dtype, count=cnt * ncomp,
+            offset=bv.get("byteOffset", 0) + val_acc.get("byteOffset", 0),
+        ).reshape(cnt, ncomp)
+        out[idx] = vals
+    return out
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.array(node["matrix"], np.float32).reshape(4, 4).T  # column-major file
+    m = np.eye(4, dtype=np.float32)
+    s = np.array(node.get("scale", [1, 1, 1]), np.float32)
+    q = np.array(node.get("rotation", [0, 0, 0, 1]), np.float32)  # (x,y,z,w)
+    t = np.array(node.get("translation", [0, 0, 0]), np.float32)
+    x, y, z, w = q
+    rot = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    m[:3, :3] = rot * s[None, :]
+    m[:3, 3] = t
+    return m
+
+
+def flatten_nodes(g: GltfFile) -> list[tuple[int, np.ndarray, int]]:
+    """Returns [(mesh_index, world_transform, node_index)] for scene 0."""
+    doc = g.doc
+    out = []
+
+    def walk(node_idx: int, parent: np.ndarray):
+        node = doc["nodes"][node_idx]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            out.append((node["mesh"], world, node_idx))
+        for c in node.get("children", []):
+            walk(c, world)
+
+    scene = doc.get("scenes", [{}])[doc.get("scene", 0)]
+    for root in scene.get("nodes", []):
+        walk(root, np.eye(4, dtype=np.float32))
+    return out
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << max(x.bit_length() - 1, 0)
+
+
+def _load_image(g: GltfFile, image_index: int, max_size: int) -> np.ndarray:
+    from PIL import Image
+    import io
+
+    img = g.doc["images"][image_index]
+    if "uri" in img:
+        data = _load_uri(img["uri"], g.base_dir)
+    else:
+        bv = g.doc["bufferViews"][img["bufferView"]]
+        start = bv.get("byteOffset", 0)
+        data = g.buffers[bv["buffer"]][start : start + bv["byteLength"]]
+    with Image.open(io.BytesIO(data)) as im:
+        im = im.convert("RGBA")
+        # Mip chains need power-of-two dims; clamp the largest side.
+        tw = min(_pow2_floor(im.width), max_size)
+        th = min(_pow2_floor(im.height), max_size)
+        if (tw, th) != (im.width, im.height):
+            im = im.resize((max(tw, 1), max(th, 1)), Image.LANCZOS)
+        return np.asarray(im)
+
+
+_WRAP_MAP = {10497: WRAP_REPEAT, 33071: WRAP_CLAMP, 33648: WRAP_REPEAT}  # mirrored->repeat
+
+
+@dataclasses.dataclass
+class GltfImportResult:
+    """Counterpart of the reference's ImportResult (AssetImporter.h:49-66)."""
+
+    segment_ids: list[int]
+    instance_count: int
+    material_ids: list[int]
+    texture_ids: dict[tuple[int, bool], int]
+
+
+def load_gltf(
+    scene: Scene,
+    path: str | Path,
+    root_transform: np.ndarray | None = None,
+    max_texture_size: int = 512,
+    import_cameras_and_lights: bool = False,
+) -> GltfImportResult:
+    """Import a glTF file's default scene into ``scene`` as static instances."""
+    g = parse_gltf(path)
+    doc = g.doc
+    root = root_transform if root_transform is not None else np.eye(4, dtype=np.float32)
+
+    # -- textures (deduped by (source image, srgb)) ------------------------------
+    texture_ids: dict[tuple[int, bool], int] = {}
+
+    def get_texture(tex_index: int, srgb: bool) -> int:
+        tex = doc["textures"][tex_index]
+        src = tex.get("source", 0)
+        key = (src, srgb)
+        if key not in texture_ids:
+            pixels = _load_image(g, src, max_texture_size)
+            wrap = WRAP_REPEAT
+            if "sampler" in tex:
+                smp = doc.get("samplers", [])[tex["sampler"]]
+                wrap = _WRAP_MAP.get(smp.get("wrapS", 10497), WRAP_REPEAT)
+            texture_ids[key] = scene.add_texture(pixels, srgb=srgb, wrap=wrap)
+        return texture_ids[key]
+
+    # -- materials ----------------------------------------------------------------
+    material_ids: list[int] = []
+    for mat in doc.get("materials", []):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        m = Material()
+        m.base_color_factor = np.array(
+            pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+        )
+        m.metallic_factor = float(pbr.get("metallicFactor", 1.0))
+        m.roughness_factor = float(pbr.get("roughnessFactor", 1.0))
+        if "baseColorTexture" in pbr:
+            m.base_color_tex = get_texture(pbr["baseColorTexture"]["index"], srgb=True)
+        if "metallicRoughnessTexture" in pbr:
+            m.mr_tex = get_texture(pbr["metallicRoughnessTexture"]["index"], srgb=False)
+        if "normalTexture" in mat:
+            m.normal_tex = get_texture(mat["normalTexture"]["index"], srgb=False)
+        if "emissiveTexture" in mat:
+            m.emissive_tex = get_texture(mat["emissiveTexture"]["index"], srgb=True)
+        if "occlusionTexture" in mat:
+            m.occlusion_tex = get_texture(mat["occlusionTexture"]["index"], srgb=False)
+        strength = (
+            mat.get("extensions", {})
+            .get("KHR_materials_emissive_strength", {})
+            .get("emissiveStrength", 1.0)
+        )
+        m.emissive_factor = (
+            np.array(mat.get("emissiveFactor", [0, 0, 0]), np.float32) * strength
+        )
+        mode = mat.get("alphaMode", "OPAQUE")
+        m.blend_mode = {
+            "OPAQUE": BLEND_OPAQUE, "MASK": BLEND_MASKED, "BLEND": BLEND_TRANSLUCENT
+        }[mode]
+        m.alpha_cutoff = float(mat.get("alphaCutoff", 0.5))
+        m.double_sided = bool(mat.get("doubleSided", False))
+        material_ids.append(scene.add_material(m))
+
+    # -- meshes -------------------------------------------------------------------
+    mesh_segments: dict[int, list[int]] = {}
+
+    def get_mesh_segments(mesh_index: int) -> list[int]:
+        if mesh_index in mesh_segments:
+            return mesh_segments[mesh_index]
+        ids = []
+        for prim in doc["meshes"][mesh_index].get("primitives", []):
+            if prim.get("mode", 4) != 4:  # triangles only
+                log.warning("skipping non-triangle primitive in mesh %d", mesh_index)
+                continue
+            attrs = prim["attributes"]
+            positions = read_accessor(g, attrs["POSITION"]).astype(np.float32)
+            v = positions.shape[0]
+            if "indices" in prim:
+                indices = read_accessor(g, prim["indices"]).reshape(-1).astype(np.int32)
+            else:
+                indices = np.arange(v, dtype=np.int32)
+            if "NORMAL" in attrs:
+                normals = read_accessor(g, attrs["NORMAL"]).astype(np.float32)
+            else:
+                normals = _face_normals(positions, indices)
+            uvs = (
+                read_accessor(g, attrs["TEXCOORD_0"]).astype(np.float32)[:, :2]
+                if "TEXCOORD_0" in attrs
+                else np.zeros((v, 2), np.float32)
+            )
+            if "TANGENT" in attrs:
+                tangents = read_accessor(g, attrs["TANGENT"]).astype(np.float32)
+            else:
+                tangents = generate_tangents_uv(positions, normals, uvs, indices)
+            seg = MeshSegment(
+                positions=positions, normals=normals, uvs=uvs,
+                tangents=tangents, indices=indices,
+                material=(
+                    material_ids[prim["material"]] if "material" in prim else 0
+                ),
+            )
+            ids.append(scene.add_segment(seg))
+        mesh_segments[mesh_index] = ids
+        return ids
+
+    count = 0
+    segment_ids_all: list[int] = []
+    for mesh_index, world, _node in flatten_nodes(g):
+        sids = get_mesh_segments(mesh_index)
+        segment_ids_all.extend(sids)
+        scene.add_instance(sids, root @ world)
+        count += len(sids)
+
+    log.info(
+        "imported %s: %d instances, %d materials, %d textures",
+        Path(path).name, count, len(material_ids), len(texture_ids),
+    )
+    return GltfImportResult(
+        segment_ids=segment_ids_all,
+        instance_count=count,
+        material_ids=material_ids,
+        texture_ids=texture_ids,
+    )
+
+
+def _face_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    tri = indices.reshape(-1, 3)
+    e1 = positions[tri[:, 1]] - positions[tri[:, 0]]
+    e2 = positions[tri[:, 2]] - positions[tri[:, 0]]
+    fn = np.cross(e1, e2)
+    acc = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(acc, tri[:, k], fn)
+    n = np.linalg.norm(acc, axis=-1, keepdims=True)
+    return (acc / np.maximum(n, 1e-12)).astype(np.float32)

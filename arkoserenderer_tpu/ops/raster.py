@@ -256,18 +256,12 @@ def setup_triangles(
 # Stage 3: binning
 
 
-def _tile_ranges(setup: TriSetup, width: int, height: int, cfg: RasterConfig):
-    """Per-triangle inclusive tile index ranges (tx0, ty0, tx1, ty1)."""
-    nty, ntx = num_tiles(width, height, cfg)
-    tx0 = jnp.clip(jnp.floor(setup.bbox[:, 0] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(setup.bbox[:, 1] / cfg.tile_h), 0, nty - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor(setup.bbox[:, 2] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(setup.bbox[:, 3] / cfg.tile_h), 0, nty - 1).astype(jnp.int32)
-    return tx0, ty0, tx1, ty1
-
-
 def bin_triangles(
-    setup: TriSetup, width: int, height: int, cfg: RasterConfig
+    setup: TriSetup,
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    y_offset: int | jax.Array = 0,
 ) -> TileBins:
     """Stage 3: build per-tile triangle lists.
 
@@ -277,6 +271,10 @@ def bin_triangles(
     reference's atomic compaction (meshletTaskSetup.comp) — the cumsum *is*
     the ballot/prefix-sum, the scatter *is* the atomicAdd slot write, and
     chunking keeps the dense matrix small enough to live in VMEM.
+
+    ``height`` is the BAND height when rendering a horizontal window of a
+    taller viewport; ``y_offset`` (pixels, may be traced — used by the
+    pixel-band SPMD sharding) positions the band in screen space.
     """
     nty, ntx = num_tiles(width, height, cfg)
     ntiles = nty * ntx
@@ -286,8 +284,17 @@ def bin_triangles(
     n_chunks = -(-t_total // chunk)
     pad = n_chunks * chunk - t_total
 
-    tx0, ty0, tx1, ty1 = _tile_ranges(setup, width, height, cfg)
-    valid = setup.valid
+    tx0 = jnp.clip(jnp.floor(setup.bbox[:, 0] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(
+        jnp.floor((setup.bbox[:, 1] - y_offset) / cfg.tile_h), 0, nty - 1
+    ).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(setup.bbox[:, 2] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
+    ty1 = jnp.clip(
+        jnp.floor((setup.bbox[:, 3] - y_offset) / cfg.tile_h), 0, nty - 1
+    ).astype(jnp.int32)
+    # Cull triangles entirely outside the band.
+    in_band = (setup.bbox[:, 3] >= y_offset) & (setup.bbox[:, 1] < y_offset + height)
+    valid = setup.valid & in_band
 
     def pad_to(x, fill):
         return jnp.pad(x, ((0, pad),), constant_values=fill) if pad else x
@@ -377,6 +384,7 @@ def rasterize_tiles(
     height: int,
     cfg: RasterConfig,
     depth_only: bool = False,
+    y_offset: int | jax.Array = 0,
 ):
     """Stage 4: z-buffered visibility raster.
 
@@ -388,6 +396,7 @@ def rasterize_tiles(
     VIS_NONE when ``depth_only`` (the shadow-map path).
     """
     px, py = _tile_pixel_centers(width, height, cfg)  # (ntiles, P)
+    py = py + y_offset  # screen-space position of this band's rows
     p = cfg.tile_h * cfg.tile_w
 
     def tile_body(tri_ids, count, px_t, py_t):

@@ -44,15 +44,20 @@ class GeometryPass(RenderPass):
         reg.create("Visibility", (cfg.height, cfg.width), jnp.int32, clear=-1)
         reg.publish("vis.setup")
         w, h, rcfg = cfg.width, cfg.height, cfg.raster
+        full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             clip = transform_vertices_clip(ctx.scene, ctx.camera.view_proj)
+            # Screen mapping uses the FULL frame dims; binning + raster cover
+            # only this device's band (h rows at ctx.row_offset).
             setup = raster.setup_triangles(
-                clip, ctx.scene.indices, ctx.scene.tri_valid, w, h,
+                clip, ctx.scene.indices, ctx.scene.tri_valid, w, full_h,
                 w_eps=ctx.camera.near,
             )
-            bins = raster.bin_triangles(setup, w, h, rcfg)
-            vis, depth = raster.rasterize_tiles(setup, bins, w, h, rcfg)
+            bins = raster.bin_triangles(setup, w, h, rcfg, y_offset=ctx.row_offset)
+            vis, depth = raster.rasterize_tiles(
+                setup, bins, w, h, rcfg, y_offset=ctx.row_offset
+            )
             return {
                 "SceneDepth": depth,
                 "Visibility": vis,

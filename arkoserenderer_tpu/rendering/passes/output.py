@@ -38,21 +38,24 @@ class OutputPass(RenderPass):
         mode = tm.MODES[self.mode or cfg.tonemap_mode]
         vign = self.vignette_intensity
         grain = self.film_grain_gain
-        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
-        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
-        u, v = np.meshgrid(xs, ys)
-        uv = jnp.asarray(np.stack([u, v], axis=-1))
-        pxy = jnp.asarray(
-            np.stack(np.meshgrid(np.arange(w, dtype=np.float32),
-                                 np.arange(h, dtype=np.float32)), axis=-1)
+        full_h = cfg.frame_height
+        # Band-local pixel coordinate grids; shifted by row_offset at execute
+        # so vignette/grain are computed in full-frame space under sharding.
+        xpx, ypx = np.meshgrid(
+            np.arange(w, dtype=np.float32) + 0.5, np.arange(h, dtype=np.float32) + 0.5
         )
+        xpx = jnp.asarray(xpx)
+        ypx = jnp.asarray(ypx)
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             c = jnp.maximum(state["SceneColor"], 0.0)
             c = tm.tonemap(c, mode)
+            yg = ypx + ctx.row_offset.astype(jnp.float32)
             if vign > 0.0:
+                uv = jnp.stack([xpx / w, yg / full_h], axis=-1)
                 c = tm.vignette(c, uv, vign)
             if grain > 0.0:
+                pxy = jnp.stack([xpx, yg], axis=-1)
                 c = tm.film_grain(c, pxy, ctx.frame_index.astype(jnp.float32), grain)
             return {"LDR": jnp.clip(linear_to_srgb(c), 0.0, 1.0)}
 

@@ -38,12 +38,15 @@ class VisibilityShadingPass(RenderPass):
         reg.create("SceneCoverage", (h, w), jnp.bool_)
         px, py = pixel_centers(cfg)
 
+        full_h = cfg.frame_height
+
         def execute(state: dict, ctx: FrameContext) -> dict:
             vis_flat = state["Visibility"].reshape(-1)
             depth_flat = state["SceneDepth"].reshape(-1)
+            py_global = py + ctx.row_offset.astype(py.dtype)
             gb = shade_visibility_buffer(
                 ctx.scene, ctx.camera, vis_flat, depth_flat,
-                state["vis.setup"], px, py, w, h,
+                state["vis.setup"], px, py_global, w, full_h,
                 shadow_map=state["ShadowMap.sun"] if use_shadow else None,
                 sun_shadow_vp=ctx.scene.lights.sun_view_proj if use_shadow else None,
             )

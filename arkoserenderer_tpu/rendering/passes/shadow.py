@@ -5,17 +5,19 @@ the meshlet depth-only path, arkose/rendering/shadow/
 DirectionalShadowDrawNode.cpp); the PCF projection to screen space happens in
 the shading pass (projectShadow.comp equivalent lives in ops/shadow.py).
 
-Publishes: ShadowMap.sun (S, S) f32 reverse-Z depth.
+Under pixel-band SPMD sharding each device rasterizes a horizontal band of
+the shadow map and the full map is reassembled with an all_gather over the
+mesh axis (ICI) — every band's shading can sample anywhere in the map.
+
+Publishes: ShadowMap.sun (S, S) f32 reverse-Z depth (full map on every device).
 """
 
 from __future__ import annotations
 
-import dataclasses
-
+import jax
 import jax.numpy as jnp
 
 from arkoserenderer_tpu.core import mathx as mx
-from arkoserenderer_tpu.core.types import RasterConfig
 from arkoserenderer_tpu.ops import raster
 from arkoserenderer_tpu.rendering.passes.geometry import transform_vertices_clip
 from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
@@ -28,10 +30,13 @@ class SunShadowPass(RenderPass):
     def construct(self, cfg: PipelineConfig, reg: Registry):
         s = cfg.shadow_map_size
         reg.create("ShadowMap.sun", (s, s), jnp.float32, clear=mx.DEPTH_FAR)
-        # Shadow raster tiles: same config family, bigger bins are fine since
-        # the light view covers the whole scene.
-        rcfg = dataclasses.replace(cfg.raster, tile_h=min(cfg.raster.tile_h, s),
-                                   tile_w=min(cfg.raster.tile_w, s))
+        rcfg = cfg.raster
+        shard_axis = cfg.shard_axis
+        n_shards = cfg.shard_count
+        band = s // n_shards
+        assert band % rcfg.tile_h == 0 and s % rcfg.tile_w == 0, (
+            "shadow map size must tile evenly across shards"
+        )
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             clip = transform_vertices_clip(ctx.scene, ctx.scene.lights.sun_view_proj)
@@ -39,8 +44,20 @@ class SunShadowPass(RenderPass):
                 clip, ctx.scene.indices, ctx.scene.tri_valid, s, s,
                 cull_backfaces=False,  # avoid peter-panning on single-sided geo
             )
-            bins = raster.bin_triangles(setup, s, s, rcfg)
-            _, depth = raster.rasterize_tiles(setup, bins, s, s, rcfg, depth_only=True)
+            if shard_axis is None:
+                bins = raster.bin_triangles(setup, s, s, rcfg)
+                _, depth = raster.rasterize_tiles(
+                    setup, bins, s, s, rcfg, depth_only=True
+                )
+            else:
+                y0 = jax.lax.axis_index(shard_axis) * band
+                bins = raster.bin_triangles(setup, s, band, rcfg, y_offset=y0)
+                _, band_depth = raster.rasterize_tiles(
+                    setup, bins, s, band, rcfg, depth_only=True, y_offset=y0
+                )
+                depth = jax.lax.all_gather(
+                    band_depth, shard_axis, axis=0, tiled=True
+                )  # (S, S) on every device — rides ICI
             return {"ShadowMap.sun": depth}
 
         return execute

@@ -28,10 +28,15 @@ class SkyPass(RenderPass):
         reg.get("SceneVelocity")
         px, py = pixel_centers(cfg)
 
+        full_h = cfg.frame_height
+
         def execute(state: dict, ctx: FrameContext) -> dict:
             color = state["SceneColor"].reshape(-1, 3)
             valid = state["SceneCoverage"].reshape(-1)
-            out, sky_vel = shade_sky(ctx.scene, ctx.camera, color, valid, px, py, w, h)
+            py_global = py + ctx.row_offset.astype(py.dtype)
+            out, sky_vel = shade_sky(
+                ctx.scene, ctx.camera, color, valid, px, py_global, w, full_h
+            )
             vel = state["SceneVelocity"].reshape(-1, 2)
             vel = jnp.where(valid[:, None], vel, sky_vel)
             return {

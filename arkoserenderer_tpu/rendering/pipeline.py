@@ -42,6 +42,8 @@ class FrameContext(NamedTuple):
     camera: CameraState
     frame_index: jax.Array  # () i32
     delta_time: jax.Array   # () f32 seconds
+    row_offset: jax.Array   # () i32 — first screen row of this device's band
+                            # (0 unless running under pixel-band SPMD sharding)
 
 
 @dataclasses.dataclass
@@ -54,6 +56,18 @@ class PipelineConfig:
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     shadow_map_size: int = 2048
     tonemap_mode: str = "agx"
+    # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the
+    # pipeline renders a HORIZONTAL BAND of a taller frame — ``height`` is
+    # the band height, ``full_height`` the whole frame, and each device's
+    # band position comes from lax.axis_index(shard_axis). Collectives
+    # (shadow-map all_gather etc.) ride the named mesh axis.
+    shard_axis: str | None = None
+    full_height: int | None = None
+    shard_count: int = 1
+
+    @property
+    def frame_height(self) -> int:
+        return self.full_height if self.full_height is not None else self.height
 
     @property
     def num_pixels(self) -> int:
@@ -114,11 +128,16 @@ class RenderPipeline:
     ) -> dict:
         """The traceable frame body: runs all passes in declared order."""
         assert self._executes is not None, "call construct_all() first"
+        if self.cfg.shard_axis is not None:
+            row_offset = jax.lax.axis_index(self.cfg.shard_axis) * self.cfg.height
+        else:
+            row_offset = jnp.zeros((), jnp.int32)
         ctx = FrameContext(
             scene=scene,
             camera=camera,
             frame_index=jnp.asarray(frame_index, jnp.int32),
             delta_time=jnp.asarray(delta_time, jnp.float32),
+            row_offset=row_offset,
         )
         state = dict(state)
         for _name, execute in self._executes:

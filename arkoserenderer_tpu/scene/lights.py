@@ -115,7 +115,7 @@ def build_light_arrays(
     else:
         sun_dir = np.array([0, -1, 0], np.float32)
         sun_color = np.zeros(3, np.float32)
-        sun_vp = np.eye(4, np.float32)
+        sun_vp = np.eye(4, dtype=np.float32)
 
     spot_pos = np.zeros((max_spots, 3), np.float32)
     spot_dir = np.tile(np.array([0, -1, 0], np.float32), (max_spots, 1))
