@@ -64,7 +64,9 @@ class RasterConfig:
     tile_h: int = 8
     tile_w: int = 128  # one VPU lane row per pixel row: (8,128) f32 native tile
     max_tris_per_tile: int = 512
-    bin_chunk: int = 2048  # triangles binned per scan step
+    bin_chunk: int = 2048  # triangles binned per scan step (legacy scan path)
+    max_tiles_per_tri: int = 16  # pair-emission cap; bigger spans go global
+    max_global_tris: int = 256   # capacity of the every-tile "big triangle" list
 
 
 DEFAULT_LIMITS = SceneLimits()

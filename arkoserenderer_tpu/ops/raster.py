@@ -59,9 +59,21 @@ class TriSetup(NamedTuple):
 
 
 class TileBins(NamedTuple):
-    tri_ids: jax.Array    # (num_tiles, K) i32 setup-row ids, -1 padded
-    counts: jax.Array     # (num_tiles,) i32 number of valid entries (<= K)
-    overflow: jax.Array   # () i32 triangle-tile pairs dropped (stat)
+    """Per-tile triangle lists in sorted-pair form.
+
+    ``sorted_tris[starts[t] : starts[t] + counts[t]]`` are the setup-row ids
+    binned to tile ``t`` (triangles whose bbox spans <= max_tiles_per_tri
+    tiles). Larger triangles live in the ``global_tris`` list which every
+    tile walks with a bbox pre-test (few of them: floors, sky quads, clipped
+    monsters).
+    """
+
+    sorted_tris: jax.Array   # (T' * C,) i32 tri ids grouped by tile
+    starts: jax.Array        # (num_tiles + 1,) i32 group starts
+    counts: jax.Array        # (num_tiles,) i32 min(group size, K)
+    global_tris: jax.Array   # (G,) i32, -1 padded
+    global_count: jax.Array  # () i32
+    overflow: jax.Array      # () i32 entries dropped by the K cap / G cap
 
 
 def num_tiles(width: int, height: int, cfg: RasterConfig) -> tuple[int, int]:
@@ -263,14 +275,17 @@ def bin_triangles(
     cfg: RasterConfig,
     y_offset: int | jax.Array = 0,
 ) -> TileBins:
-    """Stage 3: build per-tile triangle lists.
+    """Stage 3: build per-tile triangle lists, sort-based.
 
-    Scan over triangle chunks; within a chunk compute the (chunk, num_tiles)
-    overlap matrix, cumsum along the triangle axis for stable per-tile slots,
-    and scatter ids into the bins. This is the XLA-native equivalent of the
-    reference's atomic compaction (meshletTaskSetup.comp) — the cumsum *is*
-    the ballot/prefix-sum, the scatter *is* the atomicAdd slot write, and
-    chunking keeps the dense matrix small enough to live in VMEM.
+    Emit up to ``C = max_tiles_per_tri`` (tile, tri) pairs per triangle from
+    its tile-space bbox, sort all pairs by tile id (stable, so lists stay in
+    triangle submission order), and recover per-tile ranges with a
+    searchsorted over the sorted keys. This is the XLA-native equivalent of
+    the reference's ballot/atomic compaction (meshletTaskSetup.comp) that
+    maps well to the TPU: one O(P log P) vectorized sort instead of millions
+    of serialized scatter updates. Triangles spanning more than C tiles
+    (clipped floors, close-ups) go to a small global list that every tile
+    walks with a bbox pre-test.
 
     ``height`` is the BAND height when rendering a horizontal window of a
     taller viewport; ``y_offset`` (pixels, may be traced — used by the
@@ -278,11 +293,10 @@ def bin_triangles(
     """
     nty, ntx = num_tiles(width, height, cfg)
     ntiles = nty * ntx
-    k = cfg.max_tris_per_tile
+    k_cap = cfg.max_tris_per_tile
+    c = cfg.max_tiles_per_tri
+    g_cap = cfg.max_global_tris
     t_total = setup.valid.shape[0]
-    chunk = min(cfg.bin_chunk, t_total)
-    n_chunks = -(-t_total // chunk)
-    pad = n_chunks * chunk - t_total
 
     tx0 = jnp.clip(jnp.floor(setup.bbox[:, 0] / cfg.tile_w), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(
@@ -292,55 +306,51 @@ def bin_triangles(
     ty1 = jnp.clip(
         jnp.floor((setup.bbox[:, 3] - y_offset) / cfg.tile_h), 0, nty - 1
     ).astype(jnp.int32)
-    # Cull triangles entirely outside the band.
     in_band = (setup.bbox[:, 3] >= y_offset) & (setup.bbox[:, 1] < y_offset + height)
     valid = setup.valid & in_band
 
-    def pad_to(x, fill):
-        return jnp.pad(x, ((0, pad),), constant_values=fill) if pad else x
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    span = span_x * span_y
+    small = valid & (span <= c)
+    big = valid & (span > c)
 
-    tx0, ty0 = pad_to(tx0, 0), pad_to(ty0, 0)
-    tx1, ty1 = pad_to(tx1, -1), pad_to(ty1, -1)  # empty range for padding
-    valid = pad_to(valid, False)
+    # Pair emission: k-th covered tile of each small triangle.
+    ks = jnp.arange(c, dtype=jnp.int32)[None, :]            # (1, C)
+    kx = ks % span_x[:, None]
+    ky = ks // span_x[:, None]
+    tile = (ty0[:, None] + ky) * ntx + (tx0[:, None] + kx)  # (T', C)
+    pair_ok = small[:, None] & (ks < span[:, None])
+    keys = jnp.where(pair_ok, tile, ntiles).reshape(-1)     # invalid -> end
+    tris = jnp.broadcast_to(
+        jnp.arange(t_total, dtype=jnp.int32)[:, None], (t_total, c)
+    ).reshape(-1)
+    sorted_keys, sorted_tris = jax.lax.sort((keys, tris), num_keys=1)
 
-    tiles_x = jnp.arange(ntx, dtype=jnp.int32)
-    tiles_y = jnp.arange(nty, dtype=jnp.int32)
-    tile_x_grid = jnp.tile(tiles_x, nty)         # (ntiles,) x of each tile
-    tile_y_grid = jnp.repeat(tiles_y, ntx)       # (ntiles,) y of each tile
+    starts = jnp.searchsorted(sorted_keys, jnp.arange(ntiles + 1, dtype=jnp.int32))
+    raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    counts = jnp.minimum(raw_counts, k_cap)
+    overflow = jnp.sum(raw_counts - counts)
 
-    bins0 = jnp.full((ntiles * k + 1,), VIS_NONE, dtype=jnp.int32)
-    counts0 = jnp.zeros((ntiles,), dtype=jnp.int32)
+    # Global list: compact the (few) big-triangle ids via a small sort.
+    big_key = jnp.where(big, jnp.arange(t_total, dtype=jnp.int32), t_total)
+    big_sorted = jax.lax.sort(big_key)
+    if t_total < g_cap:
+        big_sorted = jnp.pad(big_sorted, (0, g_cap - t_total), constant_values=t_total)
+    n_big = jnp.sum(big).astype(jnp.int32)
+    g_count = jnp.minimum(n_big, g_cap)
+    global_tris = jnp.where(
+        jnp.arange(g_cap) < g_count, big_sorted[:g_cap], VIS_NONE
+    ).astype(jnp.int32)
+    overflow = overflow + (n_big - g_count)
 
-    def body(carry, c):
-        bins, counts, overflow = carry
-        base = c * chunk
-        ids = base + jnp.arange(chunk, dtype=jnp.int32)
-        sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, base, chunk)
-        overlap = (
-            (tile_x_grid[None, :] >= sl(tx0)[:, None])
-            & (tile_x_grid[None, :] <= sl(tx1)[:, None])
-            & (tile_y_grid[None, :] >= sl(ty0)[:, None])
-            & (tile_y_grid[None, :] <= sl(ty1)[:, None])
-            & sl(valid)[:, None]
-        )  # (chunk, ntiles)
-        slot = counts[None, :] + jnp.cumsum(overlap, axis=0, dtype=jnp.int32) - 1
-        ok = overlap & (slot < k)
-        tile_idx = jnp.broadcast_to(
-            jnp.arange(ntiles, dtype=jnp.int32)[None, :], overlap.shape
-        )
-        flat = jnp.where(ok, tile_idx * k + slot, ntiles * k)  # trash slot
-        bins = bins.at[flat.reshape(-1)].set(
-            jnp.broadcast_to(ids[:, None], overlap.shape).reshape(-1), mode="drop"
-        )
-        counts = jnp.minimum(counts + jnp.sum(overlap, axis=0, dtype=jnp.int32), k)
-        overflow = overflow + jnp.sum(overlap & ~ok)
-        return (bins, counts, overflow), None
-
-    (bins, counts, overflow), _ = jax.lax.scan(
-        body, (bins0, counts0, jnp.zeros((), jnp.int32)), jnp.arange(n_chunks)
-    )
     return TileBins(
-        tri_ids=bins[:-1].reshape(ntiles, k), counts=counts, overflow=overflow
+        sorted_tris=sorted_tris,
+        starts=starts[:-1],
+        counts=counts,
+        global_tris=global_tris,
+        global_count=g_count,
+        overflow=overflow,
     )
 
 
@@ -399,13 +409,12 @@ def rasterize_tiles(
     py = py + y_offset  # screen-space position of this band's rows
     p = cfg.tile_h * cfg.tile_w
 
-    def tile_body(tri_ids, count, px_t, py_t):
+    def tile_body(start, count, px_t, py_t):
         depth0 = jnp.full((p,), DEPTH_FAR, dtype=jnp.float32)
         vis0 = jnp.full((p,), VIS_NONE, dtype=jnp.int32)
 
-        def step(i, state):
+        def shade_tri(t, state):
             depth, vis = state
-            t = tri_ids[i]
             sxy = setup.screen_xy[t]  # (3, 2)
             e0 = edge_fn(sxy[1], sxy[2], px_t, py_t)
             e1 = edge_fn(sxy[2], sxy[0], px_t, py_t)
@@ -423,9 +432,16 @@ def rasterize_tiles(
             vis = jnp.where(covered, t, vis)
             return depth, vis
 
-        return jax.lax.fori_loop(0, count, step, (depth0, vis0))
+        def step_local(i, state):
+            return shade_tri(bins.sorted_tris[start + i], state)
 
-    depth_t, vis_t = jax.vmap(tile_body)(bins.tri_ids, bins.counts, px, py)
+        def step_global(j, state):
+            return shade_tri(bins.global_tris[j], state)
+
+        state = jax.lax.fori_loop(0, count, step_local, (depth0, vis0))
+        return jax.lax.fori_loop(0, bins.global_count, step_global, state)
+
+    depth_t, vis_t = jax.vmap(tile_body)(bins.starts, bins.counts, px, py)
     depth = tiled_to_image(depth_t, width, height, cfg)
     if depth_only:
         vis = jnp.full((height, width), VIS_NONE, dtype=jnp.int32)
