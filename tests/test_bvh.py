@@ -1,0 +1,82 @@
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.assets.procedural import make_box, make_uv_sphere
+from arkoserenderer_tpu.ops import bvh as bvh_ops
+
+
+def scene_soup(rng, n_tris=300):
+    centers = rng.uniform(-4, 4, (n_tris, 3))
+    offs = rng.normal(size=(n_tris, 3, 3)) * 0.5
+    verts = (centers[:, None] + offs).reshape(-1, 3).astype(np.float32)
+    tris = np.arange(n_tris * 3, dtype=np.int32).reshape(n_tris, 3)
+    return verts, tris
+
+
+def random_rays(rng, n_rays=256):
+    origins = rng.uniform(-6, 6, (n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return origins, dirs
+
+
+def test_bvh_matches_brute_force(rng):
+    verts, tris = scene_soup(rng)
+    valid = np.ones(len(tris), bool)
+    bvh = bvh_ops.build_bvh(verts, tris, valid)
+    origins, dirs = random_rays(rng)
+    hit = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs))
+    ref_t, ref_tri = bvh_ops.trace_rays_brute(verts, tris, valid, origins, dirs)
+    got_tri = np.asarray(hit.tri)
+    got_t = np.asarray(hit.t)
+    # Same hit/miss classification everywhere.
+    np.testing.assert_array_equal(got_tri >= 0, ref_tri >= 0)
+    hits = ref_tri >= 0
+    np.testing.assert_allclose(got_t[hits], ref_t[hits], rtol=1e-4, atol=1e-4)
+    # Triangle ids may differ only at coplanar ties; require near-total match.
+    assert (got_tri[hits] == ref_tri[hits]).mean() > 0.995
+
+
+def test_any_hit_terminates_consistently(rng):
+    verts, tris = scene_soup(rng)
+    valid = np.ones(len(tris), bool)
+    bvh = bvh_ops.build_bvh(verts, tris, valid)
+    origins, dirs = random_rays(rng, 128)
+    closest = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs))
+    any_hit = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs), any_hit=True)
+    np.testing.assert_array_equal(np.asarray(any_hit.hit), np.asarray(closest.hit))
+
+
+def test_sphere_hit_distance():
+    seg = make_uv_sphere(1.0, rings=24, sectors=48)
+    valid = np.ones(seg.num_triangles, bool)
+    bvh = bvh_ops.build_bvh(seg.positions, seg.indices.reshape(-1, 3), valid)
+    origins = np.array([[0, 0, 5.0], [0, 0, 5.0]], np.float32)
+    dirs = np.array([[0, 0, -1.0], [0, 1.0, 0.0]], np.float32)
+    hit = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs))
+    assert bool(np.asarray(hit.hit)[0]) and not bool(np.asarray(hit.hit)[1])
+    assert abs(float(np.asarray(hit.t)[0]) - 4.0) < 0.01  # sphere radius 1 at z=0
+
+
+def test_occlusion_inside_box():
+    seg = make_box((2.0, 2.0, 2.0))
+    valid = np.ones(seg.num_triangles, bool)
+    bvh = bvh_ops.build_bvh(seg.positions, seg.indices.reshape(-1, 3), valid)
+    # Rays from the center: every direction is occluded within distance ~1.74.
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.zeros((64, 3), np.float32)
+    hit = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs), any_hit=True)
+    assert np.asarray(hit.hit).all()
+    assert np.asarray(hit.t).max() < 1.8
+
+
+def test_tmax_respected(rng):
+    verts, tris = scene_soup(rng, 50)
+    valid = np.ones(len(tris), bool)
+    bvh = bvh_ops.build_bvh(verts, tris, valid)
+    origins, dirs = random_rays(rng, 64)
+    near = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=0.5)
+    t = np.asarray(near.t)
+    assert np.all(t <= 0.5 + 1e-5)
