@@ -1,0 +1,102 @@
+"""PathTracer driver — the PathTracerApp analogue.
+
+Owns the scene BVH (built host-side over world-space triangles), a
+persistent accumulation buffer, and the progressive sampling loop; the
+accumulation resets whenever the host moves the camera, matching
+PathTracerNode's reset-on-camera-move behavior (PathTracerNode.cpp:81-103).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arkoserenderer_tpu.ops import tonemap as tm
+from arkoserenderer_tpu.ops.bvh import build_bvh
+from arkoserenderer_tpu.ops.pathtrace import trace_path
+from arkoserenderer_tpu.ops.texture import linear_to_srgb
+from arkoserenderer_tpu.scene.camera import Camera
+from arkoserenderer_tpu.scene.scene import Scene, SceneArrays
+
+
+def world_space_vertices(arrays: SceneArrays) -> np.ndarray:
+    """Apply per-instance transforms to the vertex pool (host side)."""
+    pos = np.asarray(arrays.positions)
+    inst = np.asarray(arrays.vertex_instance)
+    w = np.asarray(arrays.world)[inst]
+    return np.einsum("vij,vj->vi", w[:, :3, :3], pos) + w[:, :3, 3]
+
+
+class PathTracer:
+    def __init__(
+        self,
+        scene: Scene,
+        camera: Camera,
+        width: int,
+        height: int,
+        max_bounces: int = 3,
+        tonemap_mode: str = "agx",
+        seed: int = 0,
+    ):
+        self.scene = scene
+        self.camera = camera
+        self.width = width
+        self.height = height
+        self.arrays = scene.build()
+        self.bvh = build_bvh(
+            world_space_vertices(self.arrays),
+            np.asarray(self.arrays.indices),
+            np.asarray(self.arrays.tri_valid),
+        )
+        xs = np.arange(width, dtype=np.float32) + 0.5
+        ys = np.arange(height, dtype=np.float32) + 0.5
+        pxg, pyg = np.meshgrid(xs, ys)
+        self._px = jnp.asarray(pxg.ravel())
+        self._py = jnp.asarray(pyg.ravel())
+        self._mode = tm.MODES[tonemap_mode]
+        self._key = jax.random.PRNGKey(seed)
+        self.accum = jnp.zeros((height * width, 3))
+        self.sample_count = 0
+        self._cam_sig = None
+
+        px, py, w, h = self._px, self._py, width, height
+
+        @jax.jit
+        def step(accum, arrays, bvh, cam_state, key):
+            sample = trace_path(arrays, bvh, cam_state, px, py, w, h, key, max_bounces)
+            return accum + sample
+
+        self._step = step
+
+    def _camera_signature(self):
+        return (
+            tuple(np.asarray(self.camera.position).ravel().tolist()),
+            tuple(np.asarray(self.camera.orientation).ravel().tolist()),
+            self.camera.focal_length_mm,
+        )
+
+    def reset(self):
+        self.accum = jnp.zeros((self.height * self.width, 3))
+        self.sample_count = 0
+
+    def render_sample(self, n_samples: int = 1):
+        sig = self._camera_signature()
+        if sig != self._cam_sig:
+            self._cam_sig = sig
+            self.reset()
+        cam_state = self.camera.state(0)
+        for _ in range(n_samples):
+            self._key, sub = jax.random.split(self._key)
+            self.accum = self._step(self.accum, self.arrays, self.bvh, cam_state, sub)
+            self.sample_count += 1
+        return self.radiance()
+
+    def radiance(self) -> jax.Array:
+        """(H, W, 3) mean pre-exposed radiance so far."""
+        n = max(self.sample_count, 1)
+        return (self.accum / n).reshape(self.height, self.width, 3)
+
+    def ldr(self) -> jax.Array:
+        c = tm.tonemap(jnp.maximum(self.radiance(), 0.0), self._mode)
+        return jnp.clip(linear_to_srgb(c), 0.0, 1.0)

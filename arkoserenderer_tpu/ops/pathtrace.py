@@ -1,0 +1,196 @@
+"""Progressive path tracer over the scene BVH.
+
+Role-equivalent to PathTracerNode (arkose/rendering/pathtracer/
+PathTracerNode.cpp + shaders/pathtracer/*): a megakernel-style wavefront of
+H*W camera rays, N bounces of BRDF-importance-sampled GGX+Lambert transport
+with next-event estimation toward the sun, environment light on miss, and a
+persistent accumulation buffer that converges over frames (the reference's
+only "resumable computation", reset on camera moves).
+
+Serves as the ground-truth image source for validating the raster pipeline
+(SURVEY.md §4) and as the PathTracerApp-equivalent flagship mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.core import mathx as mx
+from arkoserenderer_tpu.ops import brdf
+from arkoserenderer_tpu.ops import texture as tx
+from arkoserenderer_tpu.ops.bvh import FlatBVH, trace_rays
+from arkoserenderer_tpu.ops.envmap import sample_equirect
+from arkoserenderer_tpu.scene.camera import CameraState
+from arkoserenderer_tpu.scene.scene import SceneArrays
+
+
+def _onb(n):
+    """Branchless orthonormal basis from a unit normal (Frisvad/Duff)."""
+    s = jnp.where(n[:, 2:3] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[:, 2:3])
+    b = n[:, 0:1] * n[:, 1:2] * a
+    t = jnp.concatenate(
+        [1.0 + s * n[:, 0:1] ** 2 * a, s * b, -s * n[:, 0:1]], axis=-1
+    )
+    bt = jnp.concatenate([b, s + n[:, 1:2] ** 2 * a, -n[:, 1:2]], axis=-1)
+    return t, bt
+
+
+def _cosine_sample(n, u1, u2):
+    t, b = _onb(n)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    x = (r * jnp.cos(phi))[:, None]
+    y = (r * jnp.sin(phi))[:, None]
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))[:, None]
+    return mx.normalize(x * t + y * b + z * n)
+
+
+def _surface_at_hit(scene: SceneArrays, hit_tri, hit_u, hit_v):
+    """Interpolate geometry + material at BVH hits (object arrays are
+    world-pretransformed per instance at scene build... here object space ==
+    world only for identity instances, so transform explicitly)."""
+    corners = scene.indices[hit_tri]                 # (R, 3)
+    inst = scene.tri_instance[hit_tri]
+    w_m = scene.world[inst]
+    n_m = scene.normal_mat[inst]
+    bary = jnp.stack(
+        [1.0 - hit_u - hit_v, hit_u, hit_v], axis=-1
+    )                                               # (R, 3)
+    obj_pos = jnp.einsum("rk,rkc->rc", bary, scene.positions[corners])
+    world_pos = jnp.einsum("rij,rj->ri", w_m[:, :3, :3], obj_pos) + w_m[:, :3, 3]
+    obj_nrm = jnp.einsum("rk,rkc->rc", bary, scene.normals[corners])
+    world_nrm = mx.normalize(jnp.einsum("rij,rj->ri", n_m, obj_nrm))
+    uv = jnp.einsum("rk,rkc->rc", bary, scene.uvs[corners])
+    mat_id = scene.inst_material[inst]
+    return world_pos, world_nrm, uv, mat_id
+
+
+def _material_at(scene: SceneArrays, mat_id, uv):
+    m = scene.materials
+    base_tex = tx.sample_trilinear(
+        scene.textures, m.base_color_tex[mat_id], uv,
+        jnp.full(uv.shape[:1], 2.0),  # fixed mid mip: no pixel footprint on rays
+    )
+    base = base_tex[:, :3] * m.base_color_factor[mat_id][:, :3]
+    mr = tx.sample_trilinear(
+        scene.textures, m.mr_tex[mat_id], uv,
+        jnp.full(uv.shape[:1], 2.0), decode_srgb=False,
+    )
+    rough = jnp.clip(mr[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.05, 1.0)
+    metal = jnp.clip(mr[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
+    emissive = m.emissive_factor[mat_id]
+    return base, rough, metal, emissive
+
+
+SUN_COS = 0.9999  # ~0.8 degree solid-angle sun for NEE
+
+
+def trace_path(
+    scene: SceneArrays,
+    bvh: FlatBVH,
+    cam: CameraState,
+    px: jax.Array,        # (R,) pixel centers
+    py: jax.Array,
+    width: int,
+    height: int,
+    key: jax.Array,       # PRNG key for this frame
+    max_bounces: int = 3,
+) -> jax.Array:
+    """One sample per pixel of path-traced radiance (pre-exposed). (R, 3)."""
+    r = px.shape[0]
+    exposure = cam.exposure
+
+    k_aa, key = jax.random.split(key)
+    jitter = jax.random.uniform(k_aa, (r, 2)) - 0.5
+
+    inv_vp = jnp.linalg.inv(cam.unjittered_view_proj)
+    ndc_x = (px + jitter[:, 0]) / width * 2.0 - 1.0
+    ndc_y = (0.5 - (py + jitter[:, 1]) / height) * 2.0
+    target_h = jnp.stack(
+        [ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5), jnp.ones_like(ndc_x)], axis=-1
+    ) @ inv_vp.T
+    target = target_h[:, :3] / target_h[:, 3:4]
+    origins = jnp.broadcast_to(cam.position, (r, 3))
+    dirs = mx.normalize(target - origins)
+
+    radiance = jnp.zeros((r, 3))
+    throughput = jnp.ones((r, 3))
+    alive = jnp.ones((r,), bool)
+
+    sun_l = -scene.lights.sun_direction
+    sun_radiance = scene.lights.sun_color * exposure
+
+    for bounce in range(max_bounces + 1):
+        hit = trace_rays(bvh, origins, dirs)
+
+        # Miss -> environment.
+        env = sample_equirect(scene.env_map, dirs) * scene.env_brightness * exposure
+        radiance = radiance + jnp.where(
+            (alive & ~hit.hit)[:, None], throughput * env, 0.0
+        )
+        alive = alive & hit.hit
+        if bounce == max_bounces:
+            break
+
+        tri = jnp.maximum(hit.tri, 0)
+        world_pos, n, uv, mat_id = _surface_at_hit(scene, tri, hit.u, hit.v)
+        base, rough, metal, emissive = _material_at(scene, mat_id, uv)
+        # Face-forward the shading normal against the incoming ray.
+        n = n * jnp.where(mx.vdot(n, -dirs) < 0.0, -1.0, 1.0)
+
+        radiance = radiance + jnp.where(
+            alive[:, None], throughput * emissive * exposure, 0.0
+        )
+
+        view = -dirs
+
+        # -- next-event estimation: sun ---------------------------------------
+        shadow_org = world_pos + n * 1e-3
+        occl = trace_rays(bvh, shadow_org, jnp.broadcast_to(sun_l, (r, 3)), any_hit=True)
+        fr_sun = brdf.evaluate(
+            jnp.broadcast_to(sun_l, (r, 3)), view, n, base, rough, metal
+        )
+        lit = alive & ~occl.hit
+        radiance = radiance + jnp.where(
+            lit[:, None], throughput * fr_sun * sun_radiance * scene.lights.sun_valid, 0.0
+        )
+
+        # -- sample continuation direction ------------------------------------
+        k1, k2, k3, key = jax.random.split(key, 4)
+        u1 = jax.random.uniform(k1, (r,))
+        u2 = jax.random.uniform(k2, (r,))
+        pick_spec = jax.random.uniform(k3, (r,)) < (0.5 * metal[:, 0] + 0.04)
+
+        # Diffuse: cosine-weighted; f * cos / pdf = albedo.
+        d_diff = _cosine_sample(n, u1, u2)
+        w_diff = base * (1.0 - metal)
+
+        # Specular: VNDF GGX half-vector sample in tangent space.
+        t, b = _onb(n)
+        v_ts = jnp.stack(
+            [mx.vdot(view, t, False), mx.vdot(view, b, False), mx.vdot(view, n, False)],
+            axis=-1,
+        )
+        h_ts = brdf.sample_ggx_vndf(v_ts, (rough * rough)[:, 0], u1, u2)
+        h_w = h_ts[:, 0:1] * t + h_ts[:, 1:2] * b + h_ts[:, 2:3] * n
+        d_spec = mx.normalize(mx.reflect(dirs, h_w))
+        f0 = brdf.base_f0(base, metal)
+        # VNDF weight: F * G2/G1 ~ F * smith shadowing of outgoing.
+        n_dot_l = jnp.clip(mx.vdot(n, d_spec), 0.0, 1.0)
+        w_spec = brdf.f_schlick(jnp.clip(mx.vdot(view, h_w), 0.0, 1.0), f0) * jnp.where(
+            n_dot_l > 0.0, 1.0, 0.0
+        )
+
+        dirs = jnp.where(pick_spec[:, None], d_spec, d_diff)
+        contrib = jnp.where(pick_spec[:, None], w_spec, w_diff)
+        # One-sample MIS between the two strategies (probability weights).
+        p = jnp.where(pick_spec, 0.5 * metal[:, 0] + 0.04, 1.0 - (0.5 * metal[:, 0] + 0.04))
+        throughput = throughput * contrib / jnp.maximum(p, 1e-3)[:, None]
+        origins = world_pos + n * 1e-3
+        # Kill rays leaving below the surface.
+        alive = alive & (mx.vdot(n, dirs, False) > 0.0)
+        throughput = jnp.where(alive[:, None], throughput, 0.0)
+
+    return radiance
