@@ -55,15 +55,17 @@ class PathTracer:
         self._px = jnp.asarray(pxg.ravel())
         self._py = jnp.asarray(pyg.ravel())
         self._mode = tm.MODES[tonemap_mode]
-        self._key = jax.random.PRNGKey(seed)
-        self.accum = jnp.zeros((height * width, 3))
+        self._seed = seed
+        self.accum = jnp.asarray(np.zeros((height * width, 3), np.float32))
         self.sample_count = 0
         self._cam_sig = None
 
         px, py, w, h = self._px, self._py, width, height
 
         @jax.jit
-        def step(accum, arrays, bvh, cam_state, key):
+        def step(accum, arrays, bvh, cam_state, seed, sample_idx):
+            # Key derivation inside jit: no eager PRNG ops on the device.
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), sample_idx)
             sample = trace_path(arrays, bvh, cam_state, px, py, w, h, key, max_bounces)
             return accum + sample
 
@@ -77,7 +79,7 @@ class PathTracer:
         )
 
     def reset(self):
-        self.accum = jnp.zeros((self.height * self.width, 3))
+        self.accum = jnp.asarray(np.zeros((self.height * self.width, 3), np.float32))
         self.sample_count = 0
 
     def render_sample(self, n_samples: int = 1):
@@ -87,8 +89,10 @@ class PathTracer:
             self.reset()
         cam_state = self.camera.state(0)
         for _ in range(n_samples):
-            self._key, sub = jax.random.split(self._key)
-            self.accum = self._step(self.accum, self.arrays, self.bvh, cam_state, sub)
+            self.accum = self._step(
+                self.accum, self.arrays, self.bvh, cam_state,
+                self._seed, self.sample_count,
+            )
             self.sample_count += 1
         return self.radiance()
 

@@ -109,7 +109,7 @@ class ShardedRenderer:
         for name in self.persistent:
             desc = pipe.registry._resources[name]
             full_shape = (cfg.height,) + tuple(desc.shape[1:])
-            full_reg_state[name] = jnp.full(full_shape, desc.clear, desc.dtype)
+            full_reg_state[name] = np.full(full_shape, desc.clear, desc.dtype)
         self.state = jax.device_put(
             full_reg_state,
             jax.sharding.NamedSharding(self.mesh, P(AXIS)),

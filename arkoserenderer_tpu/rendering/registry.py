@@ -93,16 +93,20 @@ class Registry:
     # -- runtime ----------------------------------------------------------------
 
     def initial_state(self) -> dict[str, jax.Array]:
-        """Allocate persistent resources with their clear values."""
+        """Allocate persistent resources with their clear values.
+
+        Built host-side (np.full -> device transfer) rather than as eager
+        device ops: on a remote-compiled backend every eager op is a
+        compilation."""
         out = {}
         for r in self._resources.values():
             if r.persistent:
-                out[r.name] = jnp.full(r.shape, r.clear, r.dtype)
+                out[r.name] = jnp.asarray(np.full(r.shape, r.clear, r.dtype))
         return out
 
     def clear_value(self, name: str) -> jax.Array:
         r = self._resources[name]
-        return jnp.full(r.shape, r.clear, r.dtype)
+        return jnp.asarray(np.full(r.shape, r.clear, r.dtype))
 
     @property
     def persistent_names(self) -> list[str]:

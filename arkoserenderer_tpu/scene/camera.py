@@ -106,10 +106,9 @@ class Camera:
 
     def look_at(self, position, target, up=(0.0, 1.0, 0.0)):
         self.position = np.asarray(position, np.float32)
-        view = np.asarray(mx.look_at(self.position, np.asarray(target, np.float32), up))
+        view = mx.look_at(self.position, np.asarray(target, np.float32), up, xp=np)
         # Orientation from the view rotation (rows are camera axes).
-        r = view[:3, :3]
-        self.orientation = _quat_from_mat3(r.T)
+        self.orientation = mx.quat_from_mat3(view[:3, :3].T)
 
     # -- projection / fov ----------------------------------------------------
 
@@ -132,22 +131,18 @@ class Camera:
         return 2.0 * np.arctan(half_x / self.aspect_ratio)
 
     def view_matrix(self) -> np.ndarray:
-        rot = np.asarray(mx.quat_to_mat3(jnp.asarray(self.orientation))).T
+        rot = mx.quat_to_mat3(self.orientation.astype(np.float32), xp=np).T
         m = np.eye(4, dtype=np.float32)
         m[:3, :3] = rot
         m[:3, 3] = -rot @ self.position
         return m
 
     def projection_matrix(self, jitter: tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
-        proj = np.asarray(
-            mx.perspective_reverse_z(
-                self.field_of_view_y(), self.aspect_ratio, self.near, self.far
-            )
+        proj = mx.perspective_reverse_z(
+            self.field_of_view_y(), self.aspect_ratio, self.near, self.far, xp=np
         )
         if jitter != (0.0, 0.0):
-            proj = np.asarray(
-                mx.apply_jitter(jnp.asarray(proj), jitter[0], jitter[1], *self.viewport)
-            )
+            proj = mx.apply_jitter(proj, jitter[0], jitter[1], *self.viewport, xp=np)
         return proj
 
     # -- exposure --------------------------------------------------------------
@@ -221,24 +216,5 @@ class Camera:
 
     def frustum_planes(self) -> np.ndarray:
         vp = self.projection_matrix() @ self.view_matrix()
-        return np.asarray(mx.frustum_planes_from_matrix(jnp.asarray(vp)))
+        return mx.frustum_planes_from_matrix(vp, xp=np)
 
-
-def _quat_from_mat3(m: np.ndarray) -> np.ndarray:
-    """Rotation matrix -> quaternion (x,y,z,w), Shepperd's method."""
-    t = np.trace(m)
-    if t > 0:
-        s = np.sqrt(t + 1.0) * 2
-        return np.array(
-            [(m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s, 0.25 * s],
-            np.float32,
-        )
-    i = int(np.argmax(np.diag(m)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    s = np.sqrt(max(m[i, i] - m[j, j] - m[k, k] + 1.0, 1e-12)) * 2
-    q = np.zeros(4, np.float32)
-    q[i] = 0.25 * s
-    q[j] = (m[j, i] + m[i, j]) / s
-    q[k] = (m[k, i] + m[i, k]) / s
-    q[3] = (m[k, j] - m[j, k]) / s
-    return q / np.linalg.norm(q)

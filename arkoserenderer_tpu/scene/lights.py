@@ -50,10 +50,10 @@ class DirectionalLight:
         up = np.array([0.0, 1.0, 0.0], np.float32)
         if abs(np.dot(d, up)) > 0.98:
             up = np.array([1.0, 0.0, 0.0], np.float32)
-        view = np.asarray(mx.look_at(eye, scene_center, up))
+        view = mx.look_at(eye, scene_center, up, xp=np)
         r = float(scene_radius)
-        proj = np.asarray(
-            mx.orthographic_reverse_z(-r, r, -r, r, scene_radius * 0.5, scene_radius * 4.0)
+        proj = mx.orthographic_reverse_z(
+            -r, r, -r, r, scene_radius * 0.5, scene_radius * 4.0, xp=np
         )
         return proj @ view
 
