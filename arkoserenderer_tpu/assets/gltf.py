@@ -226,11 +226,17 @@ def load_gltf(
     root_transform: np.ndarray | None = None,
     max_texture_size: int = 512,
     import_cameras_and_lights: bool = False,
+    play_animation: bool = True,
 ) -> GltfImportResult:
-    """Import a glTF file's default scene into ``scene`` as static instances."""
+    """Import a glTF file's default scene into ``scene``: static instances,
+    plus skinned instances (skins -> Skeletons, animations -> clips) bound to
+    the first animation clip when ``play_animation``."""
     g = parse_gltf(path)
     doc = g.doc
     root = root_transform if root_transform is not None else np.eye(4, dtype=np.float32)
+
+    skins = _import_skins(g, scene)
+    clip_ids = _import_animations(g, scene, skins)
 
     # -- textures (deduped by (source image, srgb)) ------------------------------
     texture_ids: dict[tuple[int, bool], int] = {}
@@ -285,11 +291,12 @@ def load_gltf(
         material_ids.append(scene.add_material(m))
 
     # -- meshes -------------------------------------------------------------------
-    mesh_segments: dict[int, list[int]] = {}
+    mesh_segments: dict[tuple[int, int | None], list[int]] = {}
 
-    def get_mesh_segments(mesh_index: int) -> list[int]:
-        if mesh_index in mesh_segments:
-            return mesh_segments[mesh_index]
+    def get_mesh_segments(mesh_index: int, skin_si: int | None = None) -> list[int]:
+        key = (mesh_index, skin_si)
+        if key in mesh_segments:
+            return mesh_segments[key]
         ids = []
         for prim in doc["meshes"][mesh_index].get("primitives", []):
             if prim.get("mode", 4) != 4:  # triangles only
@@ -322,16 +329,30 @@ def load_gltf(
                     material_ids[prim["material"]] if "material" in prim else 0
                 ),
             )
+            if skin_si is not None and "JOINTS_0" in attrs and "WEIGHTS_0" in attrs:
+                _, remap = skins[skin_si]
+                raw_joints = read_accessor(g, attrs["JOINTS_0"]).astype(np.int64)
+                weights = read_accessor(g, attrs["WEIGHTS_0"]).astype(np.float32)
+                wsum = weights.sum(-1, keepdims=True)
+                weights = np.where(wsum > 1e-6, weights / np.maximum(wsum, 1e-6), weights)
+                seg.skin_joints = remap[raw_joints].astype(np.int32)
+                seg.skin_weights = weights[:, :4]
+                seg.skeleton = skins[skin_si][0]
             ids.append(scene.add_segment(seg))
-        mesh_segments[mesh_index] = ids
+        mesh_segments[key] = ids
         return ids
 
     count = 0
     segment_ids_all: list[int] = []
-    for mesh_index, world, _node in flatten_nodes(g):
-        sids = get_mesh_segments(mesh_index)
+    for mesh_index, world, node_idx in flatten_nodes(g):
+        skin_si = doc["nodes"][node_idx].get("skin")
+        sids = get_mesh_segments(mesh_index, skin_si)
         segment_ids_all.extend(sids)
-        scene.add_instance(sids, root @ world)
+        clip = clip_ids[0] if (skin_si is not None and clip_ids and play_animation) else None
+        # glTF: skinned vertices live in skeleton-root space; the node's own
+        # transform does not apply.
+        world_eff = root if skin_si is not None else root @ world
+        scene.add_instance(sids, world_eff, clip=clip)
         count += len(sids)
 
     log.info(
@@ -344,6 +365,119 @@ def load_gltf(
         material_ids=material_ids,
         texture_ids=texture_ids,
     )
+
+
+def _import_skins(g: GltfFile, scene: Scene) -> dict[int, tuple[int, np.ndarray]]:
+    """Import glTF skins -> Skeletons. Returns {skin index: (skeleton id,
+    joint remap old->topo order)} (GltfLoader's skeleton import analogue)."""
+    from arkoserenderer_tpu.scene.animation import Skeleton, topo_sort_joints
+
+    doc = g.doc
+    out = {}
+    for si, skin in enumerate(doc.get("skins", [])):
+        joints = skin["joints"]
+        node_to_joint = {n: j for j, n in enumerate(joints)}
+        j = len(joints)
+        parents = np.full(j, -1, np.int32)
+        # Parent = nearest ancestor node that is also a joint of this skin.
+        node_parent = {}
+        for ni, node in enumerate(doc["nodes"]):
+            for c in node.get("children", []):
+                node_parent[c] = ni
+        for ji, ni in enumerate(joints):
+            p = node_parent.get(ni)
+            while p is not None and p not in node_to_joint:
+                p = node_parent.get(p)
+            parents[ji] = node_to_joint[p] if p is not None else -1
+
+        if "inverseBindMatrices" in skin:
+            ibm = read_accessor(g, skin["inverseBindMatrices"])
+            ibm = ibm.reshape(j, 4, 4).transpose(0, 2, 1)  # column-major file
+        else:
+            ibm = np.tile(np.eye(4, dtype=np.float32), (j, 1, 1))
+
+        rest_t = np.zeros((j, 3), np.float32)
+        rest_r = np.tile(np.array([0, 0, 0, 1], np.float32), (j, 1))
+        rest_s = np.ones((j, 3), np.float32)
+        for ji, ni in enumerate(joints):
+            node = doc["nodes"][ni]
+            if "matrix" in node:
+                m = _node_matrix(node)
+                rest_t[ji] = m[:3, 3]
+                rest_s[ji] = np.linalg.norm(m[:3, :3], axis=0)
+                from arkoserenderer_tpu.core.mathx import quat_from_mat3
+
+                rest_r[ji] = quat_from_mat3(m[:3, :3] / rest_s[ji][None, :])
+            else:
+                rest_t[ji] = node.get("translation", [0, 0, 0])
+                rest_r[ji] = node.get("rotation", [0, 0, 0, 1])
+                rest_s[ji] = node.get("scale", [1, 1, 1])
+
+        order, remap = topo_sort_joints(parents)
+        skel = Skeleton(
+            parents=np.where(
+                parents[order] >= 0, remap[parents[order]], -1
+            ).astype(np.int32),
+            inverse_bind=ibm[order].astype(np.float32),
+            rest_translation=rest_t[order],
+            rest_rotation=rest_r[order],
+            rest_scale=rest_s[order],
+        )
+        out[si] = (scene.add_skeleton(skel), remap)
+    return out
+
+
+def _import_animations(g: GltfFile, scene: Scene, skins: dict) -> list[int]:
+    """Import animation clips, remapping node targets to joint indices.
+
+    Only joint-targeting channels are imported for now (rigid node animation
+    TODO); morph-weight channels use path="weights"."""
+    from arkoserenderer_tpu.scene.animation import (
+        INTERP_CUBICSPLINE,
+        INTERP_LINEAR,
+        INTERP_STEP,
+        AnimationClip,
+        AnimChannel,
+    )
+
+    doc = g.doc
+    interp_map = {
+        "STEP": INTERP_STEP, "LINEAR": INTERP_LINEAR, "CUBICSPLINE": INTERP_CUBICSPLINE,
+    }
+    # node id -> (skin index, joint index) over all skins
+    node_joint = {}
+    for si, skin in enumerate(doc.get("skins", [])):
+        _, remap = skins[si]
+        for ji, ni in enumerate(skin["joints"]):
+            node_joint[ni] = (si, int(remap[ji]))
+
+    clip_ids = []
+    for anim in doc.get("animations", []):
+        channels = []
+        for ch in anim.get("channels", []):
+            target = ch["target"]
+            path = target["path"]
+            node = target.get("node")
+            if path != "weights" and node not in node_joint:
+                continue
+            smp = anim["samplers"][ch["sampler"]]
+            times = read_accessor(g, smp["input"]).reshape(-1).astype(np.float32)
+            values = read_accessor(g, smp["output"]).astype(np.float32)
+            joint = node_joint[node][1] if path != "weights" else -1
+            channels.append(
+                AnimChannel(
+                    target_joint=joint,
+                    path=path,
+                    times=times,
+                    values=values,
+                    interpolation=interp_map.get(smp.get("interpolation", "LINEAR"), INTERP_LINEAR),
+                )
+            )
+        if channels:
+            clip_ids.append(
+                scene.add_animation(AnimationClip(channels=channels, name=anim.get("name", "")))
+            )
+    return clip_ids
 
 
 def _face_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:

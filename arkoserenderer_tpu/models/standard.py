@@ -25,6 +25,7 @@ from arkoserenderer_tpu.rendering.passes import (
     LightingComposePass,
     MotionBlurPass,
     OutputPass,
+    ScenePass,
     SkyPass,
     SSAOPass,
     SunShadowPass,
@@ -54,6 +55,7 @@ def make_forward_pipeline(
     deferred shade -> SSAO -> lighting compose -> sky -> fog -> motion blur
     -> DoF -> bloom -> TAA -> tonemap [-> FXAA -> CAS]."""
     pipe = RenderPipeline(cfg)
+    pipe.add_pass(ScenePass())
     pipe.add_pass(GeometryPass())
     if shadows:
         pipe.add_pass(SunShadowPass())
@@ -87,21 +89,31 @@ class Renderer:
     and camera prev-frame bookkeeping."""
 
     def __init__(self, scene: Scene, camera: Camera, cfg: PipelineConfig, **pipeline_kw):
+        import dataclasses
+
         self.scene = scene
         self.camera = camera
-        self.cfg = cfg
-        self.pipeline = make_forward_pipeline(cfg, **pipeline_kw)
+        self.cfg = dataclasses.replace(cfg, scene=scene.static_info())
+        self.pipeline = make_forward_pipeline(self.cfg, **pipeline_kw)
         self.scene_arrays = scene.build()
         self.state = self.pipeline.initial_state()
         self.frame_index = 0
+        self.time = 0.0
 
-    def render_frame(self) -> jax.Array:
+    def render_frame(self, delta_time: float = 1 / 60) -> jax.Array:
+        if self.cfg.scene.has_skin:
+            # Host animation -> palette upload (Scene::update analogue).
+            palette = self.scene.update_animations(self.time)
+            self.scene_arrays = self.scene_arrays._replace(
+                palette=jnp.asarray(palette)
+            )
         cam_state = self.camera.state(self.frame_index)
         self.state = self.pipeline.render_frame(
             self.state, self.scene_arrays, cam_state, self.frame_index
         )
         self.camera.post_render()
         self.frame_index += 1
+        self.time += delta_time
         return self.state["LDR"]
 
     def render_frames(self, n: int) -> jax.Array:

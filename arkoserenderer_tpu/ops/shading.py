@@ -58,7 +58,20 @@ def shade_visibility_buffer(
     height: int,
     shadow_map: jax.Array | None = None,   # (S, S) sun shadow depth
     sun_shadow_vp: jax.Array | None = None,
+    positions: jax.Array | None = None,    # animated object-space pools
+    normals: jax.Array | None = None,      # (defaults: the static scene pools)
+    tangents: jax.Array | None = None,
+    n_spots: int | None = None,            # static light counts (loop unroll)
+    n_points: int | None = None,
 ) -> GBuffer:
+    positions = scene.positions if positions is None else positions
+    normals = scene.normals if normals is None else normals
+    tangents = scene.tangents if tangents is None else tangents
+    if n_spots is None:
+        n_spots = scene.lights.spot_pos.shape[0]
+    if n_points is None:
+        n_points = scene.lights.point_pos.shape[0]
+
     geom = ip.pixel_barycentrics(vis_flat, setup, scene.indices, px, py)
     n = px.shape[0]
     exposure = cam.exposure
@@ -68,10 +81,7 @@ def shade_visibility_buffer(
     m = scene.materials
 
     # -- interpolate geometry --------------------------------------------------
-    # World positions are interpolated from pre-transformed vertex attributes
-    # (the geometry pass publishes them); here we re-derive from object space
-    # via the instance transform to keep this function self-contained.
-    obj_pos = ip.interpolate(scene.positions, geom)            # (N, 3)
+    obj_pos = ip.interpolate(positions, geom)            # (N, 3)
     w_mats = scene.world[inst]                                  # (N, 4, 4)
     world_pos = (
         jnp.einsum("nij,nj->ni", w_mats[:, :3, :3], obj_pos) + w_mats[:, :3, 3]
@@ -81,10 +91,10 @@ def shade_visibility_buffer(
         jnp.einsum("nij,nj->ni", pw_mats[:, :3, :3], obj_pos) + pw_mats[:, :3, 3]
     )
 
-    obj_nrm = ip.interpolate(scene.normals, geom)
+    obj_nrm = ip.interpolate(normals, geom)
     n_mats = scene.normal_mat[inst]
     world_nrm = mx.normalize(jnp.einsum("nij,nj->ni", n_mats, obj_nrm))
-    obj_tan = ip.interpolate(scene.tangents, geom)
+    obj_tan = ip.interpolate(tangents, geom)
     world_tan = mx.normalize(
         jnp.einsum("nij,nj->ni", w_mats[:, :3, :3], obj_tan[:, :3])
     )
@@ -145,9 +155,10 @@ def shade_visibility_buffer(
     sun_radiance = scene.lights.sun_color[None, :] * exposure
     color = color + sun_fr * sun_radiance * shadow[:, None] * scene.lights.sun_valid
 
-    # Local lights: loop over fixed capacity (masked past *_count); the loop
-    # is unrolled by XLA into a few fused madd chains, no (N, S) blowup.
-    def spot_body(i, acc):
+    # Local lights: the ACTUAL light counts are compile-time constants
+    # (SceneStatic), so the loops unroll to exactly the work needed — the
+    # analogue of the reference building PSO permutations per light setup.
+    for i in range(n_spots):
         to_l = scene.lights.spot_pos[i][None, :] - world_pos
         dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
         l = to_l * jax.lax.rsqrt(dist2)
@@ -156,24 +167,18 @@ def shade_visibility_buffer(
         t = jnp.clip((cos_dir - cone[1]) / jnp.maximum(cone[0] - cone[1], 1e-4), 0.0, 1.0)
         falloff = t * t / dist2[:, 0]
         fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
-        active = (i < scene.lights.spot_count).astype(jnp.float32)
-        return acc + fr * (
+        color = color + fr * (
             scene.lights.spot_color[i][None, :] * exposure
-        ) * (falloff * active)[:, None]
+        ) * falloff[:, None]
 
-    color = jax.lax.fori_loop(0, scene.lights.spot_pos.shape[0], spot_body, color)
-
-    def point_body(i, acc):
+    for i in range(n_points):
         to_l = scene.lights.point_pos[i][None, :] - world_pos
         dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
         l = to_l * jax.lax.rsqrt(dist2)
         fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
-        active = (i < scene.lights.point_count).astype(jnp.float32)
-        return acc + fr * (
+        color = color + fr * (
             scene.lights.point_color[i][None, :] * exposure
-        ) * (active / dist2[:, 0])[:, None]
-
-    color = jax.lax.fori_loop(0, scene.lights.point_pos.shape[0], point_body, color)
+        ) / dist2
 
     # NOTE: ambient / indirect terms are NOT added here — the lighting
     # compose pass (LightingComposeNode analogue) combines them with SSAO /

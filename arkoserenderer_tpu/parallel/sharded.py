@@ -74,6 +74,7 @@ class ShardedRenderer:
     ):
         self.mesh = make_mesh(n_devices)
         n = self.mesh.devices.size
+        cfg = dataclasses.replace(cfg, scene=scene.static_info())
         self.cfg = cfg
         self.band_cfg = band_config(cfg, n)
         self.pipeline = make_forward_pipeline(self.band_cfg, **pipeline_kw)

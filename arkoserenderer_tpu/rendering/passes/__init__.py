@@ -1,3 +1,4 @@
+from arkoserenderer_tpu.rendering.passes.scenepass import ScenePass  # noqa: F401
 from arkoserenderer_tpu.rendering.passes.geometry import GeometryPass  # noqa: F401
 from arkoserenderer_tpu.rendering.passes.shadow import SunShadowPass  # noqa: F401
 from arkoserenderer_tpu.rendering.passes.shading import VisibilityShadingPass  # noqa: F401

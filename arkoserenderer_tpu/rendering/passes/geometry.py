@@ -21,7 +21,7 @@ from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, 
 from arkoserenderer_tpu.rendering.registry import Registry
 
 
-def transform_vertices_clip(scene, view_proj):
+def transform_vertices_clip(scene, view_proj, positions=None):
     """Object-space vertex pool -> clip space via per-instance matrices.
 
     One (D,4,4) matmul to fold VP into each instance matrix, then a gather +
@@ -29,7 +29,7 @@ def transform_vertices_clip(scene, view_proj):
     """
     mvp = jnp.einsum("ij,djk->dik", view_proj, scene.world)  # (D, 4, 4)
     m = mvp[scene.vertex_instance]                           # (V, 4, 4)
-    p = scene.positions
+    p = scene.positions if positions is None else positions
     xyz = jnp.einsum("vij,vj->vi", m[:, :3, :3], p) + m[:, :3, 3]
     w = jnp.einsum("vj,vj->v", m[:, 3, :3], p) + m[:, 3, 3]
     return jnp.concatenate([xyz, w[:, None]], axis=-1)
@@ -39,6 +39,7 @@ class GeometryPass(RenderPass):
     name = "Geometry"
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.get("geom.positions")
         reg.create("SceneDepth", (cfg.height, cfg.width), jnp.float32,
                    clear=mx.DEPTH_FAR)
         reg.create("Visibility", (cfg.height, cfg.width), jnp.int32, clear=-1)
@@ -47,7 +48,9 @@ class GeometryPass(RenderPass):
         full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:
-            clip = transform_vertices_clip(ctx.scene, ctx.camera.view_proj)
+            clip = transform_vertices_clip(
+                ctx.scene, ctx.camera.view_proj, state["geom.positions"]
+            )
             # Screen mapping uses the FULL frame dims; binning + raster cover
             # only this device's band (h rows at ctx.row_offset).
             setup = raster.setup_triangles(

@@ -27,6 +27,11 @@ class VisibilityShadingPass(RenderPass):
         reg.get("Visibility")
         reg.get("SceneDepth")
         reg.get("vis.setup")
+        reg.get("geom.positions")
+        reg.get("geom.normals")
+        reg.get("geom.tangents")
+        n_spots = cfg.scene.n_spots
+        n_points = cfg.scene.n_points
         use_shadow = reg.has("ShadowMap.sun")
         if use_shadow:
             reg.get("ShadowMap.sun")
@@ -49,6 +54,11 @@ class VisibilityShadingPass(RenderPass):
                 state["vis.setup"], px, py_global, w, full_h,
                 shadow_map=state["ShadowMap.sun"] if use_shadow else None,
                 sun_shadow_vp=ctx.scene.lights.sun_view_proj if use_shadow else None,
+                positions=state["geom.positions"],
+                normals=state["geom.normals"],
+                tangents=state["geom.tangents"],
+                n_spots=n_spots,
+                n_points=n_points,
             )
             return {
                 "SceneColor": gb.color.reshape(h, w, 3),

@@ -29,6 +29,7 @@ class SunShadowPass(RenderPass):
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         s = cfg.shadow_map_size
+        reg.get("geom.positions")
         reg.create("ShadowMap.sun", (s, s), jnp.float32, clear=mx.DEPTH_FAR)
         rcfg = cfg.raster
         shard_axis = cfg.shard_axis
@@ -39,7 +40,9 @@ class SunShadowPass(RenderPass):
         )
 
         def execute(state: dict, ctx: FrameContext) -> dict:
-            clip = transform_vertices_clip(ctx.scene, ctx.scene.lights.sun_view_proj)
+            clip = transform_vertices_clip(
+                ctx.scene, ctx.scene.lights.sun_view_proj, state["geom.positions"]
+            )
             setup = raster.setup_triangles(
                 clip, ctx.scene.indices, ctx.scene.tri_valid, s, s,
                 cull_backfaces=False,  # avoid peter-panning on single-sided geo

@@ -34,7 +34,7 @@ import numpy as np
 from arkoserenderer_tpu.core.types import RasterConfig, SceneLimits
 from arkoserenderer_tpu.rendering.registry import Registry
 from arkoserenderer_tpu.scene.camera import CameraState
-from arkoserenderer_tpu.scene.scene import SceneArrays
+from arkoserenderer_tpu.scene.scene import SceneArrays, SceneStatic
 
 
 class FrameContext(NamedTuple):
@@ -64,6 +64,9 @@ class PipelineConfig:
     shard_axis: str | None = None
     full_height: int | None = None
     shard_count: int = 1
+    # Compile-time scene facts (light counts, skinning) — passes specialize
+    # on these at construct, like reference nodes specialize on GpuScene&.
+    scene: SceneStatic = dataclasses.field(default_factory=SceneStatic)
 
     @property
     def frame_height(self) -> int:

@@ -36,6 +36,21 @@ BLEND_OPAQUE = 0
 BLEND_MASKED = 1
 BLEND_TRANSLUCENT = 2
 
+MAX_JOINTS = 256  # global skinning palette capacity (all skeleton instances)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Compile-time scene facts handed to pass construct() — the analogue of
+    the reference nodes receiving GpuScene& at construct (they specialize
+    PSOs the same way)."""
+
+    has_skin: bool = False
+    n_spots: int = 0
+    n_points: int = 0
+    has_sun: bool = True
+    has_env: bool = True
+
 
 @dataclasses.dataclass
 class Material:
@@ -66,12 +81,15 @@ class Material:
 class MeshSegment:
     """One single-material geometry segment (MeshSegmentAsset analogue)."""
 
-    positions: np.ndarray           # (V, 3) f32
+    positions: np.ndarray           # (V, 3) f32 (bind pose when skinned)
     normals: np.ndarray             # (V, 3) f32
     uvs: np.ndarray | None = None   # (V, 2) f32
     tangents: np.ndarray | None = None  # (V, 4) f32 (xyz + handedness w)
     indices: np.ndarray | None = None   # (I,) int — None = iota
     material: int = 0
+    skin_joints: np.ndarray | None = None   # (V, 4) i32 into its skeleton
+    skin_weights: np.ndarray | None = None  # (V, 4) f32
+    skeleton: int = -1              # Scene.skeletons index when skinned
 
     def __post_init__(self):
         v = self.positions.shape[0]
@@ -135,6 +153,10 @@ class SceneArrays(NamedTuple):
     # Environment: equirect radiance map + multiplier
     env_map: jax.Array          # (He, We, 3) f32 linear radiance (lum/sr-ish)
     env_brightness: jax.Array   # ()
+    # Skinning (GPU palette; host animation writes it each frame)
+    skin_joints: jax.Array      # (Vmax, 4) i32 global palette indices
+    skin_weights: jax.Array     # (Vmax, 4) f32, all-zero = static vertex
+    palette: jax.Array          # (Jmax, 4, 4) joint_world @ inverse_bind
 
 
 @dataclasses.dataclass
@@ -147,8 +169,13 @@ class Scene:
     def __post_init__(self):
         self.materials: list[Material] = [Material()]  # 0 = default
         self.segments: list[MeshSegment] = []          # flattened mesh segments
-        self.instances: list[tuple[int, np.ndarray, np.ndarray | None]] = []
-        # each: (segment id, world 4x4, prev world or None)
+        self.instances: list[tuple[int, np.ndarray, np.ndarray | None, int | None]] = []
+        # each: (segment id, world 4x4, prev world or None, animation clip or None)
+        self.skeletons: list = []    # scene.animation.Skeleton
+        self.animations: list = []   # scene.animation.AnimationClip
+        self._palette_pool = np.tile(np.eye(4, dtype=np.float32), (MAX_JOINTS, 1, 1))
+        self._bindings: list[tuple[int, int, int | None]] = []
+        # each: (skeleton id, palette base, clip id) — filled by build()
         self.texture_builder = TexturePoolBuilder(
             max_textures=self.limits.max_textures,
             pool_capacity=self.limits.texture_pool_texels,
@@ -177,13 +204,21 @@ class Scene:
     def add_mesh(self, segments: list[MeshSegment]) -> list[int]:
         return [self.add_segment(s) for s in segments]
 
-    def add_instance(self, segment_ids, world: np.ndarray, prev_world=None):
+    def add_instance(self, segment_ids, world: np.ndarray, prev_world=None, clip=None):
         if isinstance(segment_ids, int):
             segment_ids = [segment_ids]
         for sid in segment_ids:
             self.instances.append(
-                (sid, np.asarray(world, np.float32), prev_world)
+                (sid, np.asarray(world, np.float32), prev_world, clip)
             )
+
+    def add_skeleton(self, skeleton) -> int:
+        self.skeletons.append(skeleton)
+        return len(self.skeletons) - 1
+
+    def add_animation(self, clip) -> int:
+        self.animations.append(clip)
+        return len(self.animations) - 1
 
     def set_env_map(self, img: np.ndarray, brightness: float = 1.0):
         self.env_map = np.asarray(img, np.float32)
@@ -214,10 +249,15 @@ class Scene:
         inst_sphere = np.zeros((dmax, 4), np.float32)
         inst_valid = np.zeros((dmax,), bool)
 
+        skin_joints = np.zeros((vmax, 4), np.int32)
+        skin_weights = np.zeros((vmax, 4), np.float32)
+        self._bindings = []
+        palette_cursor = 0
+
         assert len(self.instances) <= dmax, "drawable capacity exceeded"
         v_cursor = 0
         t_cursor = 0
-        for inst_id, (sid, w, pw) in enumerate(self.instances):
+        for inst_id, (sid, w, pw, clip) in enumerate(self.instances):
             seg = self.segments[sid]
             v = seg.positions.shape[0]
             t = seg.num_triangles
@@ -228,6 +268,22 @@ class Scene:
             uvs[v_cursor : v_cursor + v] = seg.uvs
             tangents[v_cursor : v_cursor + v] = seg.tangents
             vertex_instance[v_cursor : v_cursor + v] = inst_id
+            if seg.skeleton >= 0:
+                # Per-instance skeletal palette range (the reference's
+                # per-instance skeletal copies, VertexManager
+                # allocateSkeletalMeshInstance).
+                from arkoserenderer_tpu.scene.animation import evaluate_pose
+
+                skel = self.skeletons[seg.skeleton]
+                base = palette_cursor
+                palette_cursor += skel.num_joints
+                assert palette_cursor <= MAX_JOINTS, "joint palette exceeded"
+                skin_joints[v_cursor : v_cursor + v] = seg.skin_joints + base
+                skin_weights[v_cursor : v_cursor + v] = seg.skin_weights
+                self._bindings.append((seg.skeleton, base, clip))
+                self._palette_pool[base : base + skel.num_joints] = evaluate_pose(
+                    skel, None, 0.0
+                )[0]
             indices[t_cursor : t_cursor + t] = (
                 seg.indices.reshape(t, 3) + v_cursor
             )
@@ -296,14 +352,40 @@ class Scene:
             lights=lights,
             env_map=jnp.asarray(self.env_map),
             env_brightness=jnp.asarray(self.env_brightness, jnp.float32),
+            skin_joints=jnp.asarray(skin_joints),
+            skin_weights=jnp.asarray(skin_weights),
+            palette=jnp.asarray(self._palette_pool),
         )
+
+    def static_info(self) -> SceneStatic:
+        return SceneStatic(
+            has_skin=any(self.segments[sid].skeleton >= 0 for sid, *_ in self.instances),
+            n_spots=len(self.spots),
+            n_points=len(self.points),
+            has_sun=self.sun is not None,
+            has_env=True,
+        )
+
+    def update_animations(self, time: float) -> np.ndarray:
+        """Advance all skeletal animations to ``time`` and return the new
+        (MAX_JOINTS, 4, 4) palette pool (Scene::update analogue). The caller
+        re-uploads it: ``arrays = arrays._replace(palette=jnp.asarray(p))``."""
+        from arkoserenderer_tpu.scene.animation import evaluate_pose
+
+        for skel_id, base, clip_id in self._bindings:
+            skel = self.skeletons[skel_id]
+            clip = self.animations[clip_id] if clip_id is not None else None
+            self._palette_pool[base : base + skel.num_joints] = evaluate_pose(
+                skel, clip, time
+            )[0]
+        return self._palette_pool
 
     def bounding_sphere(self) -> tuple[np.ndarray, float]:
         if not self.instances:
             return np.zeros(3, np.float32), 1.0
         mins = np.full(3, np.inf)
         maxs = np.full(3, -np.inf)
-        for sid, w, _ in self.instances:
+        for sid, w, *_ in self.instances:
             seg = self.segments[sid]
             pts = seg.positions @ w[:3, :3].T + w[:3, 3]
             mins = np.minimum(mins, pts.min(0))
