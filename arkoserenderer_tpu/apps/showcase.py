@@ -1,0 +1,133 @@
+"""Showcase app: the framework's flagship demo + headless frame driver.
+
+Role-equivalent to the reference's application layer
+(arkose/application/Arkose.cpp:96-190 boot/main loop + apps/ShowcaseApp.cpp):
+builds a scene (procedural showcase, or any glTF), runs the full forward
+pipeline for N frames, and writes PNG frames — the off-screen
+``submitRenderPipeline`` mode (VulkanBackend.cpp:2130-2284) is the natural
+TPU fit; interactive windowing is a later host-integration layer.
+
+Usage:
+  python -m arkoserenderer_tpu.apps.showcase --frames 8 --out /tmp/frame.png
+  python -m arkoserenderer_tpu.apps.showcase --gltf path/to.gltf --width 512
+  python -m arkoserenderer_tpu.apps.showcase --pathtracer --samples 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--out", type=str, default="/tmp/arkose_tpu_frame.png")
+    p.add_argument("--gltf", type=str, default=None, help="render a glTF file")
+    p.add_argument("--pathtracer", action="store_true", help="ground-truth mode")
+    p.add_argument("--samples", type=int, default=32, help="path tracer spp")
+    p.add_argument("--tonemap", type=str, default="agx",
+                   choices=["clamp", "reinhard", "aces", "agx", "khronos_pbr_neutral"])
+    p.add_argument("--ssao", action="store_true")
+    p.add_argument("--motion-blur", action="store_true")
+    p.add_argument("--dof", action="store_true")
+    p.add_argument("--no-taa", action="store_true")
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--debug-draw", action="store_true")
+    p.add_argument("--timings", action="store_true", help="print per-pass ms")
+    return p
+
+
+def build_scene(args):
+    from arkoserenderer_tpu.assets.procedural import build_test_scene, gradient_env_map
+    from arkoserenderer_tpu.core.types import SceneLimits
+    from arkoserenderer_tpu.scene.camera import Camera
+    from arkoserenderer_tpu.scene.lights import DirectionalLight
+    from arkoserenderer_tpu.scene.scene import Scene
+
+    if args.gltf is None:
+        return build_test_scene(viewport=(args.width, args.height))
+    scene = Scene(limits=SceneLimits(
+        max_vertices=1 << 19, max_indices=3 << 19, max_drawables=1024,
+        max_materials=256, max_textures=256, texture_pool_texels=1 << 23,
+    ))
+    from arkoserenderer_tpu.assets.gltf import load_gltf
+
+    load_gltf(scene, args.gltf, max_texture_size=256)
+    scene.sun = DirectionalLight(direction=np.array([0.35, -1.0, -0.25], np.float32))
+    scene.set_env_map(gradient_env_map(32), brightness=8000.0)
+    scene.ambient_lx = 6000.0
+    cam = Camera(viewport=(args.width, args.height))
+    center, radius = scene.bounding_sphere()
+    cam.look_at(center + np.array([radius * 1.2, radius * 0.5, radius * 1.2]), center)
+    cam.focus_depth = float(radius * 1.5)
+    return scene, cam
+
+
+def main(argv=None) -> None:
+    args = build_arg_parser().parse_args(argv)
+    from arkoserenderer_tpu.utils.imageio import save_png
+
+    scene, cam = build_scene(args)
+
+    if args.pathtracer:
+        from arkoserenderer_tpu.models.pathtracer import PathTracer
+
+        tracer = PathTracer(scene, cam, args.width, args.height,
+                            tonemap_mode=args.tonemap)
+        t0 = time.perf_counter()
+        tracer.render_sample(args.samples)
+        img = np.asarray(tracer.ldr())
+        dt = time.perf_counter() - t0
+        save_png(args.out, img)
+        print(f"path traced {args.samples} spp in {dt:.2f}s -> {args.out}")
+        return
+
+    from arkoserenderer_tpu.core.types import RasterConfig
+    from arkoserenderer_tpu.models.standard import Renderer
+    from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(
+        width=args.width, height=args.height,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=512),
+        shadow_map_size=1024,
+        tonemap_mode=args.tonemap,
+    )
+    r = Renderer(
+        scene, cam, cfg,
+        taa=not args.no_taa, bloom=not args.no_bloom,
+        ssao=args.ssao, motion_blur=args.motion_blur, depth_of_field=args.dof,
+        debug_draw=args.debug_draw,
+    )
+    if args.debug_draw:
+        r.debug.axes(size=1.0)
+        center, radius = scene.bounding_sphere()
+        r.debug.box(center - radius * 0.5, center + radius * 0.5)
+
+    import jax
+
+    jax.block_until_ready(r.render_frame())  # compile
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        out = r.render_frame()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / max(args.frames, 1)
+    save_png(args.out, np.asarray(out))
+    print(f"{args.frames} frames @ {dt * 1e3:.2f} ms/frame -> {args.out}")
+
+    if args.timings:
+        from arkoserenderer_tpu.utils.timing import format_timings, time_passes
+
+        t = time_passes(
+            r.pipeline, r.pipeline.initial_state(), r.scene_arrays,
+            cam.state(1),
+        )
+        print(format_timings(t))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,7 @@ def make_forward_pipeline(
     fxaa: bool = False,
     cas: bool = False,
     film_grain: float = 0.0,
+    debug_draw=None,  # a DebugLineBuffer enables the overlay pass
 ) -> RenderPipeline:
     """The raster backbone of the Showcase node order
     (ShowcaseApp.cpp:129-227): visibility-buffer raster -> shadow ->
@@ -79,6 +80,10 @@ def make_forward_pipeline(
         pipe.add_pass(FXAAPass())
     if cas:
         pipe.add_pass(CASPass())
+    if debug_draw is not None:
+        from arkoserenderer_tpu.rendering.passes.debugdraw import DebugDrawPass
+
+        pipe.add_pass(DebugDrawPass(debug_draw))
     pipe.construct_all()
     return pipe
 
@@ -88,12 +93,21 @@ class Renderer:
     analogue, minus windowing): owns the pipeline, persistent frame state,
     and camera prev-frame bookkeeping."""
 
-    def __init__(self, scene: Scene, camera: Camera, cfg: PipelineConfig, **pipeline_kw):
+    def __init__(
+        self, scene: Scene, camera: Camera, cfg: PipelineConfig,
+        debug_draw: bool = False, **pipeline_kw,
+    ):
         import dataclasses
 
         self.scene = scene
         self.camera = camera
         self.cfg = dataclasses.replace(cfg, scene=scene.static_info())
+        self.debug = None
+        if debug_draw:
+            from arkoserenderer_tpu.rendering.passes.debugdraw import DebugLineBuffer
+
+            self.debug = DebugLineBuffer()
+            pipeline_kw["debug_draw"] = self.debug
         self.pipeline = make_forward_pipeline(self.cfg, **pipeline_kw)
         self.scene_arrays = scene.build()
         self.state = self.pipeline.initial_state()
@@ -107,6 +121,8 @@ class Renderer:
             self.scene_arrays = self.scene_arrays._replace(
                 palette=jnp.asarray(palette)
             )
+        if self.debug is not None:
+            self.state["debug.lines"] = self.debug.arrays()
         cam_state = self.camera.state(self.frame_index)
         self.state = self.pipeline.render_frame(
             self.state, self.scene_arrays, cam_state, self.frame_index
@@ -120,6 +136,18 @@ class Renderer:
         for _ in range(n):
             out = self.render_frame()
         return out
+
+    def pick(self, x: int, y: int) -> dict:
+        """Readback picking (PickingNode analogue, arkose/rendering/nodes/
+        PickingNode.cpp): returns the instance / triangle / depth under the
+        pixel, plus the focus distance for autofocus."""
+        vis = int(np.asarray(self.state["Visibility"])[y, x])
+        depth = float(np.asarray(self.state["SceneDepth"])[y, x])
+        if vis < 0:
+            return {"instance": -1, "triangle": -1, "depth": depth, "distance": None}
+        tri = int(np.asarray(self.scene_arrays.tri_instance)[vis])
+        distance = self.camera.near / max(depth, 1e-8)
+        return {"instance": tri, "triangle": vis, "depth": depth, "distance": distance}
 
     def benchmark(self, warmup: int = 3, iters: int = 10) -> dict:
         """Steady-state ms/frame with blocking sync (per-pass timing lives in

@@ -1,0 +1,57 @@
+"""App layer: headless showcase runs end-to-end; picking; debug draw."""
+
+import os
+
+import numpy as np
+import pytest
+
+from arkoserenderer_tpu.apps.showcase import main as showcase_main
+from arkoserenderer_tpu.assets.procedural import build_test_scene
+from arkoserenderer_tpu.core.types import RasterConfig
+from arkoserenderer_tpu.models.standard import Renderer
+from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+CFG = PipelineConfig(
+    width=128, height=128,
+    raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256),
+    shadow_map_size=256,
+)
+
+
+def test_showcase_cli(tmp_path):
+    out = str(tmp_path / "frame.png")
+    showcase_main([
+        "--width", "96", "--height", "96", "--frames", "2", "--out", out,
+        "--no-bloom",
+    ])
+    assert os.path.exists(out)
+    from arkoserenderer_tpu.utils.imageio import load_image_rgba
+
+    img = load_image_rgba(out)
+    assert img.shape == (96, 96, 4)
+    assert img[..., :3].std() > 5  # non-trivial image
+
+
+def test_picking():
+    scene, cam = build_test_scene(viewport=(128, 128))
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False)
+    r.render_frame()
+    vis = np.asarray(r.state["Visibility"])
+    ys, xs = np.nonzero(vis >= 0)
+    hit = r.pick(int(xs[0]), int(ys[0]))
+    assert hit["instance"] >= 0
+    assert hit["distance"] is not None and hit["distance"] > 0
+    sky = np.nonzero(vis < 0)
+    if len(sky[0]):
+        miss = r.pick(int(sky[1][0]), int(sky[0][0]))
+        assert miss["instance"] == -1
+
+
+def test_debug_draw_overlay():
+    scene, cam = build_test_scene(viewport=(128, 128))
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False, debug_draw=True)
+    r.debug.line((-2, 3.0, 0), (2, 3.0, 0), color=(1.0, 0.0, 1.0))
+    img = np.asarray(r.render_frame())
+    # Magenta-ish pixels appear somewhere in the upper half.
+    magenta = (img[..., 0] > 0.9) & (img[..., 1] < 0.2) & (img[..., 2] > 0.9)
+    assert magenta.any()
