@@ -48,22 +48,38 @@ def make_forward_pipeline(
     depth_of_field: bool = False,
     fxaa: bool = False,
     cas: bool = False,
+    rt_shadows: bool = False,
+    rt_reflections: bool = False,
+    ddgi=None,  # a ddgi.ProbeGridConfig enables probe GI
     film_grain: float = 0.0,
     debug_draw=None,  # a DebugLineBuffer enables the overlay pass
 ) -> RenderPipeline:
     """The raster backbone of the Showcase node order
-    (ShowcaseApp.cpp:129-227): visibility-buffer raster -> shadow ->
-    deferred shade -> SSAO -> lighting compose -> sky -> fog -> motion blur
-    -> DoF -> bloom -> TAA -> tonemap [-> FXAA -> CAS]."""
+    (ShowcaseApp.cpp:129-227): visibility-buffer raster -> [DDGI] ->
+    shadow (mapped or ray-traced) -> deferred shade -> RT reflections ->
+    SSAO -> lighting compose -> sky -> fog -> motion blur -> DoF -> bloom ->
+    TAA -> tonemap [-> FXAA -> CAS]."""
     pipe = RenderPipeline(cfg)
     pipe.add_pass(ScenePass())
     pipe.add_pass(GeometryPass())
-    if shadows:
+    if ddgi is not None:
+        from arkoserenderer_tpu.rendering.passes.ddgi import DDGIPass
+
+        pipe.add_pass(DDGIPass(ddgi))
+    if rt_shadows:
+        from arkoserenderer_tpu.rendering.passes.rt import RTShadowPass
+
+        pipe.add_pass(RTShadowPass())
+    elif shadows:
         pipe.add_pass(SunShadowPass())
     pipe.add_pass(VisibilityShadingPass())
+    if rt_reflections:
+        from arkoserenderer_tpu.rendering.passes.rt import RTReflectionsPass
+
+        pipe.add_pass(RTReflectionsPass())
     if ssao:
         pipe.add_pass(SSAOPass())
-    pipe.add_pass(LightingComposePass())
+    pipe.add_pass(LightingComposePass(ddgi_grid=ddgi))
     pipe.add_pass(SkyPass())
     if fog:
         pipe.add_pass(FogPass())
@@ -108,8 +124,19 @@ class Renderer:
 
             self.debug = DebugLineBuffer()
             pipeline_kw["debug_draw"] = self.debug
+        if pipeline_kw.get("ddgi") is True:
+            # Fit the probe grid to the scene bounds (Scene::generateProbeGrid).
+            from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
+
+            center, radius = scene.bounding_sphere()
+            pipeline_kw["ddgi"] = ProbeGridConfig.fit_bounds(center, radius)
+        use_rt = bool(
+            pipeline_kw.get("rt_shadows")
+            or pipeline_kw.get("rt_reflections")
+            or pipeline_kw.get("ddgi")
+        )
         self.pipeline = make_forward_pipeline(self.cfg, **pipeline_kw)
-        self.scene_arrays = scene.build()
+        self.scene_arrays = scene.build(with_bvh=use_rt)
         self.state = self.pipeline.initial_state()
         self.frame_index = 0
         self.time = 0.0

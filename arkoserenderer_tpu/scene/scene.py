@@ -157,6 +157,10 @@ class SceneArrays(NamedTuple):
     skin_joints: jax.Array      # (Vmax, 4) i32 global palette indices
     skin_weights: jax.Array     # (Vmax, 4) f32, all-zero = static vertex
     palette: jax.Array          # (Jmax, 4, 4) joint_world @ inverse_bind
+    # Ray-tracing acceleration structure (present when built with
+    # with_bvh=True; a 1-node dummy otherwise). Static world-space BVH for
+    # now; TLAS refit for dynamic scenes is the next milestone.
+    bvh: object                 # ops.bvh.FlatBVH (a pytree)
 
 
 @dataclasses.dataclass
@@ -226,7 +230,7 @@ class Scene:
 
     # -- freeze -----------------------------------------------------------------
 
-    def build(self) -> SceneArrays:
+    def build(self, with_bvh: bool = False) -> SceneArrays:
         lim = self.limits
         vmax, tmax, dmax, mmax = (
             lim.max_vertices,
@@ -355,7 +359,19 @@ class Scene:
             skin_joints=jnp.asarray(skin_joints),
             skin_weights=jnp.asarray(skin_weights),
             palette=jnp.asarray(self._palette_pool),
+            bvh=self._build_bvh(positions, vertex_instance, world, indices, tri_valid)
+            if with_bvh
+            else _dummy_bvh(),
         )
+
+    def _build_bvh(self, positions, vertex_instance, world, indices, tri_valid):
+        from arkoserenderer_tpu.ops.bvh import build_bvh
+
+        w = world[vertex_instance]
+        world_pos = (
+            np.einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
+        ).astype(np.float32)
+        return build_bvh(world_pos, indices, tri_valid)
 
     def static_info(self) -> SceneStatic:
         return SceneStatic(
@@ -393,6 +409,20 @@ class Scene:
         center = 0.5 * (mins + maxs)
         radius = float(np.linalg.norm(maxs - center))
         return center.astype(np.float32), max(radius, 1e-3)
+
+
+def _dummy_bvh():
+    """1-leaf placeholder so SceneArrays stays a uniform pytree."""
+    from arkoserenderer_tpu.ops.bvh import FlatBVH
+
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    return FlatBVH(
+        node_min=z3, node_max=z3,
+        left=jnp.zeros((1,), jnp.int32), right=jnp.zeros((1,), jnp.int32),
+        count=jnp.ones((1,), jnp.int32),
+        tri_order=jnp.zeros((1,), jnp.int32),
+        tri_v0=z3, tri_e1=z3, tri_e2=z3,
+    )
 
 
 def _soa(values, shape, dtype=np.float32, fill=0.0):
