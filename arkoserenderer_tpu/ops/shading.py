@@ -168,7 +168,13 @@ def shade_visibility_buffer(
         cos_dir = -mx.vdot(l, scene.lights.spot_dir[i][None, :], keepdims=False)
         cone = scene.lights.spot_cone[i]
         t = jnp.clip((cos_dir - cone[1]) / jnp.maximum(cone[0] - cone[1], 1e-4), 0.0, 1.0)
-        falloff = t * t / dist2[:, 0]
+        # IES photometric profile: polar-angle LUT (IESProfile analogue).
+        angle_idx = jnp.clip(
+            (jnp.arccos(jnp.clip(cos_dir, -1.0, 1.0)) / jnp.pi * 255.0).astype(jnp.int32),
+            0, 255,
+        )
+        ies = scene.lights.spot_ies[i][angle_idx]
+        falloff = t * t * ies / dist2[:, 0]
         fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
         color = color + fr * (
             scene.lights.spot_color[i][None, :] * exposure

@@ -26,10 +26,12 @@ class OutputPass(RenderPass):
         mode: str | None = None,
         vignette_intensity: float = 0.18,
         film_grain_gain: float = 0.0,
+        color_grade_lut=None,  # assets.external.CubeLUT for 3D color grading
     ):
         self.mode = mode
         self.vignette_intensity = vignette_intensity
         self.film_grain_gain = film_grain_gain
+        self.color_grade_lut = color_grade_lut
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         h, w = cfg.height, cfg.width
@@ -47,6 +49,10 @@ class OutputPass(RenderPass):
         xpx = jnp.asarray(xpx)
         ypx = jnp.asarray(ypx)
 
+        lut_table = None
+        if self.color_grade_lut is not None:
+            lut_table = jnp.asarray(self.color_grade_lut.table)
+
         def execute(state: dict, ctx: FrameContext) -> dict:
             c = jnp.maximum(state["SceneColor"], 0.0)
             c = tm.tonemap(c, mode)
@@ -57,6 +63,13 @@ class OutputPass(RenderPass):
             if grain > 0.0:
                 pxy = jnp.stack([xpx, yg], axis=-1)
                 c = tm.film_grain(c, pxy, ctx.frame_index.astype(jnp.float32), grain)
-            return {"LDR": jnp.clip(linear_to_srgb(c), 0.0, 1.0)}
+            out = jnp.clip(linear_to_srgb(c), 0.0, 1.0)
+            if lut_table is not None:
+                # 3D color-grade LUT on display-encoded values (the
+                # reference's .cube grading in output.frag).
+                from arkoserenderer_tpu.assets.external import apply_lut3d
+
+                out = apply_lut3d(lut_table, out)
+            return {"LDR": out}
 
         return execute

@@ -67,6 +67,7 @@ class SpotLight:
     inner_cone_angle: float = np.radians(20.0)
     outer_cone_angle: float = np.radians(30.0)
     cast_shadows: bool = True
+    ies_lut: np.ndarray | None = None  # (256,) polar intensity (assets/external.IESProfile.to_lut)
 
 
 @dataclasses.dataclass
@@ -94,6 +95,8 @@ class LightArrays(NamedTuple):
     point_color: jax.Array        # (P,3)
     point_count: jax.Array        # () i32
     ambient_lx: jax.Array         # () pre-exposed flat ambient (until DDGI)
+    spot_ies: jax.Array           # (S, 256) per-spot polar intensity LUT (row of
+                                  # ones = no profile); IESProfile analogue
 
 
 def build_light_arrays(
@@ -121,12 +124,15 @@ def build_light_arrays(
     spot_dir = np.tile(np.array([0, -1, 0], np.float32), (max_spots, 1))
     spot_color = np.zeros((max_spots, 3), np.float32)
     spot_cone = np.ones((max_spots, 2), np.float32)
+    spot_ies = np.ones((max_spots, 256), np.float32)
     for i, s in enumerate(spots):
         spot_pos[i] = s.position
         d = np.asarray(s.direction, np.float32)
         spot_dir[i] = d / np.linalg.norm(d)
         spot_color[i] = s.color * s.luminous_intensity_cd * exposure
         spot_cone[i] = (np.cos(s.inner_cone_angle), np.cos(s.outer_cone_angle))
+        if s.ies_lut is not None:
+            spot_ies[i] = np.asarray(s.ies_lut, np.float32)
 
     point_pos = np.zeros((max_points, 3), np.float32)
     point_color = np.zeros((max_points, 3), np.float32)
@@ -148,4 +154,5 @@ def build_light_arrays(
         point_color=jnp.asarray(point_color),
         point_count=jnp.asarray(len(points), jnp.int32),
         ambient_lx=jnp.asarray(ambient_lx * exposure, jnp.float32),
+        spot_ies=jnp.asarray(spot_ies),
     )
