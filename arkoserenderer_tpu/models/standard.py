@@ -148,11 +148,17 @@ class Renderer:
             self.scene_arrays = self.scene_arrays._replace(
                 palette=jnp.asarray(palette)
             )
+        # Feed back ONLY persistent resources: transients are recomputed by
+        # their producing passes, and a stable input pytree keeps the pjit
+        # cache hot (no per-frame retrace). self.state still holds the full
+        # frame output for inspection/tests.
+        persistent = self.pipeline.registry.persistent_names
+        inputs = {k: self.state[k] for k in persistent if k in self.state}
         if self.debug is not None:
-            self.state["debug.lines"] = self.debug.arrays()
+            inputs["debug.lines"] = self.debug.arrays()
         cam_state = self.camera.state(self.frame_index)
         self.state = self.pipeline.render_frame(
-            self.state, self.scene_arrays, cam_state, self.frame_index
+            inputs, self.scene_arrays, cam_state, self.frame_index
         )
         self.camera.post_render()
         self.frame_index += 1
