@@ -51,6 +51,8 @@ def make_forward_pipeline(
     rt_shadows: bool = False,
     rt_reflections: bool = False,
     ddgi=None,  # a ddgi.ProbeGridConfig enables probe GI
+    ssss: bool = False,
+    upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
     film_grain: float = 0.0,
     debug_draw=None,  # a DebugLineBuffer enables the overlay pass
 ) -> RenderPipeline:
@@ -80,6 +82,10 @@ def make_forward_pipeline(
     if ssao:
         pipe.add_pass(SSAOPass())
     pipe.add_pass(LightingComposePass(ddgi_grid=ddgi))
+    if ssss:
+        from arkoserenderer_tpu.rendering.passes.ssss import SSSSPass
+
+        pipe.add_pass(SSSSPass())
     pipe.add_pass(SkyPass())
     if fog:
         pipe.add_pass(FogPass())
@@ -96,6 +102,10 @@ def make_forward_pipeline(
         pipe.add_pass(FXAAPass())
     if cas:
         pipe.add_pass(CASPass())
+    if upscale_to is not None:
+        from arkoserenderer_tpu.rendering.passes.upscale import UpscalePass
+
+        pipe.add_pass(UpscalePass(*upscale_to))
     if debug_draw is not None:
         from arkoserenderer_tpu.rendering.passes.debugdraw import DebugDrawPass
 

@@ -41,7 +41,7 @@ class GBuffer(NamedTuple):
     normal: jax.Array       # (N, 3) world-space shading normal
     velocity: jax.Array     # (N, 2) screen-space motion in pixels (cur - prev)
     base_color: jax.Array   # (N, 3)
-    material: jax.Array     # (N, 3) roughness, metallic, cavity/ao
+    material: jax.Array     # (N, 4) roughness, metallic, cavity/ao, subsurface
     depth: jax.Array        # (N,) raster depth (reverse-Z)
     valid: jax.Array        # (N,) bool geometry coverage
 
@@ -215,7 +215,12 @@ def shade_visibility_buffer(
         velocity=jnp.where(vf, velocity, 0.0),
         base_color=jnp.where(vf, base_color, 0.0),
         material=jnp.where(
-            vf, jnp.concatenate([roughness, metallic, occlusion], axis=-1), 0.0
+            vf,
+            jnp.concatenate(
+                [roughness, metallic, occlusion, m.subsurface[mat_id][:, None]],
+                axis=-1,
+            ),
+            0.0,
         ),
         depth=depth_flat,
         valid=valid,

@@ -42,7 +42,7 @@ class VisibilityShadingPass(RenderPass):
         reg.create("SceneNormal", (h, w, 3), jnp.float32)
         reg.create("SceneVelocity", (h, w, 2), jnp.float32)
         reg.create("SceneBaseColor", (h, w, 3), jnp.float32)
-        reg.create("SceneMaterial", (h, w, 3), jnp.float32)
+        reg.create("SceneMaterial", (h, w, 4), jnp.float32)
         reg.create("SceneCoverage", (h, w), jnp.bool_)
         px, py = pixel_centers(cfg)
 
@@ -69,7 +69,7 @@ class VisibilityShadingPass(RenderPass):
                 "SceneNormal": gb.normal.reshape(h, w, 3),
                 "SceneVelocity": gb.velocity.reshape(h, w, 2),
                 "SceneBaseColor": gb.base_color.reshape(h, w, 3),
-                "SceneMaterial": gb.material.reshape(h, w, 3),
+                "SceneMaterial": gb.material.reshape(h, w, 4),
                 "SceneCoverage": gb.valid.reshape(h, w),
             }
 

@@ -75,6 +75,7 @@ class Material:
     double_sided: bool = False
     clearcoat: float = 0.0
     clearcoat_roughness: float = 0.0
+    subsurface: float = 0.0   # skin/SSS amount (drives the SSSS pass)
 
 
 @dataclasses.dataclass
@@ -123,6 +124,7 @@ class MaterialArrays(NamedTuple):
     double_sided: jax.Array        # (M,) bool
     clearcoat: jax.Array           # (M,)
     clearcoat_roughness: jax.Array # (M,)
+    subsurface: jax.Array          # (M,)
 
 
 class SceneArrays(NamedTuple):
@@ -324,6 +326,7 @@ class Scene:
             double_sided=_soa([x.double_sided for x in self.materials], (mmax,), dtype=bool),
             clearcoat=_soa([x.clearcoat for x in self.materials], (mmax,)),
             clearcoat_roughness=_soa([x.clearcoat_roughness for x in self.materials], (mmax,)),
+            subsurface=_soa([x.subsurface for x in self.materials], (mmax,)),
         )
 
         center, radius = self.bounding_sphere()
