@@ -188,9 +188,12 @@ class Renderer:
         depth = float(np.asarray(self.state["SceneDepth"])[y, x])
         if vis < 0:
             return {"instance": -1, "triangle": -1, "depth": depth, "distance": None}
-        tri = int(np.asarray(self.scene_arrays.tri_instance)[vis])
+        # Visibility stores setup-row ids (near-clipped sub-triangles live
+        # past the scene triangle pool); map back to the original triangle.
+        tri = int(np.asarray(self.state["vis.setup"].orig_tri)[vis])
+        inst = int(np.asarray(self.scene_arrays.tri_instance)[tri])
         distance = self.camera.near / max(depth, 1e-8)
-        return {"instance": tri, "triangle": vis, "depth": depth, "distance": distance}
+        return {"instance": inst, "triangle": tri, "depth": depth, "distance": distance}
 
     def benchmark(self, warmup: int = 3, iters: int = 10) -> dict:
         """Steady-state ms/frame with blocking sync (per-pass timing lives in
