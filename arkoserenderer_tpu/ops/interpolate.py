@@ -47,7 +47,12 @@ def _persp_bary(sxy, inv_w, px, py):
     e2 = edge_fn(sxy[:, 0], sxy[:, 1], px, py)
     e = jnp.stack([e0, e1, e2], axis=-1)  # screen-space (unnormalized)
     pw = e * inv_w
-    return pw / jnp.sum(pw, axis=-1, keepdims=True)
+    den = jnp.sum(pw, axis=-1, keepdims=True)
+    # Guarded: background pixels gather clamped rows whose weights can sum
+    # to zero; inf/NaN here poisons TPU execution speed globally.
+    return pw * jnp.where(
+        jnp.abs(den) > 1e-20, 1.0 / jnp.where(den == 0, 1.0, den), 0.0
+    )
 
 
 def pixel_barycentrics(

@@ -111,7 +111,9 @@ def trace_path(
     target_h = jnp.stack(
         [ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5), jnp.ones_like(ndc_x)], axis=-1
     ) @ inv_vp.T
-    target = target_h[:, :3] / target_h[:, 3:4]
+    den = target_h[:, 3:4]
+    inv = jnp.where(jnp.abs(den) > 1e-10, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+    target = target_h[:, :3] * inv
     origins = jnp.broadcast_to(cam.position, (r, 3))
     dirs = mx.normalize(target - origins)
 

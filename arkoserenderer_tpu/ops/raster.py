@@ -190,8 +190,13 @@ def clip_to_screen(clip: jax.Array, width: int, height: int):
 
     Screen convention: x right, y down, pixel centers at integer+0.5. Clip +Y
     is up, so y is flipped here (the "viewport transform").
+
+    Guarded division: pool-padding rows carry w == 0 and must NOT produce
+    inf/NaN — special values flowing through downstream programs trip a
+    severe slow-execution mode on the TPU backend.
     """
-    inv_w = 1.0 / clip[..., 3]
+    w = clip[..., 3]
+    inv_w = jnp.where(jnp.abs(w) > 1e-12, 1.0 / jnp.where(w == 0, 1.0, w), 0.0)
     ndc = clip[..., :3] * inv_w[..., None]
     sx = (ndc[..., 0] * 0.5 + 0.5) * width
     sy = (0.5 - ndc[..., 1] * 0.5) * height
@@ -420,7 +425,9 @@ def rasterize_tiles(
             e1 = edge_fn(sxy[2], sxy[0], px_t, py_t)
             e2 = edge_fn(sxy[0], sxy[1], px_t, py_t)
             area2 = edge_fn(sxy[0], sxy[1], sxy[2, 0], sxy[2, 1])
-            inv_area = 1.0 / area2
+            inv_area = jnp.where(
+                jnp.abs(area2) > 1e-12, 1.0 / jnp.where(area2 == 0, 1.0, area2), 0.0
+            )
             l0, l1, l2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
             # Reverse-Z ndc depth is affine in screen space -> plain lerp.
             z = setup.z_ndc[t]

@@ -198,7 +198,8 @@ def shade_visibility_buffer(
     # Motion vector in pixels: current (unjittered) minus previous projection.
     def to_screen(vp, p):
         clip = mx.transform_points_h(vp, p)
-        inv_w = 1.0 / jnp.maximum(jnp.abs(clip[:, 3]), 1e-8) * jnp.sign(clip[:, 3])
+        w_c = clip[:, 3]
+        inv_w = jnp.where(jnp.abs(w_c) > 1e-8, 1.0 / jnp.where(w_c == 0, 1.0, w_c), 0.0)
         sx = (clip[:, 0] * inv_w * 0.5 + 0.5) * width
         sy = (0.5 - clip[:, 1] * inv_w * 0.5) * height
         return jnp.stack([sx, sy], axis=-1)
@@ -251,15 +252,18 @@ def shade_sky(
         [ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5), jnp.ones_like(ndc_x)], axis=-1
     )
     world_h = d_h @ inv_vp.T
-    dirs = mx.normalize(world_h[:, :3] / world_h[:, 3:4] - cam.position[None, :])
+    den = world_h[:, 3:4]
+    inv = jnp.where(jnp.abs(den) > 1e-10, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+    dirs = mx.normalize(world_h[:, :3] * inv - cam.position[None, :])
     sky = sample_equirect(scene.env_map, dirs) * scene.env_brightness * cam.exposure
 
     # Reproject the direction with the previous view-proj for sky velocity.
     far_point = cam.position[None, :] + dirs * 1e4
     prev_clip = mx.transform_points_h(cam.prev_view_proj, far_point)
-    prev_w = jnp.maximum(jnp.abs(prev_clip[:, 3]), 1e-8) * jnp.sign(prev_clip[:, 3])
-    prev_sx = (prev_clip[:, 0] / prev_w * 0.5 + 0.5) * width
-    prev_sy = (0.5 - prev_clip[:, 1] / prev_w * 0.5) * height
+    pw = prev_clip[:, 3]
+    inv_pw = jnp.where(jnp.abs(pw) > 1e-8, 1.0 / jnp.where(pw == 0, 1.0, pw), 0.0)
+    prev_sx = (prev_clip[:, 0] * inv_pw * 0.5 + 0.5) * width
+    prev_sy = (0.5 - prev_clip[:, 1] * inv_pw * 0.5) * height
     sky_vel = jnp.stack([px - prev_sx, py - prev_sy], axis=-1)
 
     out = jnp.where(valid[:, None], color, sky)

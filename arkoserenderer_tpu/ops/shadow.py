@@ -20,7 +20,8 @@ from arkoserenderer_tpu.core.mathx import transform_points_h
 def project_to_shadow_uv(shadow_vp: jax.Array, world_pos: jax.Array):
     """(4,4) light view-proj + (N,3) world pos -> uv (N,2) in [0,1], depth (N,)."""
     clip = transform_points_h(shadow_vp, world_pos)
-    inv_w = 1.0 / clip[:, 3]
+    w = clip[:, 3]
+    inv_w = jnp.where(jnp.abs(w) > 1e-12, 1.0 / jnp.where(w == 0, 1.0, w), 0.0)
     ndc = clip[:, :3] * inv_w[:, None]
     uv = jnp.stack([ndc[:, 0] * 0.5 + 0.5, 0.5 - ndc[:, 1] * 0.5], axis=-1)
     return uv, ndc[:, 2]

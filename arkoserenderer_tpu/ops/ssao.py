@@ -30,12 +30,18 @@ def make_ssao_kernel(n_samples: int = 16, seed_bias: float = 0.35) -> np.ndarray
 
 
 def reconstruct_world_pos(depth_flat, px, py, inv_view_proj, width, height):
-    """Reverse-Z depth + pixel centers -> world positions (N, 3)."""
+    """Reverse-Z depth + pixel centers -> world positions (N, 3).
+
+    Sky pixels (depth == 0 with an infinite-far projection) would divide by
+    w == 0; the guarded division returns 0 positions instead of inf (callers
+    mask sky pixels anyway, and special values must never be materialized)."""
     ndc_x = px / width * 2.0 - 1.0
     ndc_y = (0.5 - py / height) * 2.0
     h = jnp.stack([ndc_x, ndc_y, depth_flat, jnp.ones_like(ndc_x)], axis=-1)
     w = h @ inv_view_proj.T
-    return w[:, :3] / w[:, 3:4]
+    den = w[:, 3:4]
+    inv = jnp.where(jnp.abs(den) > 1e-10, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+    return w[:, :3] * inv
 
 
 def ssao(
