@@ -64,6 +64,7 @@ def shade_visibility_buffer(
     tangents: jax.Array | None = None,
     n_spots: int | None = None,            # static light counts (loop unroll)
     n_points: int | None = None,
+    tex_flags=None,                        # SceneStatic texture-usage flags
 ) -> GBuffer:
     positions = scene.positions if positions is None else positions
     normals = scene.normals if normals is None else normals
@@ -102,33 +103,54 @@ def shade_visibility_buffer(
 
     uv, duv_dx, duv_dy = ip.interpolate_with_grad(scene.uvs, geom)
 
-    # -- material texture fetches ----------------------------------------------
-    base_tex = tx.sample_grad(scene.textures, m.base_color_tex[mat_id], uv, duv_dx, duv_dy)
-    base_color = base_tex[:, :3] * m.base_color_factor[mat_id][:, :3]
+    # -- material texture fetches -------------------------------------------
+    # Sampler chains compile only for texture slots the scene actually uses
+    # (SceneStatic flags — the reference's shader-permutation equivalent).
+    def _use(flag, default=True):
+        return default if tex_flags is None else getattr(tex_flags, flag)
 
-    mr_tex = tx.sample_grad(
-        scene.textures, m.mr_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
-    )
-    roughness = jnp.clip(mr_tex[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.0, 1.0)
-    metallic = jnp.clip(mr_tex[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
+    if _use("uses_base_tex"):
+        base_tex = tx.sample_grad(scene.textures, m.base_color_tex[mat_id], uv, duv_dx, duv_dy)
+        base_color = base_tex[:, :3] * m.base_color_factor[mat_id][:, :3]
+    else:
+        base_color = m.base_color_factor[mat_id][:, :3]
 
-    emissive_tex = tx.sample_grad(scene.textures, m.emissive_tex[mat_id], uv, duv_dx, duv_dy)
-    emissive = emissive_tex[:, :3] * m.emissive_factor[mat_id]
+    if _use("uses_mr_tex"):
+        mr_tex = tx.sample_grad(
+            scene.textures, m.mr_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
+        )
+        roughness = jnp.clip(mr_tex[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.0, 1.0)
+        metallic = jnp.clip(mr_tex[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
+    else:
+        roughness = jnp.clip(m.roughness_factor[mat_id][:, None], 0.0, 1.0)
+        metallic = jnp.clip(m.metallic_factor[mat_id][:, None], 0.0, 1.0)
 
-    occl_tex = tx.sample_grad(
-        scene.textures, m.occlusion_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
-    )
-    occlusion = occl_tex[:, 0:1]
+    if _use("uses_emissive_tex", False):
+        emissive_tex = tx.sample_grad(scene.textures, m.emissive_tex[mat_id], uv, duv_dx, duv_dy)
+        emissive = emissive_tex[:, :3] * m.emissive_factor[mat_id]
+    else:
+        emissive = m.emissive_factor[mat_id]
+
+    if _use("uses_occlusion_tex", False):
+        occl_tex = tx.sample_grad(
+            scene.textures, m.occlusion_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
+        )
+        occlusion = occl_tex[:, 0:1]
+    else:
+        occlusion = jnp.ones_like(roughness)
 
     # -- normal mapping (MikkT-style TBN) ----------------------------------------
-    nrm_tex = tx.sample_grad(
-        scene.textures, m.normal_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
-    )
-    n_ts = nrm_tex[:, :3] * 2.0 - 1.0
-    bitan = jnp.cross(world_nrm, world_tan) * obj_tan[:, 3:4]
-    shading_nrm = mx.normalize(
-        n_ts[:, 0:1] * world_tan + n_ts[:, 1:2] * bitan + n_ts[:, 2:3] * world_nrm
-    )
+    if _use("uses_normal_tex"):
+        nrm_tex = tx.sample_grad(
+            scene.textures, m.normal_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
+        )
+        n_ts = nrm_tex[:, :3] * 2.0 - 1.0
+        bitan = jnp.cross(world_nrm, world_tan) * obj_tan[:, 3:4]
+        shading_nrm = mx.normalize(
+            n_ts[:, 0:1] * world_tan + n_ts[:, 1:2] * bitan + n_ts[:, 2:3] * world_nrm
+        )
+    else:
+        shading_nrm = world_nrm
 
     view = mx.normalize(cam.position[None, :] - world_pos)
     # Double-sided materials and back-facing raster results flip the normal

@@ -32,6 +32,7 @@ class VisibilityShadingPass(RenderPass):
         reg.get("geom.tangents")
         n_spots = cfg.scene.n_spots
         n_points = cfg.scene.n_points
+        tex_flags = cfg.scene
         use_shadow = reg.has("ShadowMap.sun")
         if use_shadow:
             reg.get("ShadowMap.sun")
@@ -63,6 +64,7 @@ class VisibilityShadingPass(RenderPass):
                 tangents=state["geom.tangents"],
                 n_spots=n_spots,
                 n_points=n_points,
+                tex_flags=tex_flags,
             )
             return {
                 "SceneColor": gb.color.reshape(h, w, 3),

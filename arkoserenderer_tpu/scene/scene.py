@@ -50,6 +50,13 @@ class SceneStatic:
     n_points: int = 0
     has_sun: bool = True
     has_env: bool = True
+    # Texture-usage permutation flags (cf. the reference's DrawKey/shader
+    # permutations): shading skips sampler chains no material uses.
+    uses_base_tex: bool = True
+    uses_normal_tex: bool = True
+    uses_mr_tex: bool = True
+    uses_emissive_tex: bool = False
+    uses_occlusion_tex: bool = False
 
 
 @dataclasses.dataclass
@@ -377,12 +384,20 @@ class Scene:
         return build_bvh(world_pos, indices, tri_valid)
 
     def static_info(self) -> SceneStatic:
+        mats = self.materials
         return SceneStatic(
             has_skin=any(self.segments[sid].skeleton >= 0 for sid, *_ in self.instances),
             n_spots=len(self.spots),
             n_points=len(self.points),
             has_sun=self.sun is not None,
             has_env=True,
+            # Default texture ids: 0 = white, 2 = flat normal (see
+            # TexturePoolBuilder defaults); non-default means "in use".
+            uses_base_tex=any(m.base_color_tex != 0 for m in mats),
+            uses_normal_tex=any(m.normal_tex != 2 for m in mats),
+            uses_mr_tex=any(m.mr_tex != 0 for m in mats),
+            uses_emissive_tex=any(m.emissive_tex != 0 for m in mats),
+            uses_occlusion_tex=any(m.occlusion_tex != 0 for m in mats),
         )
 
     def update_animations(self, time: float) -> np.ndarray:
