@@ -51,10 +51,19 @@ class GeometryPass(RenderPass):
             clip = transform_vertices_clip(
                 ctx.scene, ctx.camera.view_proj, state["geom.positions"]
             )
+            # Per-instance frustum culling before triangle setup — the
+            # task-shader culling stage (meshletVisibilityBuffer.task:24-58 /
+            # common/culling.glsl sphere-vs-frustum) at instance granularity;
+            # per-meshlet refinement comes with meshlet pools.
+            planes = mx.frustum_planes_from_matrix(ctx.camera.view_proj)
+            inst_visible = mx.frustum_test_spheres(
+                planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
+            ) & ctx.scene.inst_valid
+            tri_visible = ctx.scene.tri_valid & inst_visible[ctx.scene.tri_instance]
             # Screen mapping uses the FULL frame dims; binning + raster cover
             # only this device's band (h rows at ctx.row_offset).
             setup = raster.setup_triangles(
-                clip, ctx.scene.indices, ctx.scene.tri_valid, w, full_h,
+                clip, ctx.scene.indices, tri_visible, w, full_h,
                 w_eps=ctx.camera.near,
             )
             bins = raster.bin_triangles(setup, w, h, rcfg, y_offset=ctx.row_offset)
