@@ -67,6 +67,8 @@ class RasterConfig:
     bin_chunk: int = 2048  # triangles binned per scan step (legacy scan path)
     max_tiles_per_tri: int = 16  # pair-emission cap; bigger spans go global
     max_global_tris: int = 256   # capacity of the every-tile "big triangle" list
+    use_pallas: bool = False     # Pallas stage-4 raster (single-band only;
+                                 # interpret mode is auto-selected on CPU)
 
 
 DEFAULT_LIMITS = SceneLimits()

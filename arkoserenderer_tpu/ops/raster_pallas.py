@@ -11,7 +11,7 @@ native (8, 128) f32 tile when cfg uses tile_w=128.
 Packed per-triangle layout (lane-padded to 16 floats):
   [0:6]  x0,y0,x1,y1,x2,y2   screen corners
   [6:9]  z0,z1,z2            reverse-Z ndc depth
-  [9]    setup-row id (bitcast f32)
+  [9]    setup-row id as an exact f32 value (< 2^24)
   [10:]  padding
 """
 
@@ -53,18 +53,21 @@ def _pack_tile_lists(setup: TriSetup, bins: TileBins, cfg: RasterConfig, ntiles:
     safe = jnp.maximum(ids, 0)
     xy = setup.screen_xy[safe].reshape(ntiles, k + g, 6)        # big gather
     z = setup.z_ndc[safe]                                       # (ntiles, K+G, 3)
-    idf = jax.lax.bitcast_convert_type(safe, jnp.float32)[..., None]
+    # ids ride as exact f32 values (< 2^24; Mosaic lacks scalar bitcast).
+    idf = safe.astype(jnp.float32)[..., None]
     pad = jnp.zeros((ntiles, k + g, 6), jnp.float32)
     packed = jnp.concatenate([xy, z, idf, pad], axis=-1)        # (ntiles, K+G, 16)
     return packed, counts
 
 
 def _raster_kernel(count_ref, packed_ref, depth_ref, vis_ref, *, tile_h, tile_w, ntx):
+    """count_ref: scalar-prefetched (ntiles,) SMEM array; packed_ref: this
+    tile's (1, K+G, 16) VMEM block."""
     t = pl.program_id(0)
     ty = t // ntx
     tx = t % ntx
-    iy = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-    ix = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     px = tx.astype(jnp.float32) * tile_w + ix + 0.5
     py = ty.astype(jnp.float32) * tile_h + iy + 0.5
 
@@ -78,7 +81,7 @@ def _raster_kernel(count_ref, packed_ref, depth_ref, vis_ref, *, tile_h, tile_w,
         row = packed_ref[0, i]
         x0, y0, x1, y1, x2, y2 = row[0], row[1], row[2], row[3], row[4], row[5]
         z0, z1, z2 = row[6], row[7], row[8]
-        tri_id = jax.lax.bitcast_convert_type(row[9], jnp.int32)
+        tri_id = row[9].astype(jnp.int32)
         e0 = edge(x1, y1, x2, y2)
         e1 = edge(x2, y2, x0, y0)
         e2 = edge(x0, y0, x1, y1)
@@ -93,7 +96,7 @@ def _raster_kernel(count_ref, packed_ref, depth_ref, vis_ref, *, tile_h, tile_w,
         vis_ref[0] = jnp.where(covered, tri_id, vis_ref[0])
         return 0
 
-    jax.lax.fori_loop(0, count_ref[0], body, 0)
+    jax.lax.fori_loop(0, count_ref[t], body, 0)
 
 
 @functools.partial(
@@ -119,19 +122,20 @@ def rasterize_tiles_pallas(
     kernel = functools.partial(
         _raster_kernel, tile_h=cfg.tile_h, tile_w=cfg.tile_w, ntx=ntx
     )
-    depth_t, vis_t = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kg, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg, 16), lambda t, c: (t, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, cfg.tile_h, cfg.tile_w), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cfg.tile_h, cfg.tile_w), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.tile_h, cfg.tile_w), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, cfg.tile_h, cfg.tile_w), lambda t, c: (t, 0, 0)),
         ),
+    )
+    depth_t, vis_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, cfg.tile_h, cfg.tile_w), jnp.float32),
             jax.ShapeDtypeStruct((ntiles, cfg.tile_h, cfg.tile_w), jnp.int32),

@@ -67,9 +67,19 @@ class GeometryPass(RenderPass):
                 w_eps=ctx.camera.near,
             )
             bins = raster.bin_triangles(setup, w, h, rcfg, y_offset=ctx.row_offset)
-            vis, depth = raster.rasterize_tiles(
-                setup, bins, w, h, rcfg, y_offset=ctx.row_offset
-            )
+            if rcfg.use_pallas and cfg.shard_axis is None:
+                import jax
+
+                from arkoserenderer_tpu.ops.raster_pallas import rasterize_tiles_pallas
+
+                vis, depth = rasterize_tiles_pallas(
+                    setup, bins, w, h, rcfg,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                vis, depth = raster.rasterize_tiles(
+                    setup, bins, w, h, rcfg, y_offset=ctx.row_offset
+                )
             return {
                 "SceneDepth": depth,
                 "Visibility": vis,

@@ -63,3 +63,30 @@ def test_pallas_includes_global_list(rng):
     vis_ref, depth_ref = raster.rasterize_tiles(setup, bins, W, H, cfg)
     vis_pl, depth_pl = rasterize_tiles_pallas(setup, bins, W, H, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(depth_pl), np.asarray(depth_ref), atol=1e-6)
+
+
+def test_pipeline_with_pallas_raster():
+    from arkoserenderer_tpu.assets.procedural import build_test_scene
+    from arkoserenderer_tpu.models.standard import Renderer
+    from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+    cfg_p = PipelineConfig(
+        width=96, height=96,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256,
+                            max_global_tris=64, use_pallas=True),
+        shadow_map_size=128,
+    )
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r = Renderer(scene, cam, cfg_p, taa=False, bloom=False)
+    img_pallas = np.asarray(r.render_frame())
+
+    cfg_x = PipelineConfig(
+        width=96, height=96,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256,
+                            max_global_tris=64, use_pallas=False),
+        shadow_map_size=128,
+    )
+    scene2, cam2 = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r2 = Renderer(scene2, cam2, cfg_x, taa=False, bloom=False)
+    img_xla = np.asarray(r2.render_frame())
+    np.testing.assert_allclose(img_pallas, img_xla, atol=1e-5)
