@@ -121,8 +121,9 @@ class Renderer:
 
     def __init__(
         self, scene: Scene, camera: Camera, cfg: PipelineConfig,
-        debug_draw: bool = False, **pipeline_kw,
+        debug_draw: bool = False, auto_exposure: bool = False, **pipeline_kw,
     ):
+        self.auto_exposure = auto_exposure
         import dataclasses
 
         self.scene = scene
@@ -171,6 +172,16 @@ class Renderer:
             inputs, self.scene_arrays, cam_state, self.frame_index
         )
         self.camera.post_render()
+        if self.auto_exposure and "Metering.avgLum" in self.state:
+            # Eye-adaption loop: metered pre-exposed luminance -> relative EV
+            # nudge (Camera auto-exposure mode, Camera.cpp auto path).
+            avg = float(np.asarray(self.state["Metering.avgLum"]))
+            self.camera.exposure_compensation += float(
+                np.clip(np.log2(0.18 / max(avg, 1e-6)), -4, 4)
+            ) * min(self.camera.adaption_rate * 60.0 * delta_time * 20, 1.0)
+            self.camera.exposure_compensation = float(
+                np.clip(self.camera.exposure_compensation, -8.0, 8.0)
+            )
         self.frame_index += 1
         self.time += delta_time
         return self.state["LDR"]

@@ -37,6 +37,7 @@ class OutputPass(RenderPass):
         h, w = cfg.height, cfg.width
         reg.get("SceneColor")
         reg.create("LDR", (h, w, 3), jnp.float32)
+        reg.create("Metering.avgLum", (), jnp.float32)
         mode = tm.MODES[self.mode or cfg.tonemap_mode]
         vign = self.vignette_intensity
         grain = self.film_grain_gain
@@ -55,6 +56,11 @@ class OutputPass(RenderPass):
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             c = jnp.maximum(state["SceneColor"], 0.0)
+            # Average log-luminance metering for auto exposure (the
+            # reference's auto mode meters the scene each frame;
+            # Camera::updateAutoExposure consumes this host-side).
+            luma = c @ jnp.array([0.2126, 0.7152, 0.0722])
+            avg_log_lum = jnp.exp(jnp.mean(jnp.log(luma + 1e-4)))
             c = tm.tonemap(c, mode)
             yg = ypx + ctx.row_offset.astype(jnp.float32)
             if vign > 0.0:
@@ -70,6 +76,6 @@ class OutputPass(RenderPass):
                 from arkoserenderer_tpu.assets.external import apply_lut3d
 
                 out = apply_lut3d(lut_table, out)
-            return {"LDR": out}
+            return {"LDR": out, "Metering.avgLum": avg_log_lum}
 
         return execute

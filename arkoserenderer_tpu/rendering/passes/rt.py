@@ -98,7 +98,7 @@ class RTReflectionsPass(RenderPass):
             # them so no NaN enters the ray math (results are masked anyway).
             world = jnp.where(valid0[:, None], world, 0.0)
             nrm = state["SceneNormal"].reshape(-1, 3)
-            mat = state["SceneMaterial"].reshape(-1, 3)
+            mat = state["SceneMaterial"].reshape(-1, 4)
             base = state["SceneBaseColor"].reshape(-1, 3)
             rough = mat[:, 0:1]
             metal = mat[:, 1:2]
