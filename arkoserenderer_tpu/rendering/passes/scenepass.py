@@ -12,6 +12,10 @@ animated) object-space geometry every raster/shadow/shading pass consumes.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.core import mathx as mx
 from arkoserenderer_tpu.ops.skinning import skin_vertices
 from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
 from arkoserenderer_tpu.rendering.registry import Registry
@@ -25,6 +29,8 @@ class ScenePass(RenderPass):
         reg.publish("geom.normals")
         reg.publish("geom.tangents")
         has_skin = cfg.scene.has_skin
+        has_hair = cfg.scene.has_hair
+        hair_base = cfg.scene.hair_vertex_base
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             s = ctx.scene
@@ -35,6 +41,26 @@ class ScenePass(RenderPass):
                 )
             else:
                 p, n, t = s.positions, s.normals, s.tangents
+            if has_hair:
+                # Camera-facing ribbon expansion (HairMesh's per-frame strand
+                # geometry, hair shading path): left/right verts straddle the
+                # strand perpendicular to the view.
+                hp = s.hair_points
+                view = mx.normalize(ctx.camera.position[None, :] - hp)
+                side = mx.normalize(jnp.cross(s.hair_tangents, view))
+                side = side * s.hair_radius[:, None]
+                ribbon = jnp.stack([hp - side, hp + side], axis=1).reshape(-1, 3)
+                nrm = jnp.stack([view, view], axis=1).reshape(-1, 3)
+                tan = jnp.concatenate(
+                    [
+                        jnp.stack([s.hair_tangents] * 2, axis=1).reshape(-1, 3),
+                        jnp.ones((ribbon.shape[0], 1)),
+                    ],
+                    axis=-1,
+                )
+                p = jax.lax.dynamic_update_slice_in_dim(p, ribbon, hair_base, axis=0)
+                n = jax.lax.dynamic_update_slice_in_dim(n, nrm, hair_base, axis=0)
+                t = jax.lax.dynamic_update_slice_in_dim(t, tan, hair_base, axis=0)
             return {"geom.positions": p, "geom.normals": n, "geom.tangents": t}
 
         return execute

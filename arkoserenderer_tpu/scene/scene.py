@@ -57,6 +57,9 @@ class SceneStatic:
     uses_mr_tex: bool = True
     uses_emissive_tex: bool = False
     uses_occlusion_tex: bool = False
+    # Hair ribbons (camera-facing expansion in the Scene pass)
+    has_hair: bool = False
+    hair_vertex_base: int = 0
 
 
 @dataclasses.dataclass
@@ -166,6 +169,11 @@ class SceneArrays(NamedTuple):
     skin_joints: jax.Array      # (Vmax, 4) i32 global palette indices
     skin_weights: jax.Array     # (Vmax, 4) f32, all-zero = static vertex
     palette: jax.Array          # (Jmax, 4, 4) joint_world @ inverse_bind
+    # Hair strands (HairMesh analogue): control points expanded to
+    # camera-facing ribbons each frame by the Scene pass.
+    hair_points: jax.Array      # (Hp, 3) world-space strand points (or (1,3))
+    hair_tangents: jax.Array    # (Hp, 3)
+    hair_radius: jax.Array      # (Hp,)
     # Ray-tracing acceleration structure (present when built with
     # with_bvh=True; a 1-node dummy otherwise). Static world-space BVH for
     # now; TLAS refit for dynamic scenes is the next milestone.
@@ -196,6 +204,7 @@ class Scene:
         self.sun: DirectionalLight | None = None
         self.spots: list[SpotLight] = []
         self.points: list[PointLight] = []
+        self._hair: tuple | None = None  # (points, tangents, radius, segment id)
         self.env_map: np.ndarray = np.zeros((1, 2, 3), np.float32)
         self.env_brightness: float = 1.0
         self.ambient_lx: float = 0.0
@@ -232,6 +241,44 @@ class Scene:
     def add_animation(self, clip) -> int:
         self.animations.append(clip)
         return len(self.animations) - 1
+
+    def add_hair(self, points: np.ndarray, segments: np.ndarray, material: int = 0,
+                 radius: float | np.ndarray = 0.002) -> int:
+        """Add hair strands (Cem Yuksel .hair or synthetic): ``points`` (P,3)
+        world-space control points, ``segments`` (S,) = points-per-strand - 1.
+        Ribbon triangles are generated here; the camera-facing vertex
+        expansion happens per frame on device (HairMesh + hair shading
+        analogue). Returns the segment id. One hair batch per scene for now."""
+        assert self._hair is None, "one hair batch per scene (round 1)"
+        points = np.asarray(points, np.float32)
+        p_total = len(points)
+        radius = np.full(p_total, radius, np.float32) if np.isscalar(radius) else np.asarray(radius, np.float32)
+        # Per-point tangents along each strand.
+        tangents = np.zeros((p_total, 3), np.float32)
+        indices = []
+        start = 0
+        for seg_count in segments:
+            n_pts = int(seg_count) + 1
+            sl = points[start : start + n_pts]
+            t = np.gradient(sl, axis=0)
+            t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-9)
+            tangents[start : start + n_pts] = t
+            for i in range(n_pts - 1):
+                l0, r0 = 2 * (start + i), 2 * (start + i) + 1
+                l1, r1 = 2 * (start + i + 1), 2 * (start + i + 1) + 1
+                indices.extend([l0, r0, l1, r0, r1, l1])
+            start += n_pts
+        seg = MeshSegment(
+            positions=np.zeros((2 * p_total, 3), np.float32),  # filled on device
+            normals=np.tile(np.array([[0, 0, 1]], np.float32), (2 * p_total, 1)),
+            uvs=np.zeros((2 * p_total, 2), np.float32),
+            indices=np.array(indices, np.int32),
+            material=material,
+        )
+        sid = self.add_segment(seg)
+        self._hair = (points, tangents, radius, sid)
+        self.add_instance(sid, np.eye(4, dtype=np.float32))
+        return sid
 
     def set_env_map(self, img: np.ndarray, brightness: float = 1.0):
         self.env_map = np.asarray(img, np.float32)
@@ -306,9 +353,15 @@ class Scene:
             prev_world[inst_id] = pw if pw is not None else w
             normal_mat[inst_id] = np.linalg.inv(w[:3, :3]).T
             inst_material[inst_id] = seg.material
-            # World bounding sphere from object AABB
-            center_obj = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
-            r_obj = np.linalg.norm(seg.positions - center_obj, axis=-1).max()
+            # World bounding sphere from object AABB (hair: from strand
+            # points + radius, since its pool positions are filled on device)
+            if self._hair is not None and sid == self._hair[3]:
+                hp, _, hr, _ = self._hair
+                center_obj = 0.5 * (hp.min(0) + hp.max(0))
+                r_obj = np.linalg.norm(hp - center_obj, axis=-1).max() + hr.max()
+            else:
+                center_obj = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
+                r_obj = np.linalg.norm(seg.positions - center_obj, axis=-1).max()
             scale = np.linalg.norm(w[:3, :3], axis=0).max()
             center_w = w[:3, :3] @ center_obj + w[:3, 3]
             inst_sphere[inst_id] = (*center_w, r_obj * scale)
@@ -369,6 +422,15 @@ class Scene:
             skin_joints=jnp.asarray(skin_joints),
             skin_weights=jnp.asarray(skin_weights),
             palette=jnp.asarray(self._palette_pool),
+            hair_points=jnp.asarray(
+                self._hair[0] if self._hair else np.zeros((1, 3), np.float32)
+            ),
+            hair_tangents=jnp.asarray(
+                self._hair[1] if self._hair else np.zeros((1, 3), np.float32)
+            ),
+            hair_radius=jnp.asarray(
+                self._hair[2] if self._hair else np.zeros((1,), np.float32)
+            ),
             bvh=self._build_bvh(positions, vertex_instance, world, indices, tri_valid)
             if with_bvh
             else _dummy_bvh(),
@@ -398,7 +460,20 @@ class Scene:
             uses_mr_tex=any(m.mr_tex != 0 for m in mats),
             uses_emissive_tex=any(m.emissive_tex != 0 for m in mats),
             uses_occlusion_tex=any(m.occlusion_tex != 0 for m in mats),
+            has_hair=self._hair is not None,
+            hair_vertex_base=self._hair_vertex_base(),
         )
+
+    def _hair_vertex_base(self) -> int:
+        if self._hair is None:
+            return 0
+        hair_sid = self._hair[3]
+        base = 0
+        for sid, *_ in self.instances:
+            if sid == hair_sid:
+                return base
+            base += self.segments[sid].positions.shape[0]
+        raise ValueError("hair segment has no instance")
 
     def update_animations(self, time: float) -> np.ndarray:
         """Advance all skeletal animations to ``time`` and return the new
