@@ -87,6 +87,10 @@ def make_forward_pipeline(
 
         pipe.add_pass(SSSSPass())
     pipe.add_pass(SkyPass())
+    if cfg.scene.has_translucent:
+        from arkoserenderer_tpu.rendering.passes.translucent import TranslucentPass
+
+        pipe.add_pass(TranslucentPass())
     if fog:
         pipe.add_pass(FogPass())
     if motion_blur:

@@ -60,6 +60,14 @@ class GeometryPass(RenderPass):
                 planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
             ) & ctx.scene.inst_valid
             tri_visible = ctx.scene.tri_valid & inst_visible[ctx.scene.tri_instance]
+            if cfg.scene.has_translucent:
+                # Translucent materials render in their own forward pass.
+                from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT
+
+                mat_of_tri = ctx.scene.inst_material[ctx.scene.tri_instance]
+                tri_visible = tri_visible & (
+                    ctx.scene.materials.blend_mode[mat_of_tri] != BLEND_TRANSLUCENT
+                )
             # Screen mapping uses the FULL frame dims; binning + raster cover
             # only this device's band (h rows at ctx.row_offset).
             setup = raster.setup_triangles(

@@ -43,8 +43,18 @@ class SunShadowPass(RenderPass):
             clip = transform_vertices_clip(
                 ctx.scene, ctx.scene.lights.sun_view_proj, state["geom.positions"]
             )
+            tri_valid = ctx.scene.tri_valid
+            if cfg.scene.has_translucent:
+                # Translucent surfaces don't occlude the sun (no colored
+                # shadow support yet).
+                from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT
+
+                mat_of_tri = ctx.scene.inst_material[ctx.scene.tri_instance]
+                tri_valid = tri_valid & (
+                    ctx.scene.materials.blend_mode[mat_of_tri] != BLEND_TRANSLUCENT
+                )
             setup = raster.setup_triangles(
-                clip, ctx.scene.indices, ctx.scene.tri_valid, s, s,
+                clip, ctx.scene.indices, tri_valid, s, s,
                 cull_backfaces=False,  # avoid peter-panning on single-sided geo
             )
             if shard_axis is None:

@@ -60,6 +60,7 @@ class SceneStatic:
     # Hair ribbons (camera-facing expansion in the Scene pass)
     has_hair: bool = False
     hair_vertex_base: int = 0
+    has_translucent: bool = False
 
 
 @dataclasses.dataclass
@@ -462,6 +463,7 @@ class Scene:
             uses_occlusion_tex=any(m.occlusion_tex != 0 for m in mats),
             has_hair=self._hair is not None,
             hair_vertex_base=self._hair_vertex_base(),
+            has_translucent=any(m.blend_mode == BLEND_TRANSLUCENT for m in mats),
         )
 
     def _hair_vertex_base(self) -> int:
