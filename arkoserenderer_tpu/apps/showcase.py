@@ -33,6 +33,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tonemap", type=str, default="agx",
                    choices=["clamp", "reinhard", "aces", "agx", "khronos_pbr_neutral"])
     p.add_argument("--ssao", action="store_true")
+    p.add_argument("--rt-shadows", action="store_true")
+    p.add_argument("--rt-reflections", action="store_true")
+    p.add_argument("--ddgi", action="store_true")
+    p.add_argument("--ssss", action="store_true")
+    p.add_argument("--fog", action="store_true")
+    p.add_argument("--upscale", type=float, default=None,
+                   help="display scale factor (DLSS-slot spatial upscaler)")
     p.add_argument("--motion-blur", action="store_true")
     p.add_argument("--dof", action="store_true")
     p.add_argument("--no-taa", action="store_true")
@@ -97,10 +104,16 @@ def main(argv=None) -> None:
         shadow_map_size=1024,
         tonemap_mode=args.tonemap,
     )
+    upscale_to = None
+    if args.upscale:
+        upscale_to = (int(args.width * args.upscale), int(args.height * args.upscale))
     r = Renderer(
         scene, cam, cfg,
         taa=not args.no_taa, bloom=not args.no_bloom,
         ssao=args.ssao, motion_blur=args.motion_blur, depth_of_field=args.dof,
+        rt_shadows=args.rt_shadows, rt_reflections=args.rt_reflections,
+        ddgi=True if args.ddgi else None, ssss=args.ssss, fog=args.fog,
+        upscale_to=upscale_to,
         debug_draw=args.debug_draw,
     )
     if args.debug_draw:

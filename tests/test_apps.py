@@ -55,3 +55,23 @@ def test_debug_draw_overlay():
     # Magenta-ish pixels appear somewhere in the upper half.
     magenta = (img[..., 0] > 0.9) & (img[..., 1] < 0.2) & (img[..., 2] > 0.9)
     assert magenta.any()
+
+
+def test_meshviewer_cli(tmp_path, capsys):
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    samples = Path("/root/reference/assets/assets/sample/models")
+    if not samples.exists():
+        _pytest.skip("no sample assets")
+    from arkoserenderer_tpu.apps.meshviewer import main as mv_main
+
+    out = str(tmp_path / "turn_{frame}.png")
+    mv_main([str(samples / "CornellBox" / "CornellBox.gltf"),
+             "--frames", "2", "--size", "64", "--out", out, "--meshlets"])
+    captured = capsys.readouterr()
+    assert "segments:" in captured.out
+    assert "meshlets:" in captured.out
+    assert os.path.exists(out.format(frame=0))
+    assert os.path.exists(out.format(frame=1))
