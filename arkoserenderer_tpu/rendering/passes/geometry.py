@@ -60,6 +60,33 @@ class GeometryPass(RenderPass):
                 planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
             ) & ctx.scene.inst_valid
             tri_visible = ctx.scene.tri_valid & inst_visible[ctx.scene.tri_instance]
+            if cfg.scene.has_meshlets:
+                # Per-meshlet refinement: world-space sphere test + backface
+                # cone test (the task-shader meshlet culling,
+                # meshletVisibilityBuffer.task:24-58).
+                m_inst = ctx.scene.meshlet_instance
+                w_m = ctx.scene.world[m_inst]
+                c_obj = ctx.scene.meshlet_sphere[:, :3]
+                c_w = jnp.einsum("mij,mj->mi", w_m[:, :3, :3], c_obj) + w_m[:, :3, 3]
+                scale = jnp.linalg.norm(w_m[:, :3, :3], axis=1).max(axis=-1)
+                r_w = ctx.scene.meshlet_sphere[:, 3] * scale
+                ml_vis = mx.frustum_test_spheres(planes, c_w, r_w)
+                # Cone: cull when every face points away from the camera.
+                axis_w = mx.normalize(jnp.einsum(
+                    "mij,mj->mi", w_m[:, :3, :3], ctx.scene.meshlet_cone[:, :3]
+                ))
+                cutoff = ctx.scene.meshlet_cone[:, 3]
+                to_cam = ctx.camera.position[None, :] - c_w
+                dist = jnp.linalg.norm(to_cam, axis=-1)
+                cos_view = jnp.sum(axis_w * to_cam, axis=-1) / jnp.maximum(dist, 1e-6)
+                # Conservative: visible unless the most-facing triangle still
+                # points away (standard meshlet cone test with sphere slack).
+                cone_ok = (cutoff < 0.1) | (
+                    cos_view > -jnp.sqrt(jnp.maximum(1.0 - cutoff * cutoff, 0.0))
+                    - r_w / jnp.maximum(dist, 1e-6)
+                )
+                ml_vis = ml_vis & cone_ok & ctx.scene.meshlet_valid
+                tri_visible = tri_visible & ml_vis[ctx.scene.tri_meshlet]
             if cfg.scene.has_translucent:
                 # Translucent materials render in their own forward pass.
                 from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT

@@ -61,6 +61,7 @@ class SceneStatic:
     has_hair: bool = False
     hair_vertex_base: int = 0
     has_translucent: bool = False
+    has_meshlets: bool = False
 
 
 @dataclasses.dataclass
@@ -151,6 +152,7 @@ class SceneArrays(NamedTuple):
     indices: jax.Array          # (Tmax, 3) i32 into the vertex pool
     tri_instance: jax.Array     # (Tmax,) i32
     tri_valid: jax.Array        # (Tmax,) bool
+    tri_meshlet: jax.Array      # (Tmax,) i32 owning meshlet (for culling)
     # Instances (ShaderDrawable analogue)
     world: jax.Array            # (Dmax, 4, 4)
     prev_world: jax.Array       # (Dmax, 4, 4)
@@ -170,6 +172,12 @@ class SceneArrays(NamedTuple):
     skin_joints: jax.Array      # (Vmax, 4) i32 global palette indices
     skin_weights: jax.Array     # (Vmax, 4) f32, all-zero = static vertex
     palette: jax.Array          # (Jmax, 4, 4) joint_world @ inverse_bind
+    # Meshlets (MeshletDataAsset analogue): per-meshlet culling bounds in
+    # OBJECT space + owning instance; transformed for culling per frame.
+    meshlet_sphere: jax.Array   # (Mm, 4) object-space center xyz + radius
+    meshlet_cone: jax.Array     # (Mm, 4) object-space axis xyz + cutoff
+    meshlet_instance: jax.Array # (Mm,) i32
+    meshlet_valid: jax.Array    # (Mm,) bool
     # Hair strands (HairMesh analogue): control points expanded to
     # camera-facing ribbons each frame by the Scene pass.
     hair_points: jax.Array      # (Hp, 3) world-space strand points (or (1,3))
@@ -206,6 +214,7 @@ class Scene:
         self.spots: list[SpotLight] = []
         self.points: list[PointLight] = []
         self._hair: tuple | None = None  # (points, tangents, radius, segment id)
+        self.enable_meshlets = False  # meshlet-granularity culling (build + passes)
         self.env_map: np.ndarray = np.zeros((1, 2, 3), np.float32)
         self.env_brightness: float = 1.0
         self.ambient_lx: float = 0.0
@@ -287,8 +296,9 @@ class Scene:
 
     # -- freeze -----------------------------------------------------------------
 
-    def build(self, with_bvh: bool = False) -> SceneArrays:
+    def build(self, with_bvh: bool = False, with_meshlets: bool | None = None) -> SceneArrays:
         lim = self.limits
+        with_meshlets = self.enable_meshlets if with_meshlets is None else with_meshlets
         vmax, tmax, dmax, mmax = (
             lim.max_vertices,
             lim.max_triangles,
@@ -312,6 +322,9 @@ class Scene:
 
         skin_joints = np.zeros((vmax, 4), np.int32)
         skin_weights = np.zeros((vmax, 4), np.float32)
+        tri_meshlet = np.zeros((tmax,), np.int32)
+        meshlet_list: list[tuple] = []  # (sphere4, cone4, instance)
+        seg_meshlets: dict[int, object] = {}
         self._bindings = []
         palette_cursor = 0
 
@@ -350,6 +363,22 @@ class Scene:
             )
             tri_instance[t_cursor : t_cursor + t] = inst_id
             tri_valid[t_cursor : t_cursor + t] = True
+            if with_meshlets:
+                # Meshlet build (MeshAsset::generateMeshlets) — cached per
+                # segment; culling bounds recorded per INSTANCE.
+                if sid not in seg_meshlets:
+                    from arkoserenderer_tpu.assets.meshopt import build_meshlets
+
+                    seg_meshlets[sid] = build_meshlets(
+                        seg.positions, seg.indices, max_verts=64, max_tris=126
+                    )
+                ml = seg_meshlets[sid]
+                base_ml = len(meshlet_list)
+                for mi in range(ml.count):
+                    o = ml.tri_offset[mi]
+                    c = ml.tri_count[mi]
+                    tri_meshlet[t_cursor + o : t_cursor + o + c] = base_ml + mi
+                    meshlet_list.append((ml.sphere[mi], ml.cone[mi], inst_id))
             world[inst_id] = w
             prev_world[inst_id] = pw if pw is not None else w
             normal_mat[inst_id] = np.linalg.inv(w[:3, :3]).T
@@ -420,6 +449,23 @@ class Scene:
             lights=lights,
             env_map=jnp.asarray(self.env_map),
             env_brightness=jnp.asarray(self.env_brightness, jnp.float32),
+            tri_meshlet=jnp.asarray(tri_meshlet),
+            meshlet_sphere=jnp.asarray(
+                np.array([m[0] for m in meshlet_list], np.float32)
+                if meshlet_list else np.zeros((1, 4), np.float32)
+            ),
+            meshlet_cone=jnp.asarray(
+                np.array([m[1] for m in meshlet_list], np.float32)
+                if meshlet_list else np.array([[0, 0, 1, -1]], np.float32)
+            ),
+            meshlet_instance=jnp.asarray(
+                np.array([m[2] for m in meshlet_list], np.int32)
+                if meshlet_list else np.zeros((1,), np.int32)
+            ),
+            meshlet_valid=jnp.asarray(
+                np.ones(max(len(meshlet_list), 1), bool)
+                if meshlet_list else np.zeros((1,), bool)
+            ),
             skin_joints=jnp.asarray(skin_joints),
             skin_weights=jnp.asarray(skin_weights),
             palette=jnp.asarray(self._palette_pool),
@@ -464,6 +510,7 @@ class Scene:
             has_hair=self._hair is not None,
             hair_vertex_base=self._hair_vertex_base(),
             has_translucent=any(m.blend_mode == BLEND_TRANSLUCENT for m in mats),
+            has_meshlets=self.enable_meshlets,
         )
 
     def _hair_vertex_base(self) -> int:
