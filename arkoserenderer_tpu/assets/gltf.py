@@ -329,6 +329,20 @@ def load_gltf(
                     material_ids[prim["material"]] if "material" in prim else 0
                 ),
             )
+            targets = prim.get("targets", [])
+            if targets:
+                mp, mn = [], []
+                for tgt in targets:
+                    mp.append(
+                        read_accessor(g, tgt["POSITION"]).astype(np.float32)
+                        if "POSITION" in tgt else np.zeros((v, 3), np.float32)
+                    )
+                    mn.append(
+                        read_accessor(g, tgt["NORMAL"]).astype(np.float32)
+                        if "NORMAL" in tgt else np.zeros((v, 3), np.float32)
+                    )
+                seg.morph_pos = np.stack(mp)
+                seg.morph_nrm = np.stack(mn)
             if skin_si is not None and "JOINTS_0" in attrs and "WEIGHTS_0" in attrs:
                 _, remap = skins[skin_si]
                 raw_joints = read_accessor(g, attrs["JOINTS_0"]).astype(np.int64)
@@ -348,7 +362,14 @@ def load_gltf(
         skin_si = doc["nodes"][node_idx].get("skin")
         sids = get_mesh_segments(mesh_index, skin_si)
         segment_ids_all.extend(sids)
-        clip = clip_ids[0] if (skin_si is not None and clip_ids and play_animation) else None
+        has_targets = any(
+            prim.get("targets") for prim in doc["meshes"][mesh_index].get("primitives", [])
+        )
+        clip = (
+            clip_ids[0]
+            if ((skin_si is not None or has_targets) and clip_ids and play_animation)
+            else None
+        )
         # glTF: skinned vertices live in skeleton-root space; the node's own
         # transform does not apply.
         world_eff = root if skin_si is not None else root @ world
@@ -463,6 +484,9 @@ def _import_animations(g: GltfFile, scene: Scene, skins: dict) -> list[int]:
             smp = anim["samplers"][ch["sampler"]]
             times = read_accessor(g, smp["input"]).reshape(-1).astype(np.float32)
             values = read_accessor(g, smp["output"]).astype(np.float32)
+            if path == "weights":
+                # Scalar accessor packs keyframes x morph-target count.
+                values = values.reshape(len(times), -1)
             joint = node_joint[node][1] if path != "weights" else -1
             channels.append(
                 AnimChannel(

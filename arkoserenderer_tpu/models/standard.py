@@ -157,11 +157,15 @@ class Renderer:
         self.time = 0.0
 
     def render_frame(self, delta_time: float = 1 / 60) -> jax.Array:
-        if self.cfg.scene.has_skin:
-            # Host animation -> palette upload (Scene::update analogue).
+        if self.cfg.scene.has_skin or self.cfg.scene.has_morphs:
+            # Host animation -> palette + morph-weight upload
+            # (Scene::update analogue).
             palette = self.scene.update_animations(self.time)
             self.scene_arrays = self.scene_arrays._replace(
-                palette=jnp.asarray(palette)
+                palette=jnp.asarray(palette),
+                morph_weights=jnp.asarray(
+                    np.asarray(self.scene._morph_weights, np.float32)
+                ),
             )
         # Feed back ONLY persistent resources: transients are recomputed by
         # their producing passes, and a stable input pytree keeps the pjit
@@ -188,6 +192,9 @@ class Renderer:
             )
         self.frame_index += 1
         self.time += delta_time
+        # NOTE: the returned array's buffer may be recycled by the NEXT
+        # render (persistent-state donation). Use np.array(...) to keep a
+        # frame across renders; np.asarray views alias device memory.
         return self.state["LDR"]
 
     def render_frames(self, n: int) -> jax.Array:

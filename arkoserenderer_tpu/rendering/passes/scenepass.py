@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from arkoserenderer_tpu.core import mathx as mx
-from arkoserenderer_tpu.ops.skinning import skin_vertices
+from arkoserenderer_tpu.ops.skinning import apply_morphs, skin_vertices
 from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
 from arkoserenderer_tpu.rendering.registry import Registry
 
@@ -31,9 +31,18 @@ class ScenePass(RenderPass):
         has_skin = cfg.scene.has_skin
         has_hair = cfg.scene.has_hair
         hair_base = cfg.scene.hair_vertex_base
+        has_morphs = cfg.scene.has_morphs
+        morph_base = cfg.scene.morph_vertex_base
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             s = ctx.scene
+            if has_morphs:
+                # Morph blend BEFORE skinning, like skinning.comp's order.
+                p0, n0 = apply_morphs(
+                    s.positions, s.normals, s.morph_pos, s.morph_nrm,
+                    s.morph_weights, morph_base,
+                )
+                s = s._replace(positions=p0, normals=n0)
             if has_skin:
                 p, n, t = skin_vertices(
                     s.positions, s.normals, s.tangents,

@@ -62,6 +62,9 @@ class SceneStatic:
     hair_vertex_base: int = 0
     has_translucent: bool = False
     has_meshlets: bool = False
+    # Morph targets (one morphed block per scene for now)
+    has_morphs: bool = False
+    morph_vertex_base: int = 0
 
 
 @dataclasses.dataclass
@@ -103,6 +106,8 @@ class MeshSegment:
     skin_joints: np.ndarray | None = None   # (V, 4) i32 into its skeleton
     skin_weights: np.ndarray | None = None  # (V, 4) f32
     skeleton: int = -1              # Scene.skeletons index when skinned
+    morph_pos: np.ndarray | None = None     # (B, V, 3) position deltas
+    morph_nrm: np.ndarray | None = None     # (B, V, 3) normal deltas
 
     def __post_init__(self):
         v = self.positions.shape[0]
@@ -178,6 +183,11 @@ class SceneArrays(NamedTuple):
     meshlet_cone: jax.Array     # (Mm, 4) object-space axis xyz + cutoff
     meshlet_instance: jax.Array # (Mm,) i32
     meshlet_valid: jax.Array    # (Mm,) bool
+    # Morph targets (MorphTargetAsset analogue): deltas for one contiguous
+    # vertex block; weights are animated host-side and uploaded per frame.
+    morph_pos: jax.Array        # (B, Vm, 3) position deltas (or (1,1,3))
+    morph_nrm: jax.Array        # (B, Vm, 3) normal deltas
+    morph_weights: jax.Array    # (B,)
     # Hair strands (HairMesh analogue): control points expanded to
     # camera-facing ribbons each frame by the Scene pass.
     hair_points: jax.Array      # (Hp, 3) world-space strand points (or (1,3))
@@ -215,6 +225,10 @@ class Scene:
         self.points: list[PointLight] = []
         self._hair: tuple | None = None  # (points, tangents, radius, segment id)
         self.enable_meshlets = False  # meshlet-granularity culling (build + passes)
+        self._morph_weights = np.zeros((1,), np.float32)
+        self._morph_base = 0
+        self._morph_seg: int | None = None
+        self._morph_clip: int | None = None
         self.env_map: np.ndarray = np.zeros((1, 2, 3), np.float32)
         self.env_brightness: float = 1.0
         self.ambient_lx: float = 0.0
@@ -323,6 +337,8 @@ class Scene:
         skin_joints = np.zeros((vmax, 4), np.int32)
         skin_weights = np.zeros((vmax, 4), np.float32)
         tri_meshlet = np.zeros((tmax,), np.int32)
+        self._morph_base = 0
+        self._morph_seg: int | None = None
         meshlet_list: list[tuple] = []  # (sphere4, cone4, instance)
         seg_meshlets: dict[int, object] = {}
         self._bindings = []
@@ -342,6 +358,13 @@ class Scene:
             uvs[v_cursor : v_cursor + v] = seg.uvs
             tangents[v_cursor : v_cursor + v] = seg.tangents
             vertex_instance[v_cursor : v_cursor + v] = inst_id
+            if seg.morph_pos is not None and self._morph_seg is None:
+                self._morph_base = v_cursor
+                self._morph_seg = sid
+                self._morph_clip = clip
+                self._morph_weights = np.zeros(
+                    (seg.morph_pos.shape[0],), np.float32
+                ) if self._morph_weights.shape[0] != seg.morph_pos.shape[0] else self._morph_weights
             if seg.skeleton >= 0:
                 # Per-instance skeletal palette range (the reference's
                 # per-instance skeletal copies, VertexManager
@@ -449,6 +472,18 @@ class Scene:
             lights=lights,
             env_map=jnp.asarray(self.env_map),
             env_brightness=jnp.asarray(self.env_brightness, jnp.float32),
+            morph_pos=jnp.asarray(
+                self.segments[self._morph_seg].morph_pos
+                if self._morph_seg is not None else np.zeros((1, 1, 3), np.float32)
+            ),
+            morph_nrm=jnp.asarray(
+                self.segments[self._morph_seg].morph_nrm
+                if self._morph_seg is not None else np.zeros((1, 1, 3), np.float32)
+            ),
+            morph_weights=jnp.asarray(
+                self._morph_weights
+                if self._morph_seg is not None else np.zeros((1,), np.float32)
+            ),
             tri_meshlet=jnp.asarray(tri_meshlet),
             meshlet_sphere=jnp.asarray(
                 np.array([m[0] for m in meshlet_list], np.float32)
@@ -511,7 +546,17 @@ class Scene:
             hair_vertex_base=self._hair_vertex_base(),
             has_translucent=any(m.blend_mode == BLEND_TRANSLUCENT for m in mats),
             has_meshlets=self.enable_meshlets,
+            has_morphs=any(s.morph_pos is not None for s in self.segments),
+            morph_vertex_base=self._morph_base_for_static(),
         )
+
+    def _morph_base_for_static(self) -> int:
+        base = 0
+        for sid, *_ in self.instances:
+            if self.segments[sid].morph_pos is not None:
+                return base
+            base += self.segments[sid].positions.shape[0]
+        return 0
 
     def _hair_vertex_base(self) -> int:
         if self._hair is None:
@@ -524,6 +569,9 @@ class Scene:
             base += self.segments[sid].positions.shape[0]
         raise ValueError("hair segment has no instance")
 
+    def set_morph_weights(self, weights: np.ndarray):
+        self._morph_weights = np.asarray(weights, np.float32)
+
     def update_animations(self, time: float) -> np.ndarray:
         """Advance all skeletal animations to ``time`` and return the new
         (MAX_JOINTS, 4, 4) palette pool (Scene::update analogue). The caller
@@ -533,9 +581,22 @@ class Scene:
         for skel_id, base, clip_id in self._bindings:
             skel = self.skeletons[skel_id]
             clip = self.animations[clip_id] if clip_id is not None else None
-            self._palette_pool[base : base + skel.num_joints] = evaluate_pose(
-                skel, clip, time
-            )[0]
+            palette, morph = evaluate_pose(skel, clip, time)
+            self._palette_pool[base : base + skel.num_joints] = palette
+            if morph is not None:
+                self._morph_weights = morph
+        if self._morph_clip is not None:
+            # Morph-only animation (no skeleton): sample weights channels.
+            from arkoserenderer_tpu.scene.animation import sample_channel
+
+            clip = self.animations[self._morph_clip]
+            d = clip.duration
+            t = time % d if d > 0 else time
+            for ch in clip.channels:
+                if ch.path == "weights":
+                    self._morph_weights = np.asarray(
+                        sample_channel(ch, t), np.float32
+                    ).reshape(-1)
         return self._palette_pool
 
     def bounding_sphere(self) -> tuple[np.ndarray, float]:

@@ -149,9 +149,9 @@ def test_cesium_man_animates():
         shadow_map_size=128,
     )
     r = Renderer(scene, cam, cfg, taa=False, bloom=False)
-    img0 = np.asarray(r.render_frame(delta_time=0.4))
-    img1 = np.asarray(r.render_frame(delta_time=0.4))
-    img2 = np.asarray(r.render_frame(delta_time=0.4))
+    img0 = np.array(r.render_frame(delta_time=0.4))
+    img1 = np.array(r.render_frame(delta_time=0.4))
+    img2 = np.array(r.render_frame(delta_time=0.4))
     vis = np.asarray(r.state["Visibility"])
     assert (vis >= 0).mean() > 0.02  # character visible
     # Animation actually moves geometry between frames.

@@ -51,7 +51,7 @@ def test_debug_draw_overlay():
     scene, cam = build_test_scene(viewport=(128, 128))
     r = Renderer(scene, cam, CFG, taa=False, bloom=False, debug_draw=True)
     r.debug.line((-2, 3.0, 0), (2, 3.0, 0), color=(1.0, 0.0, 1.0))
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     # Magenta-ish pixels appear somewhere in the upper half.
     magenta = (img[..., 0] > 0.9) & (img[..., 1] < 0.2) & (img[..., 2] > 0.9)
     assert magenta.any()

@@ -136,7 +136,7 @@ def test_ies_spot_in_pipeline():
                          raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256),
                          shadow_map_size=128)
     r = Renderer(scene, cam, cfg, taa=False, bloom=False)
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     assert np.isfinite(img).all()
 
 
@@ -167,6 +167,6 @@ def test_color_grade_lut_in_output():
         if isinstance(p, OutputPass):
             r.pipeline.passes[i] = OutputPass(color_grade_lut=lut)
     r.pipeline.construct_all()
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     assert img[..., 2].max() < 1e-5
     assert img[..., 0].max() > 0.05

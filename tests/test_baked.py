@@ -59,7 +59,7 @@ def test_skinned_gltf_roundtrip_renders(tmp_path):
                          raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=512),
                          shadow_map_size=128)
     r = Renderer(loaded, cam, cfg, taa=False, bloom=False)
-    img = np.asarray(r.render_frame(delta_time=0.3))
+    img = np.array(r.render_frame(delta_time=0.3))
     assert np.isfinite(img).all()
 
 

@@ -64,7 +64,7 @@ def test_debug_visualize_modes(mode):
     r = Renderer(scene, cam, CFG, taa=False, bloom=False)
     r.pipeline.passes.append(DebugVisualizePass(mode))
     r.pipeline.construct_all()
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     assert np.isfinite(img).all()
     assert img.min() >= 0.0 and img.max() <= 1.0
     assert img.std() > 0.01  # something visible

@@ -98,7 +98,7 @@ def test_cornell_interior_renders():
         shadow_map_size=256,
     )
     r = Renderer(scene, cam, cfg, taa=False, bloom=False)
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     assert np.isfinite(img).all()
     vis = np.asarray(r.state["Visibility"])
     assert (vis >= 0).mean() > 0.5  # inside the atrium, mostly geometry

@@ -28,18 +28,18 @@ def render_cases():
     def forward():
         scene, cam = build_test_scene(viewport=(96, 96))
         r = Renderer(scene, cam, CFG, taa=False, bloom=False)
-        return np.asarray(r.render_frame())
+        return np.array(r.render_frame())
 
     def full_post():
         scene, cam = build_test_scene(viewport=(96, 96))
         r = Renderer(scene, cam, CFG, ssao=True, motion_blur=True)
-        return np.asarray(r.render_frames(3))
+        return np.array(r.render_frames(3))
 
     def rt():
         scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
         r = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
                      ddgi=True, taa=False, bloom=False)
-        return np.asarray(r.render_frames(2))
+        return np.array(r.render_frames(2))
 
     def pathtraced():
         from arkoserenderer_tpu.models.pathtracer import PathTracer
@@ -47,7 +47,7 @@ def render_cases():
         scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
         t = PathTracer(scene, cam, 96, 96, max_bounces=2, seed=7)
         t.render_sample(4)
-        return np.asarray(t.ldr())
+        return np.array(t.ldr())
 
     return {
         "forward": forward,

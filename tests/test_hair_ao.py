@@ -37,7 +37,7 @@ def test_hair_renders_and_faces_camera():
     add_test_hair(scene)
     assert scene.static_info().has_hair
     r = Renderer(scene, cam, CFG, taa=False, bloom=False)
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     assert np.isfinite(img).all()
     # Hair instance is the last one; its triangles must appear on screen.
     vis = np.asarray(r.state["Visibility"])

@@ -19,11 +19,11 @@ def test_meshlet_culling_image_matches():
     scene.enable_meshlets = True
     r = Renderer(scene, cam, CFG, taa=False, bloom=False)
     assert r.cfg.scene.has_meshlets
-    img_m = np.asarray(r.render_frame())
+    img_m = np.array(r.render_frame())
 
     scene2, cam2 = build_test_scene(viewport=(96, 96))
     r2 = Renderer(scene2, cam2, CFG, taa=False, bloom=False)
-    img = np.asarray(r2.render_frame())
+    img = np.array(r2.render_frame())
     # Conservative culling must not change the image.
     np.testing.assert_allclose(img_m, img, atol=1e-5)
 

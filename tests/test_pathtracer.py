@@ -17,11 +17,11 @@ def tracer():
 
 def test_progressive_accumulation_converges(tracer):
     tracer.render_sample(2)
-    a = np.asarray(tracer.radiance())
+    a = np.array(tracer.radiance())
     tracer.render_sample(6)
-    b = np.asarray(tracer.radiance())
+    b = np.array(tracer.radiance())
     tracer.render_sample(8)
-    c = np.asarray(tracer.radiance())
+    c = np.array(tracer.radiance())
     assert np.isfinite(c).all()
     # Variance between successive estimates decreases with samples.
     d_ab = np.abs(b - a).mean()
@@ -31,7 +31,7 @@ def test_progressive_accumulation_converges(tracer):
 
 
 def test_image_is_lit_and_ldr_valid(tracer):
-    ldr = np.asarray(tracer.ldr())
+    ldr = np.array(tracer.ldr())
     assert ldr.shape == (H, W, 3)
     assert 0.05 < ldr.mean() < 0.95
     assert ldr.std() > 0.05
@@ -53,7 +53,7 @@ def test_indirect_light_present():
     scene.sun = None
     tr = PathTracer(scene, cam, W, H, max_bounces=2)
     tr.render_sample(8)
-    img = np.asarray(tr.radiance())
+    img = np.array(tr.radiance())
     assert img.mean() > 1e-3  # sky lighting reaches surfaces
 
 
@@ -72,11 +72,11 @@ def test_matches_raster_rough_energy():
         shadow_map_size=128,
     )
     r = Renderer(scene, cam, cfg, taa=False, bloom=False)
-    raster_img = np.asarray(r.render_frame())
+    raster_img = np.array(r.render_frame())
 
     scene2, cam2 = build_test_scene(viewport=(W, H))
     tr = PathTracer(scene2, cam2, W, H, max_bounces=2)
     tr.render_sample(8)
-    pt_img = np.asarray(tr.ldr())
+    pt_img = np.array(tr.ldr())
     ratio = pt_img.mean() / raster_img.mean()
     assert 0.33 < ratio < 3.0, f"brightness mismatch: {ratio}"

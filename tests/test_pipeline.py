@@ -25,7 +25,7 @@ def renderer():
 
 
 def test_renders_valid_image(renderer):
-    img = np.asarray(renderer.render_frame())
+    img = np.array(renderer.render_frame())
     assert img.shape == (H, W, 3)
     assert np.all(np.isfinite(img))
     assert np.all(img >= 0.0) and np.all(img <= 1.0)
@@ -60,8 +60,8 @@ def test_shadows_darken_ground(renderer):
 def test_taa_converges_and_stays_stable(renderer):
     for _ in range(5):  # let history converge over the jitter sequence
         renderer.render_frame()
-    a = np.asarray(renderer.render_frame())
-    b = np.asarray(renderer.render_frame())
+    a = np.array(renderer.render_frame())
+    b = np.array(renderer.render_frame())
     # Static scene + camera: consecutive TAA'd frames differ only slightly
     # (jitter-induced differences are smoothed by history).
     assert np.abs(a - b).mean() < 0.01
@@ -83,5 +83,5 @@ def test_deterministic_rerender():
     scene2, cam2 = build_test_scene(viewport=(W, H))
     r2 = Renderer(scene2, cam2, CFG)
     a = np.asarray(r1.render_frame())
-    b = np.asarray(r2.render_frame())
+    b = np.array(r2.render_frame())
     np.testing.assert_array_equal(a, b)

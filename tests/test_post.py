@@ -27,7 +27,7 @@ def test_full_post_chain_renders():
         ssao=True, fog=True, motion_blur=True, depth_of_field=True,
         fxaa=True, cas=True, film_grain=0.01,
     )
-    img = np.asarray(r.render_frames(2))
+    img = np.array(r.render_frames(2))
     assert np.isfinite(img).all()
     assert 0.02 < img.mean() < 0.98
     assert img.std() > 0.03
@@ -74,7 +74,7 @@ def test_motion_blur_streaks_moving_camera():
     # Move the camera laterally -> velocity != 0 -> blur changes the image
     # more than a static re-render would.
     cam.position = cam.position + np.array([0.4, 0.0, 0.0], np.float32)
-    a = np.asarray(r.render_frame())
+    a = np.array(r.render_frame())
     vel = np.asarray(r.state["SceneVelocity"])
     assert np.abs(vel).max() > 1.0  # real motion vectors
 
@@ -89,7 +89,7 @@ def test_dof_blurs_defocused_background():
         cam.f_number = 1.4
         cam.focus_depth = 2.0
         r = Renderer(scene, cam, CFG, depth_of_field=enabled, taa=False, bloom=False)
-        return np.asarray(r.render_frame())
+        return np.array(r.render_frame())
 
     img_dof = make(True)
     img_ref = make(False)
@@ -127,6 +127,6 @@ def test_fog_fades_distant_geometry():
     r = Renderer(scene, cam, CFG, fog=True, taa=False, bloom=False)
     r_nofog_scene, cam2 = build_test_scene(viewport=(W, H))
     r2 = Renderer(r_nofog_scene, cam2, CFG, fog=False, taa=False, bloom=False)
-    a = np.asarray(r.render_frame())
-    b = np.asarray(r2.render_frame())
+    a = np.array(r.render_frame())
+    b = np.array(r2.render_frame())
     assert np.abs(a - b).mean() > 1e-4  # fog visibly changes the frame

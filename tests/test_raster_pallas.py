@@ -78,7 +78,7 @@ def test_pipeline_with_pallas_raster():
     )
     scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
     r = Renderer(scene, cam, cfg_p, taa=False, bloom=False)
-    img_pallas = np.asarray(r.render_frame())
+    img_pallas = np.array(r.render_frame())
 
     cfg_x = PipelineConfig(
         width=96, height=96,
@@ -88,5 +88,5 @@ def test_pipeline_with_pallas_raster():
     )
     scene2, cam2 = build_test_scene(viewport=(96, 96), n_spheres=1)
     r2 = Renderer(scene2, cam2, cfg_x, taa=False, bloom=False)
-    img_xla = np.asarray(r2.render_frame())
+    img_xla = np.array(r2.render_frame())
     np.testing.assert_allclose(img_pallas, img_xla, atol=1e-5)

@@ -40,7 +40,7 @@ def test_rt_reflections_on_mirror_sphere():
     scene.materials[1].roughness_factor = 0.05
     scene.materials[1].metallic_factor = 1.0
     r = Renderer(scene, cam, CFG, rt_reflections=True, taa=False, bloom=False)
-    img = np.asarray(r.render_frame())
+    img = np.array(r.render_frame())
     refl = np.asarray(r.state["SceneReflections"])
     assert np.isfinite(refl).all()
     assert refl.max() > 0.01  # reflections actually contribute
@@ -50,10 +50,10 @@ def test_rt_reflections_on_mirror_sphere():
 def test_ddgi_probe_update_and_sampling():
     scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
     r = Renderer(scene, cam, CFG, ddgi=True, taa=False, bloom=False)
-    img1 = np.asarray(r.render_frame())
+    img1 = np.array(r.render_frame())
     irr1 = np.asarray(r.state["DDGI.irradiance"])
     for _ in range(4):
-        img = np.asarray(r.render_frame())
+        img = np.array(r.render_frame())
     irr2 = np.asarray(r.state["DDGI.irradiance"])
     assert np.isfinite(irr2).all()
     assert irr2.max() > 0.0            # probes received light

@@ -29,7 +29,7 @@ def test_sharded_matches_single_device(n_devices):
 
     scene2, cam2 = build_test_scene(viewport=(W, H))
     shr = ShardedRenderer(scene2, cam2, CFG, n_devices=n_devices, bloom=False)
-    b = np.asarray(shr.render_frame())
+    b = np.array(shr.render_frame())
 
     assert b.shape == (H, W, 3)
     mism = np.abs(a - b) > 1e-5
@@ -40,6 +40,6 @@ def test_sharded_multi_frame_stable():
     scene, cam = build_test_scene(viewport=(W, H))
     shr = ShardedRenderer(scene, cam, CFG, n_devices=8, bloom=False)
     for _ in range(3):
-        img = np.asarray(shr.render_frame())
+        img = np.array(shr.render_frame())
     assert np.all(np.isfinite(img))
     assert 0.05 < img.mean() < 0.95

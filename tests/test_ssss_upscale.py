@@ -18,12 +18,12 @@ def test_ssss_blurs_only_subsurface_materials():
     scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
     scene.materials[2].subsurface = 1.0  # the sphere becomes "skin"
     r = Renderer(scene, cam, CFG, ssss=True, taa=False, bloom=False)
-    img_sss = np.asarray(r.render_frame())
+    img_sss = np.array(r.render_frame())
 
     scene2, cam2 = build_test_scene(viewport=(96, 96), n_spheres=1)
     scene2.materials[2].subsurface = 1.0
     r2 = Renderer(scene2, cam2, CFG, ssss=False, taa=False, bloom=False)
-    img_ref = np.asarray(r2.render_frame())
+    img_ref = np.array(r2.render_frame())
 
     mat = np.asarray(r.state["SceneMaterial"])
     skin = mat[..., 3] > 0.5

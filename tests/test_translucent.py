@@ -34,15 +34,15 @@ def test_translucency_blends_not_occludes():
     scene, cam = scene_with_glass(0.5)
     assert scene.static_info().has_translucent
     r = Renderer(scene, cam, CFG, taa=False, bloom=False)
-    img_glass = np.asarray(r.render_frame())
+    img_glass = np.array(r.render_frame())
 
     scene_op, cam2 = scene_with_glass(0.0)  # fully transparent
     r2 = Renderer(scene_op, cam2, CFG, taa=False, bloom=False)
-    img_clear = np.asarray(r2.render_frame())
+    img_clear = np.array(r2.render_frame())
 
     scene3, cam3 = build_test_scene(viewport=(96, 96), n_spheres=1)
     r3 = Renderer(scene3, cam3, CFG, taa=False, bloom=False)
-    img_none = np.asarray(r3.render_frame())
+    img_none = np.array(r3.render_frame())
 
     # alpha=0 glass leaves the image essentially unchanged (tiny drift is
     # allowed: the extra instance enlarges the scene bounds, refitting the
