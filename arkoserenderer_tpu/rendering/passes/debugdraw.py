@@ -49,6 +49,14 @@ class DebugLineBuffer:
         for i, j in edges:
             self.line(c[i], c[j], color)
 
+    def grid(self, size: float = 10.0, step: float = 1.0, y: float = 0.0,
+             color=(0.35, 0.35, 0.38)):
+        """Editor ground grid (EditorGridRenderNode analogue)."""
+        n = int(size / step)
+        for i in range(-n, n + 1):
+            self.line((-size, y, i * step), (size, y, i * step), color)
+            self.line((i * step, y, -size), (i * step, y, size), color)
+
     def axes(self, origin=(0, 0, 0), size=1.0):
         o = np.asarray(origin, np.float32)
         self.line(o, o + [size, 0, 0], (1, 0.2, 0.2))

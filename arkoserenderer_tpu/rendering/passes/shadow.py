@@ -44,6 +44,12 @@ class SunShadowPass(RenderPass):
                 ctx.scene, ctx.scene.lights.sun_view_proj, state["geom.positions"]
             )
             tri_valid = ctx.scene.tri_valid
+            # Light-frustum culling (DirectionalShadowDrawNode's culling).
+            planes = mx.frustum_planes_from_matrix(ctx.scene.lights.sun_view_proj)
+            inst_vis = mx.frustum_test_spheres(
+                planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
+            ) & ctx.scene.inst_valid
+            tri_valid = tri_valid & inst_vis[ctx.scene.tri_instance]
             if cfg.scene.has_translucent:
                 # Translucent surfaces don't occlude the sun (no colored
                 # shadow support yet).
