@@ -84,3 +84,23 @@ def test_octahedral_roundtrip(rng):
     back = np.asarray(octahedral_decode(uv))
     np.testing.assert_allclose(back, d, atol=1e-5)
     assert float(jnp.min(uv)) >= 0.0 and float(jnp.max(uv)) <= 1.0
+
+
+def test_ddgi_probe_debug_overlay():
+    from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
+    from arkoserenderer_tpu.rendering.passes.ddgi_debug import DDGIProbeDebugPass
+
+    scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+    center, radius = scene.bounding_sphere()
+    grid = ProbeGridConfig.fit_bounds(center, radius, dims=(4, 2, 4))
+    r = Renderer(scene, cam, CFG, ddgi=grid, taa=False, bloom=False)
+    r.pipeline.passes.append(DDGIProbeDebugPass(grid, xray=True))
+    r.pipeline.construct_all()
+    r.state = r.pipeline.initial_state()
+    img_dbg = np.array(r.render_frames(2))
+    assert np.isfinite(img_dbg).all()
+    # Re-render without the debug pass: the overlay changed some pixels.
+    scene2, cam2 = build_test_scene(viewport=(W, H), n_spheres=1)
+    r2 = Renderer(scene2, cam2, CFG, ddgi=grid, taa=False, bloom=False)
+    img = np.array(r2.render_frames(2))
+    assert np.abs(img_dbg - img).max() > 0.02
