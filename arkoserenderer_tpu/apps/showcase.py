@@ -30,6 +30,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--gltf", type=str, default=None, help="render a glTF file")
     p.add_argument("--pathtracer", action="store_true", help="ground-truth mode")
     p.add_argument("--samples", type=int, default=32, help="path tracer spp")
+    p.add_argument("--texture-quality", type=str, default="trilinear",
+                   choices=["trilinear", "bilinear"],
+                   help="texture filter: trilinear (8 taps) or nearest-mip bilinear (4 taps, faster)")
     p.add_argument("--tonemap", type=str, default="agx",
                    choices=["clamp", "reinhard", "aces", "agx", "khronos_pbr_neutral"])
     p.add_argument("--ssao", action="store_true")
@@ -103,6 +106,7 @@ def main(argv=None) -> None:
         raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=512),
         shadow_map_size=1024,
         tonemap_mode=args.tonemap,
+        texture_quality=args.texture_quality,
     )
     upscale_to = None
     if args.upscale:

@@ -65,6 +65,7 @@ def shade_visibility_buffer(
     n_spots: int | None = None,            # static light counts (loop unroll)
     n_points: int | None = None,
     tex_flags=None,                        # SceneStatic texture-usage flags
+    texture_quality: str = "trilinear",
 ) -> GBuffer:
     positions = scene.positions if positions is None else positions
     normals = scene.normals if normals is None else normals
@@ -109,15 +110,17 @@ def shade_visibility_buffer(
     def _use(flag, default=True):
         return default if tex_flags is None else getattr(tex_flags, flag)
 
+    tq = texture_quality
     if _use("uses_base_tex"):
-        base_tex = tx.sample_grad(scene.textures, m.base_color_tex[mat_id], uv, duv_dx, duv_dy)
+        base_tex = tx.sample_grad(scene.textures, m.base_color_tex[mat_id], uv, duv_dx, duv_dy, quality=tq)
         base_color = base_tex[:, :3] * m.base_color_factor[mat_id][:, :3]
     else:
         base_color = m.base_color_factor[mat_id][:, :3]
 
     if _use("uses_mr_tex"):
         mr_tex = tx.sample_grad(
-            scene.textures, m.mr_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
+            scene.textures, m.mr_tex[mat_id], uv, duv_dx, duv_dy,
+            decode_srgb=False, quality=tq,
         )
         roughness = jnp.clip(mr_tex[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.0, 1.0)
         metallic = jnp.clip(mr_tex[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
@@ -126,14 +129,17 @@ def shade_visibility_buffer(
         metallic = jnp.clip(m.metallic_factor[mat_id][:, None], 0.0, 1.0)
 
     if _use("uses_emissive_tex", False):
-        emissive_tex = tx.sample_grad(scene.textures, m.emissive_tex[mat_id], uv, duv_dx, duv_dy)
+        emissive_tex = tx.sample_grad(
+            scene.textures, m.emissive_tex[mat_id], uv, duv_dx, duv_dy, quality=tq
+        )
         emissive = emissive_tex[:, :3] * m.emissive_factor[mat_id]
     else:
         emissive = m.emissive_factor[mat_id]
 
     if _use("uses_occlusion_tex", False):
         occl_tex = tx.sample_grad(
-            scene.textures, m.occlusion_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
+            scene.textures, m.occlusion_tex[mat_id], uv, duv_dx, duv_dy,
+            decode_srgb=False, quality=tq,
         )
         occlusion = occl_tex[:, 0:1]
     else:
@@ -142,7 +148,8 @@ def shade_visibility_buffer(
     # -- normal mapping (MikkT-style TBN) ----------------------------------------
     if _use("uses_normal_tex"):
         nrm_tex = tx.sample_grad(
-            scene.textures, m.normal_tex[mat_id], uv, duv_dx, duv_dy, decode_srgb=False
+            scene.textures, m.normal_tex[mat_id], uv, duv_dx, duv_dy,
+            decode_srgb=False, quality=tq,
         )
         n_ts = nrm_tex[:, :3] * 2.0 - 1.0
         bitan = jnp.cross(world_nrm, world_tan) * obj_tan[:, 3:4]

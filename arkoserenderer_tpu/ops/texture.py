@@ -246,6 +246,21 @@ def sample_trilinear(
     return c0 * (1 - f) + c1 * f
 
 
+def sample_bilinear_nearest_mip(
+    pool: TexturePool,
+    tex_id: jax.Array,
+    uv: jax.Array,
+    lod: jax.Array,
+    decode_srgb: bool = True,
+) -> jax.Array:
+    """4-tap bilinear at the rounded mip (half the taps of trilinear; mip
+    transitions pop slightly — TAA hides it; the performance-quality knob
+    analogous to the reference's sampler filter settings)."""
+    max_lod = (pool.n_mips[tex_id] - 1).astype(jnp.float32)
+    l0 = jnp.clip(jnp.round(lod), 0.0, max_lod).astype(jnp.int32)
+    return _fetch_bilinear(pool, tex_id, l0, uv, decode_srgb)
+
+
 def sample_grad(
     pool: TexturePool,
     tex_id: jax.Array,
@@ -253,7 +268,12 @@ def sample_grad(
     duv_dx: jax.Array,
     duv_dy: jax.Array,
     decode_srgb: bool = True,
+    quality: str = "trilinear",
 ) -> jax.Array:
-    """Gradient-correct trilinear sample (the standard material-texture path)."""
+    """Gradient-correct sample (the standard material-texture path)."""
+    if quality not in ("trilinear", "bilinear"):
+        raise ValueError(f"unknown texture quality {quality!r} (trilinear|bilinear)")
     lod = compute_lod(pool, tex_id, duv_dx, duv_dy)
+    if quality == "bilinear":
+        return sample_bilinear_nearest_mip(pool, tex_id, uv, lod, decode_srgb)
     return sample_trilinear(pool, tex_id, uv, lod, decode_srgb=decode_srgb)

@@ -33,6 +33,7 @@ class VisibilityShadingPass(RenderPass):
         n_spots = cfg.scene.n_spots
         n_points = cfg.scene.n_points
         tex_flags = cfg.scene
+        texture_quality = cfg.texture_quality
         use_shadow = reg.has("ShadowMap.sun")
         if use_shadow:
             reg.get("ShadowMap.sun")
@@ -65,6 +66,7 @@ class VisibilityShadingPass(RenderPass):
                 n_spots=n_spots,
                 n_points=n_points,
                 tex_flags=tex_flags,
+                texture_quality=texture_quality,
             )
             return {
                 "SceneColor": gb.color.reshape(h, w, 3),

@@ -56,6 +56,7 @@ class PipelineConfig:
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     shadow_map_size: int = 2048
     tonemap_mode: str = "agx"
+    texture_quality: str = "trilinear"  # or "bilinear" (4 taps, ~2x cheaper)
     # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the
     # pipeline renders a HORIZONTAL BAND of a taller frame — ``height`` is
     # the band height, ``full_height`` the whole frame, and each device's

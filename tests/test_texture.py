@@ -95,3 +95,23 @@ def test_default_textures_exist():
     np.testing.assert_allclose(out[0], [1, 1, 1, 1], atol=1e-3)         # white
     np.testing.assert_allclose(out[1], [0, 0, 0, 1], atol=1e-3)         # black
     np.testing.assert_allclose(out[2][:3], [0.502, 0.502, 1.0], atol=1e-2)  # flat normal
+
+
+def test_bilinear_quality_close_to_trilinear(rng):
+    """texture_quality="bilinear" (nearest-mip, 4 taps) must stay close to
+    trilinear — it only drops the cross-mip lerp, so error is bounded by the
+    difference between adjacent mips."""
+    b = tx.TexturePoolBuilder(max_textures=8, pool_capacity=65536)
+    img = (rng.random((64, 64, 4)) * 255).astype(np.uint8)
+    tid = b.add(img, srgb=False)
+    pool = b.finalize()
+    n = 256
+    uv = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    # Mid-chain LOD: worst case for nearest-mip popping.
+    duv = jnp.full((n, 2), 4.0 / 64.0, jnp.float32)  # ~LOD 2
+    tri = tx.sample_grad(pool, jnp.full((n,), tid, jnp.int32), uv, duv, duv * 0)
+    bil = tx.sample_grad(
+        pool, jnp.full((n,), tid, jnp.int32), uv, duv, duv * 0, quality="bilinear"
+    )
+    assert jnp.max(jnp.abs(tri - bil)) < 0.35
+    assert jnp.mean(jnp.abs(tri - bil)) < 0.08
