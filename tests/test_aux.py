@@ -4,6 +4,7 @@ asset formats (cube LUT, IES, hair), IES-lit spots, LUT grading."""
 import numpy as np
 import jax.numpy as jnp
 
+from arkoserenderer_tpu.assets import external as ext
 from arkoserenderer_tpu.assets.external import CubeLUT, HairFile, IESProfile, apply_lut3d
 from arkoserenderer_tpu.core import taskgraph
 from arkoserenderer_tpu.utils import memstats, profiling
@@ -170,3 +171,79 @@ def test_color_grade_lut_in_output():
     img = np.array(r.render_frame())
     assert img[..., 2].max() < 1e-5
     assert img[..., 0].max() > 0.05
+
+
+# ---------------------------------------------------------------------------
+# DDS images
+
+
+def _dds_header(width, height, n_mips, *, fourcc=None, bitcount=0, masks=None):
+    import struct
+
+    pf_flags = 0x4 if fourcc else 0x40 | 0x1
+    rm, gm, bm, am = masks or (0, 0, 0, 0)
+    pf = struct.pack(
+        "<II4sIIIII", 32, pf_flags, fourcc or b"\0\0\0\0", bitcount, rm, gm, bm, am
+    )
+    hdr = struct.pack("<7I", 124, 0x21007, height, width, 0, 0, n_mips)
+    return b"DDS " + hdr + b"\0" * 44 + pf + b"\0" * 20
+
+
+def test_dds_uncompressed_rgba_with_mips():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    mip1 = img[::2, ::2]
+    # BGRA layout (the common uncompressed DDS)
+    def pack(m):
+        u = (m[..., 2].astype(np.uint32) | (m[..., 1].astype(np.uint32) << 8)
+             | (m[..., 0].astype(np.uint32) << 16) | (m[..., 3].astype(np.uint32) << 24))
+        return u.astype("<u4").tobytes()
+
+    data = _dds_header(8, 8, 2, bitcount=32,
+                       masks=(0xFF0000, 0xFF00, 0xFF, 0xFF000000))
+    data += pack(img) + pack(mip1)
+    dds = ext.DDSImage.parse(data)
+    assert dds.fourcc == "RGBA" and len(dds.mips) == 2
+    np.testing.assert_array_equal(dds.mips[0], img)
+    np.testing.assert_array_equal(dds.mips[1], mip1)
+
+
+def test_dds_dxt1_solid_blocks():
+    import struct
+
+    # One 4x4 block, c0 = pure red in RGB565, all indices 0.
+    c0 = (31 << 11)
+    block = struct.pack("<HHI", c0, 0, 0)
+    data = _dds_header(4, 4, 1, fourcc=b"DXT1") + block
+    dds = ext.DDSImage.parse(data)
+    assert dds.mips[0].shape == (4, 4, 4)
+    np.testing.assert_array_equal(dds.mips[0][..., 0], 255)
+    np.testing.assert_array_equal(dds.mips[0][..., 1], 0)
+    np.testing.assert_array_equal(dds.mips[0][..., 3], 255)
+
+
+def test_dds_bc5_roundtrip():
+    from arkoserenderer_tpu.assets import meshopt
+
+    rng = np.random.default_rng(4)
+    r = rng.integers(0, 256, (8, 8), np.uint8)
+    g = rng.integers(0, 256, (8, 8), np.uint8)
+    blocks = meshopt.compress_bc5(r, g)
+    data = _dds_header(8, 8, 1, fourcc=b"ATI2") + blocks.tobytes()
+    dds = ext.DDSImage.parse(data)
+    assert dds.fourcc == "ATI2"
+    # BC4 is lossy; per-block 8-entry palette keeps error small.
+    assert np.abs(dds.mips[0][..., 0].astype(int) - r.astype(int)).max() <= 40
+    assert np.abs(dds.mips[0][..., 1].astype(int) - g.astype(int)).max() <= 40
+
+
+def test_dds_dx10_header():
+    import struct
+
+    c0 = (63 << 5)  # pure green
+    block = struct.pack("<HHI", c0, 0, 0)
+    dx10 = struct.pack("<5I", 71, 3, 0, 1, 0)  # DXGI_FORMAT_BC1_UNORM
+    data = _dds_header(4, 4, 1, fourcc=b"DX10") + dx10 + block
+    dds = ext.DDSImage.parse(data)
+    assert dds.fourcc == "DXT1"
+    np.testing.assert_array_equal(dds.mips[0][..., 1], 255)
