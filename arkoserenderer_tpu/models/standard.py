@@ -52,6 +52,7 @@ def make_forward_pipeline(
     rt_reflections: bool = False,
     ddgi=None,  # a ddgi.ProbeGridConfig enables probe GI
     ssss: bool = False,
+    rt_refit: bool = False,  # per-frame BVH refit for animated geometry
     upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
     film_grain: float = 0.0,
     debug_draw=None,  # a DebugLineBuffer enables the overlay pass
@@ -64,6 +65,10 @@ def make_forward_pipeline(
     pipe = RenderPipeline(cfg)
     pipe.add_pass(ScenePass())
     pipe.add_pass(GeometryPass())
+    if rt_refit and (rt_shadows or rt_reflections or ddgi is not None):
+        from arkoserenderer_tpu.rendering.passes.rt import BVHRefitPass
+
+        pipe.add_pass(BVHRefitPass())
     if ddgi is not None:
         from arkoserenderer_tpu.rendering.passes.ddgi import DDGIPass
 
@@ -150,6 +155,10 @@ class Renderer:
             or pipeline_kw.get("rt_reflections")
             or pipeline_kw.get("ddgi")
         )
+        if use_rt and "rt_refit" not in pipeline_kw and (
+            self.cfg.scene.has_skin or self.cfg.scene.has_morphs
+        ):
+            pipeline_kw["rt_refit"] = True  # animated geometry: refit per frame
         self.pipeline = make_forward_pipeline(self.cfg, **pipeline_kw)
         self.scene_arrays = scene.build(with_bvh=use_rt)
         self.state = self.pipeline.initial_state()

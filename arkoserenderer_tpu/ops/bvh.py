@@ -39,6 +39,9 @@ class FlatBVH(NamedTuple):
     left: jax.Array        # (M,) i32 — child index (internal) or first tri slot (leaf)
     right: jax.Array       # (M,) i32 — child index (internal), unused for leaf
     count: jax.Array       # (M,) i32 — 0 internal, >0 = leaf triangle count
+    node_start: jax.Array  # (M,) i32 — first slot of the node's contiguous
+    node_end: jax.Array    # (M,) i32   range in tri_order (median-split keeps
+                           #            every node's triangles contiguous)
     tri_order: jax.Array   # (T,) i32 — triangle ids grouped by leaf
     tri_v0: jax.Array      # (T, 3) f32 — pretransformed world-space vertices,
     tri_e1: jax.Array      # (T, 3)      in tri_order layout for coalesced
@@ -74,6 +77,8 @@ def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) 
     left = np.zeros((max_nodes,), np.int32)
     right = np.zeros((max_nodes,), np.int32)
     count = np.zeros((max_nodes,), np.int32)
+    node_start = np.zeros((max_nodes,), np.int32)
+    node_end = np.zeros((max_nodes,), np.int32)
 
     order = np.arange(n)
     n_nodes = 1
@@ -81,6 +86,8 @@ def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) 
     stack: list[tuple[int, int, int]] = [(0, 0, n)]
     while stack:
         node, s, e = stack.pop()
+        node_start[node] = s
+        node_end[node] = e
         sel = order[s:e]
         node_min[node] = lo[sel].min(axis=0)
         node_max[node] = hi[sel].max(axis=0)
@@ -109,10 +116,54 @@ def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) 
         left=jnp.asarray(left[:n_nodes]),
         right=jnp.asarray(right[:n_nodes]),
         count=jnp.asarray(count[:n_nodes]),
+        node_start=jnp.asarray(node_start[:n_nodes]),
+        node_end=jnp.asarray(node_end[:n_nodes]),
         tri_order=jnp.asarray(tri_order),
         tri_v0=jnp.asarray(tv[:, 0].astype(np.float32)),
         tri_e1=jnp.asarray((tv[:, 1] - tv[:, 0]).astype(np.float32)),
         tri_e2=jnp.asarray((tv[:, 2] - tv[:, 0]).astype(np.float32)),
+    )
+
+
+def refit_bvh(bvh: FlatBVH, world_verts: jax.Array, tris: jax.Array) -> FlatBVH:
+    """Jit-traceable AABB refit: same topology, new vertex positions.
+
+    The TLAS/BLAS update-in-place analogue (the reference rebuilds or
+    updates BLASes for skinned meshes each frame and refits the TLAS,
+    GpuScene.cpp:872-1011 + VulkanAccelerationStructureKHR update mode).
+    Median-split build keeps every node's triangles CONTIGUOUS in
+    ``tri_order``, so each node's bounds are a range-min/max over the leaf
+    bound arrays — answered for all nodes at once with a sparse-table RMQ:
+    O(T log T) work, fully parallel, no bottom-up sequential walk.
+    """
+    v = world_verts[tris[bvh.tri_order]]          # (n, 3, 3) in leaf order
+    lo = v.min(axis=1)                            # (n, 3)
+    hi = v.max(axis=1)
+    n = lo.shape[0]
+    levels = max(int(np.ceil(np.log2(max(n, 1)))) + 1, 1)
+
+    pw_lo, pw_hi = [lo], [hi]
+    for k in range(1, levels):
+        half = 1 << (k - 1)
+        pad_lo = jnp.full((half, 3), jnp.inf, lo.dtype)
+        pad_hi = jnp.full((half, 3), -jnp.inf, hi.dtype)
+        # pw[k][i] = reduce over [i, i + 2^k); tail pads never get gathered
+        # (every queried range lies inside [0, n)).
+        pw_lo.append(jnp.minimum(pw_lo[-1],
+                                 jnp.concatenate([pw_lo[-1][half:], pad_lo])[:n]))
+        pw_hi.append(jnp.maximum(pw_hi[-1],
+                                 jnp.concatenate([pw_hi[-1][half:], pad_hi])[:n]))
+    table_lo = jnp.stack(pw_lo)                   # (levels, n, 3)
+    table_hi = jnp.stack(pw_hi)
+
+    length = (bvh.node_end - bvh.node_start).astype(jnp.float32)  # >= 1
+    k = jnp.floor(jnp.log2(jnp.maximum(length, 1.0)) + 1e-6).astype(jnp.int32)
+    second = bvh.node_end - (1 << k)              # range [second, end) tail
+    node_min = jnp.minimum(table_lo[k, bvh.node_start], table_lo[k, second])
+    node_max = jnp.maximum(table_hi[k, bvh.node_start], table_hi[k, second])
+    return bvh._replace(
+        node_min=node_min, node_max=node_max,
+        tri_v0=v[:, 0], tri_e1=v[:, 1] - v[:, 0], tri_e2=v[:, 2] - v[:, 0],
     )
 
 

@@ -37,14 +37,19 @@ class DDGIPass(RenderPass):
             jnp.float32, persistent=True, clear=float(grid.max_distance),
         )
         del init  # shapes documented above; visibility clear approximated
+        if reg.has("scene.bvh"):
+            reg.get("scene.bvh")
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             st = ddgi_ops.DDGIState(
                 irradiance=state["DDGI.irradiance"],
                 visibility=state["DDGI.visibility"],
             )
+            from arkoserenderer_tpu.rendering.passes.rt import scene_with_live_bvh
+
             new = ddgi_ops.update_probes(
-                ctx.scene, st, grid, ctx.frame_index, ctx.camera.exposure
+                scene_with_live_bvh(state, ctx), st, grid,
+                ctx.frame_index, ctx.camera.exposure,
             )
             return {
                 "DDGI.irradiance": new.irradiance,

@@ -34,6 +34,40 @@ from arkoserenderer_tpu.rendering.pipeline import (
 from arkoserenderer_tpu.rendering.registry import Registry
 
 
+class BVHRefitPass(RenderPass):
+    """Per-frame BVH refit for animated geometry (TLAS/BLAS update analogue,
+    GpuScene.cpp:872-1011's per-frame rebuild policy for skinned meshes).
+
+    Reads the (possibly skinned/morphed) object-space vertex pool, applies
+    per-instance world transforms, and refits the static-topology BVH's
+    AABBs in-jit. Downstream RT/DDGI passes pick up ``scene.bvh`` from frame
+    state instead of the build-time BVH.
+    """
+
+    name = "BVHRefit"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        reg.get("geom.positions")
+        reg.publish("scene.bvh")
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            from arkoserenderer_tpu.ops.bvh import refit_bvh
+
+            p = state["geom.positions"]
+            m = ctx.scene.world[ctx.scene.vertex_instance]       # (V, 4, 4)
+            wp = jnp.einsum("vij,vj->vi", m[:, :3, :3], p) + m[:, :3, 3]
+            return {"scene.bvh": refit_bvh(ctx.scene.bvh, wp, ctx.scene.indices)}
+
+        return execute
+
+
+def scene_with_live_bvh(state: dict, ctx: FrameContext):
+    """The frame's SceneArrays with the refitted BVH swapped in (if a
+    BVHRefitPass ran earlier; otherwise the build-time static BVH)."""
+    bvh = state.get("scene.bvh")
+    return ctx.scene if bvh is None else ctx.scene._replace(bvh=bvh)
+
+
 class RTShadowPass(RenderPass):
     """Per-pixel any-hit sun shadow mask (replaces PCF when present)."""
 
@@ -43,6 +77,8 @@ class RTShadowPass(RenderPass):
         h, w = cfg.height, cfg.width
         reg.get("SceneDepth")
         reg.get("Visibility")
+        if reg.has("scene.bvh"):
+            reg.get("scene.bvh")
         reg.create("ShadowMask.sun", (h, w), jnp.float32, clear=1.0)
         px, py = pixel_centers(cfg)
         full_h = cfg.frame_height
@@ -56,7 +92,7 @@ class RTShadowPass(RenderPass):
             covered = state["Visibility"].reshape(-1) >= 0
             world = jnp.where(covered[:, None], world, 0.0)
             mask = trace_shadow_mask(
-                ctx.scene, world,
+                scene_with_live_bvh(state, ctx), world,
                 -ctx.scene.lights.sun_direction,
                 covered,
             )
@@ -82,6 +118,8 @@ class RTReflectionsPass(RenderPass):
         reg.get("SceneMaterial")
         reg.get("SceneBaseColor")
         reg.get("SceneCoverage")
+        if reg.has("scene.bvh"):
+            reg.get("scene.bvh")
         reg.create("SceneReflections", (h, w, 3), jnp.float32)
         px, py = pixel_centers(cfg)
         full_h = cfg.frame_height
@@ -107,10 +145,9 @@ class RTReflectionsPass(RenderPass):
             r_dir = mx.normalize(mx.reflect(-view, nrm))
             active = valid0 & (rough[:, 0] < max_rough)
 
-            hit = trace_rays(
-                ctx.scene.bvh, world + nrm * 2e-2, r_dir, t_max=1e4
-            )
-            radiance = shade_hits_simple(ctx.scene, hit, r_dir, ctx.camera.exposure)
+            live = scene_with_live_bvh(state, ctx)
+            hit = trace_rays(live.bvh, world + nrm * 2e-2, r_dir, t_max=1e4)
+            radiance = shade_hits_simple(live, hit, r_dir, ctx.camera.exposure)
 
             f0 = brdf_ops.base_f0(base, metal)
             n_dot_v = jnp.clip(mx.vdot(nrm, view), 0.0, 1.0)

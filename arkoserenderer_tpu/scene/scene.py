@@ -623,6 +623,8 @@ def _dummy_bvh():
         node_min=z3, node_max=z3,
         left=jnp.zeros((1,), jnp.int32), right=jnp.zeros((1,), jnp.int32),
         count=jnp.ones((1,), jnp.int32),
+        node_start=jnp.zeros((1,), jnp.int32),
+        node_end=jnp.ones((1,), jnp.int32),
         tri_order=jnp.zeros((1,), jnp.int32),
         tri_v0=z3, tri_e1=z3, tri_e2=z3,
     )

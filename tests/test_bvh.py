@@ -80,3 +80,45 @@ def test_tmax_respected(rng):
     near = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=0.5)
     t = np.asarray(near.t)
     assert np.all(t <= 0.5 + 1e-5)
+
+
+def test_refit_matches_brute_force_after_deformation(rng):
+    """Deform every vertex, refit in-jit, and require traversal through the
+    refitted tree to agree with brute force over the NEW geometry."""
+    import jax
+
+    verts, tris = scene_soup(rng)
+    valid = np.ones(len(tris), bool)
+    bvh = bvh_ops.build_bvh(verts, tris, valid)
+
+    moved = verts + rng.normal(size=verts.shape).astype(np.float32) * 1.5
+    refit = jax.jit(bvh_ops.refit_bvh)(bvh, jnp.asarray(moved), jnp.asarray(tris))
+
+    origins, dirs = random_rays(rng)
+    hit = bvh_ops.trace_rays(refit, jnp.asarray(origins), jnp.asarray(dirs))
+    ref_t, ref_tri = bvh_ops.trace_rays_brute(moved, tris, valid, origins, dirs)
+    got_tri = np.asarray(hit.tri)
+    got_t = np.asarray(hit.t)
+    np.testing.assert_array_equal(got_tri >= 0, ref_tri >= 0)
+    hits = ref_tri >= 0
+    assert hits.sum() > 20  # the deformed soup must still be hittable
+    np.testing.assert_allclose(got_t[hits], ref_t[hits], rtol=1e-4, atol=1e-4)
+    assert (got_tri[hits] == ref_tri[hits]).mean() > 0.995
+
+
+def test_refit_node_bounds_contain_children(rng):
+    verts, tris = scene_soup(rng, n_tris=64)
+    valid = np.ones(len(tris), bool)
+    bvh = bvh_ops.build_bvh(verts, tris, valid)
+    moved = verts * 0.3 + 2.0
+    refit = bvh_ops.refit_bvh(bvh, jnp.asarray(moved), jnp.asarray(tris))
+    nmin = np.asarray(refit.node_min)
+    nmax = np.asarray(refit.node_max)
+    left = np.asarray(refit.left)
+    right = np.asarray(refit.right)
+    count = np.asarray(refit.count)
+    internal = np.nonzero(count == 0)[0]
+    for node in internal:
+        for ch in (left[node], right[node]):
+            assert (nmin[node] <= nmin[ch] + 1e-5).all()
+            assert (nmax[node] >= nmax[ch] - 1e-5).all()

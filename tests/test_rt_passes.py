@@ -104,3 +104,33 @@ def test_ddgi_probe_debug_overlay():
     r2 = Renderer(scene2, cam2, CFG, ddgi=grid, taa=False, bloom=False)
     img = np.array(r2.render_frames(2))
     assert np.abs(img_dbg - img).max() > 0.02
+
+
+def test_rt_shadows_track_morphing_geometry_via_refit():
+    """A morph target inflates the sphere; with per-frame BVH refit (enabled
+    automatically for morphing scenes) the RT shadow footprint must grow.
+    With refit forced OFF the occluder stays the build-time BVH, so the
+    footprint barely moves (receiver positions still morph via the raster
+    depth, so tiny drift is expected) — the growth must come from refit."""
+
+    def shadow_px(rt_refit):
+        scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+        seg = scene.segments[1]
+        seg.morph_pos = seg.normals[None] * 0.6
+        seg.morph_nrm = np.zeros((1, len(seg.normals), 3), np.float32)
+        kw = {} if rt_refit is None else {"rt_refit": rt_refit}
+        r = Renderer(scene, cam, CFG, rt_shadows=True, taa=False, bloom=False, **kw)
+        scene.set_morph_weights(np.array([0.0], np.float32))
+        r.render_frame()
+        px0 = int((np.asarray(r.state["ShadowMask.sun"]) < 0.5).sum())
+        scene.set_morph_weights(np.array([1.0], np.float32))
+        r.render_frame()
+        px1 = int((np.asarray(r.state["ShadowMask.sun"]) < 0.5).sum())
+        return px0, px1
+
+    px0, px1 = shadow_px(None)  # auto: morphing scene -> refit on
+    assert px0 > 0
+    assert px1 > px0 * 1.3  # inflated sphere casts a bigger shadow
+
+    s0, s1 = shadow_px(False)  # static build-time BVH: occluder frozen
+    assert (px1 - px0) > 3 * abs(s1 - s0)
