@@ -79,6 +79,10 @@ def make_forward_pipeline(
         pipe.add_pass(RTShadowPass())
     elif shadows:
         pipe.add_pass(SunShadowPass())
+    if shadows and any(cfg.scene.spot_shadow_casters) and cfg.scene.n_spots > 0:
+        from arkoserenderer_tpu.rendering.passes.shadow import LocalShadowPass
+
+        pipe.add_pass(LocalShadowPass())
     pipe.add_pass(VisibilityShadingPass())
     if rt_reflections:
         from arkoserenderer_tpu.rendering.passes.rt import RTReflectionsPass

@@ -59,6 +59,8 @@ def shade_visibility_buffer(
     shadow_map: jax.Array | None = None,   # (S, S) sun shadow depth
     sun_shadow_vp: jax.Array | None = None,
     shadow_mask: jax.Array | None = None,  # (N,) RT shadow mask (wins over map)
+    local_shadow_maps: jax.Array | None = None,  # (S_lights, A, A) spot atlas
+    spot_shadow_flags: tuple | None = None,      # per-spot casts-shadow (static)
     positions: jax.Array | None = None,    # animated object-space pools
     normals: jax.Array | None = None,      # (defaults: the static scene pools)
     tangents: jax.Array | None = None,
@@ -204,6 +206,19 @@ def shade_visibility_buffer(
         )
         ies = scene.lights.spot_ies[i][angle_idx]
         falloff = t * t * ies / dist2[:, 0]
+        if (
+            local_shadow_maps is not None
+            and spot_shadow_flags is not None
+            and i < len(spot_shadow_flags)
+            and spot_shadow_flags[i]
+        ):
+            # Local shadow atlas tile through the light's perspective
+            # matrix (LocalShadowDrawNode + projectShadow equivalents).
+            n_dot_l_spot = jnp.clip(mx.vdot(world_nrm, l, keepdims=False), 0.0, 1.0)
+            falloff = falloff * sample_shadow_pcf(
+                local_shadow_maps[i], scene.lights.spot_view_proj[i],
+                world_pos, n_dot_l_spot,
+            )
         fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
         color = color + fr * (
             scene.lights.spot_color[i][None, :] * exposure

@@ -40,6 +40,10 @@ class VisibilityShadingPass(RenderPass):
         use_rt_shadow = reg.has("ShadowMask.sun")
         if use_rt_shadow:
             reg.get("ShadowMask.sun")
+        use_local_shadow = reg.has("ShadowMap.locals")
+        if use_local_shadow:
+            reg.get("ShadowMap.locals")
+        spot_shadow_flags = cfg.scene.spot_shadow_casters
         reg.create("SceneColor", (h, w, 3), jnp.float32)
         reg.create("SceneNormal", (h, w, 3), jnp.float32)
         reg.create("SceneVelocity", (h, w, 2), jnp.float32)
@@ -60,6 +64,8 @@ class VisibilityShadingPass(RenderPass):
                 shadow_map=state["ShadowMap.sun"] if use_shadow else None,
                 sun_shadow_vp=ctx.scene.lights.sun_view_proj if use_shadow else None,
                 shadow_mask=state["ShadowMask.sun"].reshape(-1) if use_rt_shadow else None,
+                local_shadow_maps=state["ShadowMap.locals"] if use_local_shadow else None,
+                spot_shadow_flags=spot_shadow_flags if use_local_shadow else None,
                 positions=state["geom.positions"],
                 normals=state["geom.normals"],
                 tangents=state["geom.tangents"],

@@ -80,3 +80,66 @@ class SunShadowPass(RenderPass):
             return {"ShadowMap.sun": depth}
 
         return execute
+
+
+class LocalShadowPass(RenderPass):
+    """Per-spot-light shadow atlas: one depth-only perspective raster per
+    casting spot light, unrolled at the compile-time light count.
+
+    Role-equivalent to LocalShadowDrawNode + the shadow map atlas in
+    ShadowMapAtlas (arkose/rendering/shadow/LocalShadowDrawNode.cpp): each
+    local light gets an atlas tile; shading PCF-samples its tile through the
+    light's perspective matrix.
+
+    Publishes: ShadowMap.locals (n_spots, A, A) f32 reverse-Z depth (tiles
+    for non-casting lights stay at the far clear and are skipped by the
+    shading permutation anyway).
+    """
+
+    name = "LocalShadow"
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        a = cfg.local_shadow_map_size
+        n_spots = cfg.scene.n_spots
+        casters = cfg.scene.spot_shadow_casters
+        reg.get("geom.positions")
+        reg.create("ShadowMap.locals", (max(n_spots, 1), a, a), jnp.float32,
+                   clear=mx.DEPTH_FAR)
+        rcfg = cfg.raster
+        assert a % rcfg.tile_h == 0 and a % rcfg.tile_w == 0, (
+            "local shadow map size must be tileable"
+        )
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            tiles = []
+            far = jnp.full((a, a), mx.DEPTH_FAR, jnp.float32)
+            base_valid = ctx.scene.tri_valid
+            if cfg.scene.has_translucent:
+                from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT
+
+                mat_of_tri = ctx.scene.inst_material[ctx.scene.tri_instance]
+                base_valid = base_valid & (
+                    ctx.scene.materials.blend_mode[mat_of_tri] != BLEND_TRANSLUCENT
+                )
+            for i in range(max(n_spots, 1)):
+                if i >= len(casters) or not casters[i]:
+                    tiles.append(far)
+                    continue
+                vp = ctx.scene.lights.spot_view_proj[i]
+                clip = transform_vertices_clip(ctx.scene, vp, state["geom.positions"])
+                planes = mx.frustum_planes_from_matrix(vp)
+                inst_vis = mx.frustum_test_spheres(
+                    planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
+                ) & ctx.scene.inst_valid
+                tri_valid = base_valid & inst_vis[ctx.scene.tri_instance]
+                setup = raster.setup_triangles(
+                    clip, ctx.scene.indices, tri_valid, a, a, cull_backfaces=False
+                )
+                bins = raster.bin_triangles(setup, a, a, rcfg)
+                _, depth = raster.rasterize_tiles(
+                    setup, bins, a, a, rcfg, depth_only=True
+                )
+                tiles.append(depth)
+            return {"ShadowMap.locals": jnp.stack(tiles)}
+
+        return execute

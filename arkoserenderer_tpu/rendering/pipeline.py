@@ -55,6 +55,7 @@ class PipelineConfig:
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     shadow_map_size: int = 2048
+    local_shadow_map_size: int = 512  # per-spot shadow atlas tile
     tonemap_mode: str = "agx"
     texture_quality: str = "trilinear"  # or "bilinear" (4 taps, ~2x cheaper)
     # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the

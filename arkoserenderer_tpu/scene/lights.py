@@ -69,6 +69,22 @@ class SpotLight:
     cast_shadows: bool = True
     ies_lut: np.ndarray | None = None  # (256,) polar intensity (assets/external.IESProfile.to_lut)
 
+    def shadow_view_proj(self, far: float, near: float = 0.05) -> np.ndarray:
+        """Perspective light camera covering the outer cone (the reference's
+        per-local-light shadow matrix, SpotLight.cpp viewProjection)."""
+        d = np.asarray(self.direction, np.float32)
+        d = d / np.linalg.norm(d)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        if abs(np.dot(d, up)) > 0.98:
+            up = np.array([1.0, 0.0, 0.0], np.float32)
+        view = mx.look_at(
+            np.asarray(self.position, np.float32),
+            np.asarray(self.position, np.float32) + d, up, xp=np,
+        )
+        fov = min(2.0 * float(self.outer_cone_angle) * 1.05, np.pi * 0.95)
+        proj = mx.perspective_reverse_z(fov, 1.0, near, far=far, xp=np)
+        return proj @ view
+
 
 @dataclasses.dataclass
 class PointLight:
@@ -97,6 +113,8 @@ class LightArrays(NamedTuple):
     ambient_lx: jax.Array         # () pre-exposed flat ambient (until DDGI)
     spot_ies: jax.Array           # (S, 256) per-spot polar intensity LUT (row of
                                   # ones = no profile); IESProfile analogue
+    spot_view_proj: jax.Array     # (S, 4, 4) per-spot shadow matrices
+    spot_casts_shadow: jax.Array  # (S,) f32 1.0 where the light shadows
 
 
 def build_light_arrays(
@@ -125,6 +143,8 @@ def build_light_arrays(
     spot_color = np.zeros((max_spots, 3), np.float32)
     spot_cone = np.ones((max_spots, 2), np.float32)
     spot_ies = np.ones((max_spots, 256), np.float32)
+    spot_vp = np.tile(np.eye(4, dtype=np.float32), (max_spots, 1, 1))
+    spot_casts = np.zeros((max_spots,), np.float32)
     for i, s in enumerate(spots):
         spot_pos[i] = s.position
         d = np.asarray(s.direction, np.float32)
@@ -133,6 +153,8 @@ def build_light_arrays(
         spot_cone[i] = (np.cos(s.inner_cone_angle), np.cos(s.outer_cone_angle))
         if s.ies_lut is not None:
             spot_ies[i] = np.asarray(s.ies_lut, np.float32)
+        spot_vp[i] = s.shadow_view_proj(far=max(scene_radius * 4.0, 1.0))
+        spot_casts[i] = 1.0 if s.cast_shadows else 0.0
 
     point_pos = np.zeros((max_points, 3), np.float32)
     point_color = np.zeros((max_points, 3), np.float32)
@@ -155,4 +177,6 @@ def build_light_arrays(
         point_count=jnp.asarray(len(points), jnp.int32),
         ambient_lx=jnp.asarray(ambient_lx * exposure, jnp.float32),
         spot_ies=jnp.asarray(spot_ies),
+        spot_view_proj=jnp.asarray(spot_vp),
+        spot_casts_shadow=jnp.asarray(spot_casts),
     )

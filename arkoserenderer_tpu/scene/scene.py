@@ -48,6 +48,9 @@ class SceneStatic:
     has_skin: bool = False
     n_spots: int = 0
     n_points: int = 0
+    # Per-spot shadow-caster flags (compile-time; drives the local shadow
+    # atlas raster + PCF permutation, LocalShadowDrawNode analogue).
+    spot_shadow_casters: tuple = ()
     has_sun: bool = True
     has_env: bool = True
     # Texture-usage permutation flags (cf. the reference's DrawKey/shader
@@ -533,6 +536,7 @@ class Scene:
             has_skin=any(self.segments[sid].skeleton >= 0 for sid, *_ in self.instances),
             n_spots=len(self.spots),
             n_points=len(self.points),
+            spot_shadow_casters=tuple(bool(sp.cast_shadows) for sp in self.spots),
             has_sun=self.sun is not None,
             has_env=True,
             # Default texture ids: 0 = white, 2 = flat normal (see
