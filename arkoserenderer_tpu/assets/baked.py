@@ -24,7 +24,7 @@ import numpy as np
 from arkoserenderer_tpu.core.logging import get_logger
 from arkoserenderer_tpu.scene.animation import AnimationClip, AnimChannel, Skeleton
 from arkoserenderer_tpu.scene.lights import DirectionalLight, PointLight, SpotLight
-from arkoserenderer_tpu.scene.scene import Material, MeshSegment, Scene
+from arkoserenderer_tpu.scene.scene import LOD_FAR, Material, MeshSegment, Scene
 
 log = get_logger("baked")
 
@@ -61,8 +61,11 @@ def save_baked(scene: Scene, path: str | Path) -> None:
     ]
 
     meta["instances"] = []
-    for sid, world, prev, clip in scene.instances:
-        meta["instances"].append({"segment": sid, "clip": clip})
+    for sid, world, prev, clip, lod_band in scene.instances:
+        meta["instances"].append({
+            "segment": sid, "clip": clip,
+            "lod_band": [float(lod_band[0]), float(lod_band[1])],
+        })
         arrays[f"inst{len(meta['instances']) - 1}.world"] = world
 
     # Texture pool builder internals (pre-mipped, packed).
@@ -202,7 +205,10 @@ def load_baked(path: str | Path, limits=None) -> Scene:
         scene.animations.append(AnimationClip(channels=channels, name=ad["name"]))
 
     for i, inst in enumerate(meta["instances"]):
-        scene.add_instance(inst["segment"], z[f"inst{i}.world"], clip=inst["clip"])
+        scene.add_instance(
+            inst["segment"], z[f"inst{i}.world"], clip=inst["clip"],
+            lod_band=tuple(inst.get("lod_band", (0.0, LOD_FAR))),
+        )
 
     if "sun" in meta:
         s = meta["sun"]

@@ -118,6 +118,6 @@ class PhysicsScene:
         """Write body transforms into the scene's instance list; the caller
         rebuilds/uploads instance transforms (Scene::update physics step)."""
         for body, inst in self._bindings:
-            sid, world, prev, clip = self.scene.instances[inst]
+            sid, world, prev, clip, lod_band = self.scene.instances[inst]
             new_world = self.backend.body_transform(body)
-            self.scene.instances[inst] = (sid, new_world, world, clip)
+            self.scene.instances[inst] = (sid, new_world, world, clip, lod_band)

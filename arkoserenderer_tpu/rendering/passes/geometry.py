@@ -21,6 +21,17 @@ from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, 
 from arkoserenderer_tpu.rendering.registry import Registry
 
 
+def lod_instance_mask(scene, cam_pos):
+    """(Dmax,) bool — which drawables' LOD bands contain the camera distance.
+
+    Selection uses the MAIN camera for every pass (shadows too), matching the
+    reference's per-frame LOD pick in GpuScene (one LOD per mesh per frame —
+    shadow rays/rasters see the same geometry the camera does)."""
+    d = jnp.linalg.norm(scene.inst_sphere[:, :3] - cam_pos[None, :], axis=-1)
+    band = scene.inst_lod_band
+    return (d >= band[:, 0]) & (d < band[:, 1])
+
+
 def transform_vertices_clip(scene, view_proj, positions=None):
     """Object-space vertex pool -> clip space via per-instance matrices.
 
@@ -58,7 +69,7 @@ class GeometryPass(RenderPass):
             planes = mx.frustum_planes_from_matrix(ctx.camera.view_proj)
             inst_visible = mx.frustum_test_spheres(
                 planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
-            ) & ctx.scene.inst_valid
+            ) & ctx.scene.inst_valid & lod_instance_mask(ctx.scene, ctx.camera.position)
             tri_visible = ctx.scene.tri_valid & inst_visible[ctx.scene.tri_instance]
             if cfg.scene.has_meshlets:
                 # Per-meshlet refinement: world-space sphere test + backface

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from arkoserenderer_tpu.core import mathx as mx
 from arkoserenderer_tpu.ops import raster
-from arkoserenderer_tpu.rendering.passes.geometry import transform_vertices_clip
+from arkoserenderer_tpu.rendering.passes.geometry import lod_instance_mask, transform_vertices_clip
 from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
 from arkoserenderer_tpu.rendering.registry import Registry
 
@@ -48,7 +48,7 @@ class SunShadowPass(RenderPass):
             planes = mx.frustum_planes_from_matrix(ctx.scene.lights.sun_view_proj)
             inst_vis = mx.frustum_test_spheres(
                 planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
-            ) & ctx.scene.inst_valid
+            ) & ctx.scene.inst_valid & lod_instance_mask(ctx.scene, ctx.camera.position)
             tri_valid = tri_valid & inst_vis[ctx.scene.tri_instance]
             if cfg.scene.has_translucent:
                 # Translucent surfaces don't occlude the sun (no colored
@@ -130,7 +130,9 @@ class LocalShadowPass(RenderPass):
                 planes = mx.frustum_planes_from_matrix(vp)
                 inst_vis = mx.frustum_test_spheres(
                     planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
-                ) & ctx.scene.inst_valid
+                ) & ctx.scene.inst_valid & lod_instance_mask(
+                    ctx.scene, ctx.camera.position
+                )
                 tri_valid = base_valid & inst_vis[ctx.scene.tri_instance]
                 setup = raster.setup_triangles(
                     clip, ctx.scene.indices, tri_valid, a, a, cull_backfaces=False

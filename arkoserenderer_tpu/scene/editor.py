@@ -50,9 +50,9 @@ class EditorScene:
 
     def set_transform(self, world: np.ndarray):
         assert self.selected is not None
-        sid, old, prev, clip = self.scene.instances[self.selected]
+        sid, old, prev, clip, lod_band = self.scene.instances[self.selected]
         self.scene.instances[self.selected] = (
-            sid, np.asarray(world, np.float32), old, clip
+            sid, np.asarray(world, np.float32), old, clip, lod_band
         )
 
     def translate(self, delta):

@@ -36,7 +36,8 @@ BLEND_OPAQUE = 0
 BLEND_MASKED = 1
 BLEND_TRANSLUCENT = 2
 
-MAX_JOINTS = 256  # global skinning palette capacity (all skeleton instances)
+MAX_JOINTS = 256
+LOD_FAR = 3.4e38  # 'infinite' LOD band end (finite: no inf in device buffers)  # global skinning palette capacity (all skeleton instances)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +169,12 @@ class SceneArrays(NamedTuple):
     inst_material: jax.Array    # (Dmax,) i32
     inst_sphere: jax.Array      # (Dmax, 4) world bounding sphere (xyz, r)
     inst_valid: jax.Array       # (Dmax,) bool
+    inst_lod_band: jax.Array    # (Dmax, 2) camera-distance band [near, far):
+                                # the drawable renders only inside it. LOD
+                                # chains = one drawable per level with
+                                # disjoint bands (MeshAsset LOD selection,
+                                # arkcore/asset/MeshAsset.h LODs — selected
+                                # in-jit instead of on the CPU).
     # Materials + bindless textures
     materials: MaterialArrays
     textures: TexturePool
@@ -212,7 +219,8 @@ class Scene:
     def __post_init__(self):
         self.materials: list[Material] = [Material()]  # 0 = default
         self.segments: list[MeshSegment] = []          # flattened mesh segments
-        self.instances: list[tuple[int, np.ndarray, np.ndarray | None, int | None]] = []
+        # (segment_id, world, prev_world, clip, lod_band)
+        self.instances: list[tuple] = []
         # each: (segment id, world 4x4, prev world or None, animation clip or None)
         self.skeletons: list = []    # scene.animation.Skeleton
         self.animations: list = []   # scene.animation.AnimationClip
@@ -253,13 +261,30 @@ class Scene:
     def add_mesh(self, segments: list[MeshSegment]) -> list[int]:
         return [self.add_segment(s) for s in segments]
 
-    def add_instance(self, segment_ids, world: np.ndarray, prev_world=None, clip=None):
+    def add_instance(self, segment_ids, world: np.ndarray, prev_world=None, clip=None,
+                     lod_band=(0.0, LOD_FAR)):
         if isinstance(segment_ids, int):
             segment_ids = [segment_ids]
         for sid in segment_ids:
             self.instances.append(
-                (sid, np.asarray(world, np.float32), prev_world, clip)
+                (sid, np.asarray(world, np.float32), prev_world, clip, lod_band)
             )
+
+    def add_instance_lods(self, lod_segment_ids: list, world: np.ndarray,
+                          distances: list, prev_world=None):
+        """One instance with a discrete LOD chain: ``lod_segment_ids[i]``
+        renders while camera distance is in [distances[i-1], distances[i])
+        (distances has len(lods)-1 switch points; the last level runs to
+        infinity). All levels live in the vertex pool; selection is a
+        per-frame distance-band mask inside jit — no re-upload, no retrace.
+        """
+        assert len(distances) == len(lod_segment_ids) - 1, (
+            "need one switch distance between consecutive LOD levels"
+        )
+        edges = [0.0, *[float(d) for d in distances], LOD_FAR]
+        for i, sid in enumerate(lod_segment_ids):
+            self.add_instance(sid, world, prev_world=prev_world,
+                              lod_band=(edges[i], edges[i + 1]))
 
     def add_skeleton(self, skeleton) -> int:
         self.skeletons.append(skeleton)
@@ -336,6 +361,7 @@ class Scene:
         inst_material = np.zeros((dmax,), np.int32)
         inst_sphere = np.zeros((dmax, 4), np.float32)
         inst_valid = np.zeros((dmax,), bool)
+        inst_lod_band = np.tile(np.array([0.0, LOD_FAR], np.float32), (dmax, 1))
 
         skin_joints = np.zeros((vmax, 4), np.int32)
         skin_weights = np.zeros((vmax, 4), np.float32)
@@ -350,7 +376,7 @@ class Scene:
         assert len(self.instances) <= dmax, "drawable capacity exceeded"
         v_cursor = 0
         t_cursor = 0
-        for inst_id, (sid, w, pw, clip) in enumerate(self.instances):
+        for inst_id, (sid, w, pw, clip, lod_band) in enumerate(self.instances):
             seg = self.segments[sid]
             v = seg.positions.shape[0]
             t = seg.num_triangles
@@ -422,6 +448,7 @@ class Scene:
             center_w = w[:3, :3] @ center_obj + w[:3, 3]
             inst_sphere[inst_id] = (*center_w, r_obj * scale)
             inst_valid[inst_id] = True
+            inst_lod_band[inst_id] = lod_band
             v_cursor += v
             t_cursor += t
 
@@ -470,6 +497,7 @@ class Scene:
             inst_material=jnp.asarray(inst_material),
             inst_sphere=jnp.asarray(inst_sphere),
             inst_valid=jnp.asarray(inst_valid),
+            inst_lod_band=jnp.asarray(inst_lod_band),
             materials=mat,
             textures=self.texture_builder.finalize(),
             lights=lights,
@@ -516,7 +544,12 @@ class Scene:
             hair_radius=jnp.asarray(
                 self._hair[2] if self._hair else np.zeros((1,), np.float32)
             ),
-            bvh=self._build_bvh(positions, vertex_instance, world, indices, tri_valid)
+            # RT sees only LOD0 drawables (bands starting at distance 0):
+            # ray hits must not find the same surface at several LOD levels.
+            bvh=self._build_bvh(
+                positions, vertex_instance, world, indices,
+                tri_valid & (inst_lod_band[tri_instance, 0] == 0.0),
+            )
             if with_bvh
             else _dummy_bvh(),
         )

@@ -30,7 +30,7 @@ def test_editor_select_move_rebuild():
     after = ed.selected_transform()
     assert after[0, 3] == pytest.approx(before[0, 3] + 1.0)
     # Previous transform retained for velocity.
-    _, _, prev, _ = scene.instances[sel]
+    _, _, prev, *_ = scene.instances[sel]
     assert prev is not None
     ed.rotate((0, 1, 0), 0.5)
     ed.scale(2.0)

@@ -101,6 +101,6 @@ def test_physics_impulse_and_scene_sync():
     for _ in range(30):
         b.step(1 / 60)
     ps.commit()
-    _, world, prev, _ = scene.instances[1]
+    _, world, prev, *_ = scene.instances[1]
     assert world[0, 3] > 0.1  # moved +X from the impulse (friction decays it)
     assert prev is not None   # previous transform recorded for velocity
