@@ -6,10 +6,10 @@ Role-equivalents:
                          per-light any-hit raygen producing R8 masks).
   * RTReflectionsPass  — RTReflectionsNode (arkose/rendering/nodes/
                          RTReflectionsNode.cpp:23-288): roughness-thresholded
-                         mirror/glossy rays with VNDF perturbation; the
-                         FFX-style reproject/prefilter/temporal denoiser is
-                         approximated for now by a roughness-scaled spatial
-                         blur + the shared TAA (dedicated denoiser TODO).
+                         mirror/glossy rays with VNDF perturbation, denoised
+                         FFX-style by a roughness-scaled spatial prefilter +
+                         velocity-reprojected, neighborhood-clamped temporal
+                         accumulation over a persistent history buffer.
 
 Both reconstruct receiver surfaces from the depth buffer + G-buffer normals,
 so they run after Geometry/Shading with no extra geometry pass.
@@ -104,12 +104,15 @@ class RTShadowPass(RenderPass):
 class RTReflectionsPass(RenderPass):
     name = "RTReflections"
 
-    def __init__(self, mirror_roughness: float = 0.25, max_roughness: float = 0.6):
+    def __init__(self, mirror_roughness: float = 0.25, max_roughness: float = 0.6,
+                 temporal: bool = True, hysteresis: float = 0.85):
         # Below mirror_roughness: pure mirror ray; between: VNDF-perturbed;
         # above max: no trace (diffuse GI covers it) — the reference's
         # roughness thresholds (RTReflectionsNode.cpp:78-79).
         self.mirror_roughness = mirror_roughness
         self.max_roughness = max_roughness
+        self.temporal = temporal
+        self.hysteresis = hysteresis
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         h, w = cfg.height, cfg.width
@@ -124,6 +127,11 @@ class RTReflectionsPass(RenderPass):
         px, py = pixel_centers(cfg)
         full_h = cfg.frame_height
         max_rough = self.max_roughness
+        temporal = self.temporal
+        hysteresis = self.hysteresis
+        if temporal:
+            reg.get("SceneVelocity")
+            reg.create("RTRefl.history", (h, w, 3), jnp.float32, persistent=True)
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             py_g = py + ctx.row_offset.astype(py.dtype)
@@ -161,6 +169,29 @@ class RTReflectionsPass(RenderPass):
             blurred = blur3(refl_img)
             rr = rough.reshape(h, w, 1)
             refl_img = jnp.where(rr > 0.1, blurred, refl_img)
-            return {"SceneReflections": refl_img}
+            if not temporal:
+                return {"SceneReflections": refl_img}
+            # Temporal accumulation (the reproject+temporal stages of the
+            # FFX denoiser): reproject last frame's resolved reflections
+            # along the surface motion vectors, clamp to the current 3x3
+            # neighborhood to kill ghosting, then exponentially blend.
+            from arkoserenderer_tpu.ops.image import bilinear_sample, neighborhood_min_max
+
+            velocity = state["SceneVelocity"].reshape(-1, 2)
+            prev_x = px - velocity[:, 0]
+            prev_y = py + ctx.row_offset.astype(py.dtype) - velocity[:, 1]
+            hist = bilinear_sample(state["RTRefl.history"], prev_x,
+                                   prev_y - ctx.row_offset.astype(py.dtype))
+            hist = hist.reshape(h, w, 3)
+            lo_c, hi_c = neighborhood_min_max(refl_img)
+            hist = jnp.clip(hist, lo_c, hi_c)
+            on_screen = (
+                (prev_x >= 0.0) & (prev_x < w)
+                & (prev_y >= ctx.row_offset) & (prev_y < ctx.row_offset + h)
+            ).reshape(h, w, 1)
+            alpha = jnp.where((ctx.frame_index == 0) | ~on_screen, 1.0,
+                              1.0 - hysteresis)
+            out = hist + (refl_img - hist) * alpha
+            return {"SceneReflections": out, "RTRefl.history": out}
 
         return execute

@@ -134,3 +134,25 @@ def test_rt_shadows_track_morphing_geometry_via_refit():
 
     s0, s1 = shadow_px(False)  # static build-time BVH: occluder frozen
     assert (px1 - px0) > 3 * abs(s1 - s0)
+
+
+def test_rt_reflections_temporal_accumulation_converges():
+    """The FFX-style temporal stage: with a static camera, accumulated
+    reflections stabilize (frame-to-frame delta shrinks), and the history
+    buffer persists across frames."""
+    scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+    scene.materials[1].roughness_factor = 0.05
+    scene.materials[1].metallic_factor = 1.0
+    r = Renderer(scene, cam, CFG, rt_reflections=True, taa=False, bloom=False)
+    r.render_frame()
+    r1 = np.array(np.asarray(r.state["SceneReflections"]))
+    r.render_frame()
+    r2 = np.array(np.asarray(r.state["SceneReflections"]))
+    r.render_frame()
+    r3 = np.array(np.asarray(r.state["SceneReflections"]))
+    assert np.isfinite(r3).all()
+    assert "RTRefl.history" in r.state
+    d12 = np.abs(r2 - r1).mean()
+    d23 = np.abs(r3 - r2).mean()
+    # Static scene + static camera: the exponential blend must not diverge.
+    assert d23 <= d12 + 1e-5
