@@ -236,9 +236,31 @@ def update_probes(
 # Sampling (probeSampling.glsl analogue)
 
 
+def _oct_wrap(xi: jax.Array, yi: jax.Array, res: int):
+    """Octahedral seam wrap for tap indices one texel out of [0, res).
+
+    The square's edges are glued to themselves by the octahedral fold
+    (edge point (u<0, v) == (-u, 1-v), etc.), so an out-of-bounds tap
+    reflects across its edge AND flips the other axis; a corner tap lands
+    on the diagonally opposite corner. This is the filtering-correct
+    equivalent of the reference's DDGI border-texel duplication
+    (updateProbeBorders in the DDGI compute, gutter texels copied with
+    exactly this mapping) — we wrap at sample time instead of storing a
+    gutter."""
+    out_l = xi < 0
+    out_r = xi >= res
+    yi = jnp.where(out_l | out_r, res - 1 - yi, yi)
+    xi = jnp.where(out_l, -1 - xi, jnp.where(out_r, 2 * res - 1 - xi, xi))
+    out_b = yi < 0
+    out_t = yi >= res
+    xi = jnp.where(out_b | out_t, res - 1 - xi, xi)
+    yi = jnp.where(out_b, -1 - yi, jnp.where(out_t, 2 * res - 1 - yi, yi))
+    return xi, yi
+
+
 def _bilinear_atlas(atlas: jax.Array, probe: jax.Array, uv: jax.Array) -> jax.Array:
-    """(P, R, R, C) atlas, (N,) probe ids, (N,2) octahedral uv -> (N,C).
-    Clamp addressing (octahedral border duplication TODO)."""
+    """(P, R, R, C) atlas, (N,) probe ids, (N,2) octahedral uv -> (N,C),
+    bilinear with octahedral seam wrap across tile edges."""
     res = atlas.shape[1]
     c = atlas.shape[-1]
     x = uv[:, 0] * res - 0.5
@@ -247,16 +269,19 @@ def _bilinear_atlas(atlas: jax.Array, probe: jax.Array, uv: jax.Array) -> jax.Ar
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, res - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, res - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, res - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, res - 1)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
     flat = atlas.reshape(-1, c)
     base = probe * res * res
-    c00 = flat[base + y0i * res + x0i]
-    c10 = flat[base + y0i * res + x1i]
-    c01 = flat[base + y1i * res + x0i]
-    c11 = flat[base + y1i * res + x1i]
+
+    def tap(xi, yi):
+        xw, yw = _oct_wrap(xi, yi, res)
+        return flat[base + yw * res + xw]
+
+    c00 = tap(x0i, y0i)
+    c10 = tap(x0i + 1, y0i)
+    c01 = tap(x0i, y0i + 1)
+    c11 = tap(x0i + 1, y0i + 1)
     return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
 
