@@ -74,6 +74,7 @@ class ProbeGridConfig:
 class DDGIState(NamedTuple):
     irradiance: jax.Array  # (P, 8, 8, 3) pre-exposed radiance estimate
     visibility: jax.Array  # (P, 16, 16, 2) mean / mean^2 ray distance
+    offsets: jax.Array     # (P, 3) probe relocation offsets (world units)
 
 
 def init_state(cfg: ProbeGridConfig) -> DDGIState:
@@ -84,6 +85,7 @@ def init_state(cfg: ProbeGridConfig) -> DDGIState:
             np.full((p, VISIBILITY_RES, VISIBILITY_RES, 2), cfg.max_distance, np.float32)
             * np.array([1.0, cfg.max_distance], np.float32)
         ),
+        offsets=jnp.asarray(np.zeros((p, 3), np.float32)),
     )
 
 
@@ -151,7 +153,10 @@ def update_probes(
 
     base = (frame_index * n_up) % p
     probe_ids = (base + jnp.arange(n_up, dtype=jnp.int32)) % p
-    pos = jnp.asarray(probe_positions(cfg))[probe_ids]         # (n_up, 3)
+    pos = (
+        jnp.asarray(probe_positions(cfg))[probe_ids]
+        + state.offsets[probe_ids]
+    )                                                          # (n_up, 3)
 
     # Per-frame random rotation of the fibonacci ray set (amortized noise).
     key = jax.random.fold_in(jax.random.PRNGKey(7), frame_index)
@@ -174,6 +179,7 @@ def update_probes(
     world_pos = jnp.einsum("rij,rj->ri", w_m[:, :3, :3], obj_pos) + w_m[:, :3, 3]
     obj_nrm = jnp.einsum("rk,rkc->rc", bary, scene.normals[corners])
     nrm = mx.normalize(jnp.einsum("rij,rj->ri", scene.normal_mat[inst], obj_nrm))
+    backface = hit.hit & (mx.vdot(nrm, -ray_dirs, keepdims=False) < 0.0)
     nrm = nrm * jnp.where(mx.vdot(nrm, -ray_dirs) < 0.0, -1.0, 1.0)
 
     mat_id = scene.inst_material[inst]
@@ -229,7 +235,26 @@ def update_probes(
     alpha = jnp.where(first, 1.0, 1.0 - h)
     irr = state.irradiance.at[probe_ids].set(old_irr + (irr_new - old_irr) * alpha)
     vis = state.visibility.at[probe_ids].set(old_vis + (vis_new - old_vis) * alpha)
-    return DDGIState(irradiance=irr, visibility=vis)
+
+    # -- probe relocation (RTXGI-style, the reference's DDGI probe-offset
+    # pass): a probe seeing many backfaces sits inside geometry — push it
+    # along its closest backface ray to just past that surface. Offsets are
+    # clamped to a fraction of the grid spacing so sampling weights stay
+    # meaningful.
+    bf = backface.reshape(n_up, r)
+    bf_frac = bf.mean(axis=1)                                      # (n_up,)
+    t_all = jnp.where(bf, hit.t.reshape(n_up, r), cfg.max_distance)
+    closest = jnp.argmin(t_all, axis=1)                            # (n_up,)
+    t_min = jnp.take_along_axis(t_all, closest[:, None], axis=1)[:, 0]
+    esc_dir = dirs[closest]                                        # (n_up, 3)
+    spacing = jnp.asarray(np.array(cfg.spacing, np.float32))
+    min_space = float(np.min(cfg.spacing))
+    delta = esc_dir * (t_min + 0.15 * min_space)[:, None]
+    old_off = state.offsets[probe_ids]
+    new_off = jnp.where((bf_frac > 0.25)[:, None], old_off + delta, old_off)
+    new_off = jnp.clip(new_off, -0.45 * spacing, 0.45 * spacing)
+    offsets = state.offsets.at[probe_ids].set(new_off)
+    return DDGIState(irradiance=irr, visibility=vis, offsets=offsets)
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +337,10 @@ def sample_irradiance(
                 cy = jnp.minimum(g0[:, 1] + dy, gy - 1)
                 cz = jnp.minimum(g0[:, 2] + dz, gz - 1)
                 probe = (cx * gy + cy) * gz + cz
-                probe_pos = origin + jnp.stack([cx, cy, cz], -1) * spacing
+                probe_pos = (
+                    origin + jnp.stack([cx, cy, cz], -1) * spacing
+                    + state.offsets[probe]
+                )
                 to_probe = probe_pos - world_pos
                 dist = jnp.linalg.norm(to_probe, axis=-1)
                 dir_p = to_probe / jnp.maximum(dist, 1e-6)[:, None]

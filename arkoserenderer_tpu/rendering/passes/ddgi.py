@@ -36,6 +36,7 @@ class DDGIPass(RenderPass):
             (p, ddgi_ops.VISIBILITY_RES, ddgi_ops.VISIBILITY_RES, 2),
             jnp.float32, persistent=True, clear=float(grid.max_distance),
         )
+        reg.create("DDGI.offsets", (p, 3), jnp.float32, persistent=True)
         del init  # shapes documented above; visibility clear approximated
         if reg.has("scene.bvh"):
             reg.get("scene.bvh")
@@ -44,6 +45,7 @@ class DDGIPass(RenderPass):
             st = ddgi_ops.DDGIState(
                 irradiance=state["DDGI.irradiance"],
                 visibility=state["DDGI.visibility"],
+                offsets=state["DDGI.offsets"],
             )
             from arkoserenderer_tpu.rendering.passes.rt import scene_with_live_bvh
 
@@ -54,6 +56,7 @@ class DDGIPass(RenderPass):
             return {
                 "DDGI.irradiance": new.irradiance,
                 "DDGI.visibility": new.visibility,
+                "DDGI.offsets": new.offsets,
             }
 
         return execute

@@ -88,6 +88,7 @@ class LightingComposePass(RenderPass):
         grid = self.ddgi_grid
         if use_ddgi:
             reg.get("DDGI.irradiance")
+            reg.get("DDGI.offsets")
             reg.get("DDGI.visibility")
             reg.get("SceneDepth")
             reg.get("SceneNormal")
@@ -115,6 +116,7 @@ class LightingComposePass(RenderPass):
                 st = ddgi_ops.DDGIState(
                     irradiance=state["DDGI.irradiance"],
                     visibility=state["DDGI.visibility"],
+                    offsets=state["DDGI.offsets"],
                 )
                 nrm = state["SceneNormal"].reshape(-1, 3)
                 ambient = ddgi_ops.sample_irradiance(st, grid, world, nrm)

@@ -41,3 +41,36 @@ def test_seam_wrap_beats_clamp_on_smooth_function():
     assert lower.sum() > 50
     assert err[lower].mean() < 0.08
     assert err.max() < 0.35
+
+
+def test_probe_relocation_escapes_geometry():
+    """A probe starting inside a closed box sees mostly backfaces; the
+    relocation pass must push it toward the surface (nonzero clamped offset)
+    and reduce its backface exposure."""
+    import jax
+    from arkoserenderer_tpu.assets.procedural import make_box
+    from arkoserenderer_tpu.core.types import SceneLimits
+    from arkoserenderer_tpu.scene.scene import Material, Scene
+
+    scene = Scene(limits=SceneLimits(
+        max_vertices=256, max_indices=256, max_drawables=4, max_materials=4,
+        max_textures=8, texture_pool_texels=1 << 12,
+    ))
+    seg = make_box((2.0, 2.0, 2.0))
+    seg.material = scene.add_material(Material())
+    w = np.eye(4, dtype="float32")
+    scene.add_instance(scene.add_segment(seg), w)
+    sa = scene.build(with_bvh=True)
+
+    cfg = ddgi.ProbeGridConfig(
+        dims=(1, 1, 1), origin=(0.3, 0.2, 0.1), spacing=(2.0, 2.0, 2.0),
+        rays_per_probe=64, probes_per_frame=1,
+    )
+    st = ddgi.init_state(cfg)
+    assert float(jnp.abs(st.offsets).max()) == 0.0
+    step = jax.jit(lambda s, i: ddgi.update_probes(sa, s, cfg, i, 1.0))
+    for i in range(4):
+        st = step(st, jnp.asarray(i, jnp.int32))
+    off = np.asarray(st.offsets[0])
+    assert np.abs(off).max() > 0.1            # the probe moved
+    assert (np.abs(off) <= 0.45 * 2.0 + 1e-5).all()  # clamped to the grid
