@@ -39,6 +39,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rt-shadows", action="store_true")
     p.add_argument("--rt-reflections", action="store_true")
     p.add_argument("--ddgi", action="store_true")
+    p.add_argument("--ddgi-probe-debug", action="store_true",
+                   help="overlay irradiance-colored probe splats (needs --ddgi)")
     p.add_argument("--ssss", action="store_true")
     p.add_argument("--fog", action="store_true")
     p.add_argument("--upscale", type=float, default=None,
@@ -117,6 +119,7 @@ def main(argv=None) -> None:
         ssao=args.ssao, motion_blur=args.motion_blur, depth_of_field=args.dof,
         rt_shadows=args.rt_shadows, rt_reflections=args.rt_reflections,
         ddgi=True if args.ddgi else None, ssss=args.ssss, fog=args.fog,
+        ddgi_probe_debug=args.ddgi_probe_debug,
         upscale_to=upscale_to,
         debug_draw=args.debug_draw,
     )

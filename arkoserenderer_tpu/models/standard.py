@@ -51,6 +51,7 @@ def make_forward_pipeline(
     rt_shadows: bool = False,
     rt_reflections: bool = False,
     ddgi=None,  # a ddgi.ProbeGridConfig enables probe GI
+    ddgi_probe_debug: bool = False,  # splat probes over the final image
     ssss: bool = False,
     rt_refit: bool = False,  # per-frame BVH refit for animated geometry
     upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
@@ -123,6 +124,10 @@ def make_forward_pipeline(
         from arkoserenderer_tpu.rendering.passes.debugdraw import DebugDrawPass
 
         pipe.add_pass(DebugDrawPass(debug_draw))
+    if ddgi_probe_debug and ddgi is not None:
+        from arkoserenderer_tpu.rendering.passes.ddgi_debug import DDGIProbeDebugPass
+
+        pipe.add_pass(DDGIProbeDebugPass(ddgi))
     pipe.construct_all()
     return pipe
 
