@@ -50,6 +50,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-taa", action="store_true")
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--debug-draw", action="store_true")
+    p.add_argument("--light-icons", action="store_true",
+                   help="lightbulb billboards at local light positions")
     p.add_argument("--timings", action="store_true", help="print per-pass ms")
     return p
 
@@ -122,6 +124,7 @@ def main(argv=None) -> None:
         ddgi_probe_debug=args.ddgi_probe_debug,
         upscale_to=upscale_to,
         debug_draw=args.debug_draw,
+        light_icons=args.light_icons,
     )
     if args.debug_draw:
         r.debug.axes(size=1.0)

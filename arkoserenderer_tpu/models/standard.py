@@ -52,6 +52,7 @@ def make_forward_pipeline(
     rt_reflections: bool = False,
     ddgi=None,  # a ddgi.ProbeGridConfig enables probe GI
     ddgi_probe_debug: bool = False,  # splat probes over the final image
+    light_icons: bool = False,       # lightbulb billboards at light positions
     ssss: bool = False,
     rt_refit: bool = False,  # per-frame BVH refit for animated geometry
     upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
@@ -128,6 +129,10 @@ def make_forward_pipeline(
         from arkoserenderer_tpu.rendering.passes.ddgi_debug import DDGIProbeDebugPass
 
         pipe.add_pass(DDGIProbeDebugPass(ddgi))
+    if light_icons:
+        from arkoserenderer_tpu.rendering.passes.icons import IconBillboardPass
+
+        pipe.add_pass(IconBillboardPass())
     pipe.construct_all()
     return pipe
 

@@ -68,3 +68,33 @@ def test_debug_visualize_modes(mode):
     assert np.isfinite(img).all()
     assert img.min() >= 0.0 and img.max() <= 1.0
     assert img.std() > 0.01  # something visible
+
+
+def test_light_icon_billboards():
+    """IconManager analogue: lightbulb splats at light positions, tinted by
+    light color, depth-tested against the scene."""
+    from arkoserenderer_tpu.scene.lights import PointLight
+
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    scene.points.append(PointLight(
+        position=np.array([0.0, 2.5, 0.0], np.float32),
+        color=np.array([1.0, 0.2, 0.1], np.float32),
+        luminous_intensity_cd=500.0,
+    ))
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False, light_icons=True)
+    img = np.array(r.render_frame())
+
+    scene2, cam2 = build_test_scene(viewport=(96, 96), n_spheres=1)
+    scene2.points.append(PointLight(
+        position=np.array([0.0, 2.5, 0.0], np.float32),
+        color=np.array([1.0, 0.2, 0.1], np.float32),
+        luminous_intensity_cd=500.0,
+    ))
+    r2 = Renderer(scene2, cam2, CFG, taa=False, bloom=False)
+    img0 = np.array(r2.render_frame())
+
+    d = np.abs(img - img0).max(-1)
+    assert 10 < (d > 0.05).sum() < 200          # a small splat, not a wash
+    yy, xx = np.nonzero(d > 0.05)
+    # The icon is tinted by the light's chromaticity (red-dominant).
+    assert img[yy, xx, 0].mean() > img[yy, xx, 2].mean()
