@@ -96,6 +96,22 @@ class PathTracer:
             self.sample_count += 1
         return self.radiance()
 
+    def save_checkpoint(self, path: str):
+        """Resumable accumulation (PathTracerNode.cpp:81-103's accumulation
+        buffer is the reference's one resumable computation — ours survives
+        process restarts)."""
+        np.savez_compressed(
+            path, accum=np.asarray(self.accum),
+            count=np.array([self.sample_count, self._seed], np.int64),
+        )
+
+    def load_checkpoint(self, path: str):
+        z = np.load(path)
+        self.accum = jnp.asarray(z["accum"])
+        self.sample_count = int(z["count"][0])
+        self._seed = int(z["count"][1])
+        self._cam_sig = self._camera_signature()  # don't reset on next sample
+
     def radiance(self) -> jax.Array:
         """(H, W, 3) mean pre-exposed radiance so far."""
         n = max(self.sample_count, 1)

@@ -220,6 +220,57 @@ class Renderer:
         # frame across renders; np.asarray views alias device memory.
         return self.state["LDR"]
 
+    def render_frame_safe(self, delta_time: float = 1 / 60, retries: int = 2):
+        """Frame execution with recovery (the AppBase frame-retry loop +
+        swapchain-recreate analogue, AppBase.cpp:27-34 /
+        VulkanBackend.cpp:1808-1817): on a device/compile failure the
+        pipeline is reconstructed and retraced, persistent state is kept
+        (device buffers are re-uploaded from host copies), and the frame is
+        retried before giving up."""
+        for attempt in range(retries + 1):
+            try:
+                return self.render_frame(delta_time)
+            except Exception:
+                if attempt == retries:
+                    raise
+                # Snapshot persistent state host-side, rebuild the compiled
+                # pipeline, and restore (recreate + reconstruct).
+                host = {k: np.array(v) for k, v in self.state.items()
+                        if k in self.pipeline.registry.persistent_names}
+                self.pipeline.construct_all()
+                fresh = self.pipeline.initial_state()
+                fresh.update({k: jnp.asarray(v) for k, v in host.items()})
+                self.state = fresh
+
+    def save_checkpoint(self, path: str):
+        """Persist the resumable frame state (TAA history, DDGI atlases +
+        relocation offsets, reflection history, auto-exposure) — the
+        renderer-side analogue of the reference's versioned persistent
+        assets (SURVEY.md §6.4): a later session resumes temporal
+        accumulation instead of restarting it."""
+        persist = {
+            f"state.{k}": np.asarray(self.state[k])
+            for k in self.pipeline.registry.persistent_names
+            if k in self.state
+        }
+        np.savez_compressed(
+            path,
+            __meta__=np.array([self.frame_index, self.time,
+                               self.camera.exposure_compensation], np.float64),
+            **persist,
+        )
+
+    def load_checkpoint(self, path: str):
+        z = np.load(path)
+        meta = z["__meta__"]
+        self.frame_index = int(meta[0])
+        self.time = float(meta[1])
+        self.camera.exposure_compensation = float(meta[2])
+        for k in self.pipeline.registry.persistent_names:
+            key = f"state.{k}"
+            if key in z:
+                self.state[k] = jnp.asarray(z[key])
+
     def render_frames(self, n: int) -> jax.Array:
         for _ in range(n):
             out = self.render_frame()
