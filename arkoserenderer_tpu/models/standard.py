@@ -55,6 +55,7 @@ def make_forward_pipeline(
     light_icons: bool = False,       # lightbulb billboards at light positions
     ssss: bool = False,
     rt_refit: bool = False,  # per-frame BVH refit for animated geometry
+    oit_layers: int = 1,     # translucent depth-peeling layer count
     upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
     film_grain: float = 0.0,
     debug_draw=None,  # a DebugLineBuffer enables the overlay pass
@@ -101,7 +102,7 @@ def make_forward_pipeline(
     if cfg.scene.has_translucent:
         from arkoserenderer_tpu.rendering.passes.translucent import TranslucentPass
 
-        pipe.add_pass(TranslucentPass())
+        pipe.add_pass(TranslucentPass(layers=oit_layers))
     if fog:
         pipe.add_pass(FogPass())
     if motion_blur:

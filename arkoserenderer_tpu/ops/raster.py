@@ -400,6 +400,7 @@ def rasterize_tiles(
     cfg: RasterConfig,
     depth_only: bool = False,
     y_offset: int | jax.Array = 0,
+    depth_limit: jax.Array | None = None,
 ):
     """Stage 4: z-buffered visibility raster.
 
@@ -407,14 +408,22 @@ def rasterize_tiles(
     lowers the vmapped fori_loop to a predicated while over the max count) and
     keep the closest coverage per pixel.
 
+    ``depth_limit`` (optional, (H, W) reverse-Z) rejects fragments at or in
+    front of it — the depth-peeling hook (each OIT layer passes the previous
+    layer's depth to get the next surface behind it).
+
     Returns (vis (H,W) i32 setup-row ids, depth (H,W) f32); vis is all
     VIS_NONE when ``depth_only`` (the shadow-map path).
     """
     px, py = _tile_pixel_centers(width, height, cfg)  # (ntiles, P)
     py = py + y_offset  # screen-space position of this band's rows
     p = cfg.tile_h * cfg.tile_w
+    if depth_limit is not None:
+        limit_t = image_to_tiled(depth_limit, cfg)  # (ntiles, P)
+    else:
+        limit_t = jnp.full((px.shape[0], p), 2.0, jnp.float32)  # no limit
 
-    def tile_body(start, count, px_t, py_t):
+    def tile_body(start, count, px_t, py_t, lim_t):
         depth0 = jnp.full((p,), DEPTH_FAR, dtype=jnp.float32)
         vis0 = jnp.full((p,), VIS_NONE, dtype=jnp.int32)
 
@@ -434,7 +443,7 @@ def rasterize_tiles(
             d = l0 * z[0] + l1 * z[1] + l2 * z[2]
             # Inside test in normalized barycentric terms handles both
             # windings (back faces survive setup when culling is off).
-            covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (d > depth)
+            covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (d > depth) & (d < lim_t)
             depth = jnp.where(covered, d, depth)
             vis = jnp.where(covered, t, vis)
             return depth, vis
@@ -448,7 +457,7 @@ def rasterize_tiles(
         state = jax.lax.fori_loop(0, count, step_local, (depth0, vis0))
         return jax.lax.fori_loop(0, bins.global_count, step_global, state)
 
-    depth_t, vis_t = jax.vmap(tile_body)(bins.starts, bins.counts, px, py)
+    depth_t, vis_t = jax.vmap(tile_body)(bins.starts, bins.counts, px, py, limit_t)
     depth = tiled_to_image(depth_t, width, height, cfg)
     if depth_only:
         vis = jnp.full((height, width), VIS_NONE, dtype=jnp.int32)

@@ -5,9 +5,13 @@ Role-equivalent to the reference's translucent forward pass
 translucent-material triangles are rasterized into their own visibility
 layer (depth-tested against the opaque depth, closest translucent surface
 wins), shaded with the full material path, and alpha-blended over
-SceneColor. Single layer for now (the reference sorts draws; multi-layer /
-OIT is a later milestone); velocity from the translucent surface replaces
-the background's for TAA stability.
+SceneColor. Order-independent transparency comes from DEPTH PEELING:
+``layers`` front-most translucent surfaces are extracted (each raster pass
+rejects fragments at or in front of the previous layer via the raster's
+``depth_limit`` hook), shaded, and composited back-to-front — exact OIT for
+up to ``layers`` overlapping surfaces, unlike the reference's sorted draws.
+Velocity from the closest layer replaces the background's for TAA
+stability.
 """
 
 from __future__ import annotations
@@ -31,7 +35,12 @@ from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT
 class TranslucentPass(RenderPass):
     name = "ForwardTranslucent"
 
+    def __init__(self, layers: int = 1):
+        assert layers >= 1
+        self.layers = layers
+
     def construct(self, cfg: PipelineConfig, reg: Registry):
+        layers = self.layers
         h, w = cfg.height, cfg.width
         reg.get("geom.positions")
         reg.get("geom.normals")
@@ -64,36 +73,45 @@ class TranslucentPass(RenderPass):
                 cull_backfaces=False, w_eps=ctx.camera.near,
             )
             bins = raster.bin_triangles(setup, w, h, rcfg, y_offset=ctx.row_offset)
-            vis, depth = raster.rasterize_tiles(
-                setup, bins, w, h, rcfg, y_offset=ctx.row_offset
-            )
-            # Depth-test the translucent layer against the opaque scene.
-            opaque_depth = state["SceneDepth"]
-            in_front = mx.depth_closer(depth, opaque_depth)
-            vis = jnp.where(in_front, vis, -1)
-
             py_g = py + ctx.row_offset.astype(py.dtype)
-            gb = shade_visibility_buffer(
-                scene, ctx.camera, vis.reshape(-1), depth.reshape(-1),
-                setup, px, py_g, w, full_h,
-                shadow_map=state["ShadowMap.sun"] if use_shadow else None,
-                sun_shadow_vp=scene.lights.sun_view_proj if use_shadow else None,
-                positions=state["geom.positions"],
-                normals=state["geom.normals"],
-                tangents=state["geom.tangents"],
-                n_spots=n_spots, n_points=n_points, tex_flags=tex_flags,
-            )
-            # Alpha from the material's base-color factor.
-            tri = setup.orig_tri[jnp.maximum(vis.reshape(-1), 0)]
-            alpha = scene.materials.base_color_factor[
-                scene.inst_material[scene.tri_instance[tri]]
-            ][:, 3]
-            a = jnp.where(gb.valid, alpha, 0.0).reshape(h, w, 1)
-            color = state["SceneColor"] * (1.0 - a) + gb.color.reshape(h, w, 3) * a
+            opaque_depth = state["SceneDepth"]
+
+            # -- depth peeling: extract the K front-most translucent layers.
+            peeled = []  # [(color (h,w,3), alpha (h,w,1), velocity, depth)]
+            limit = None  # layer 0: unrestricted (closest surface)
+            for _layer in range(layers):
+                vis, depth = raster.rasterize_tiles(
+                    setup, bins, w, h, rcfg, y_offset=ctx.row_offset,
+                    depth_limit=limit,
+                )
+                in_front = mx.depth_closer(depth, opaque_depth)
+                vis = jnp.where(in_front, vis, -1)
+                gb = shade_visibility_buffer(
+                    scene, ctx.camera, vis.reshape(-1), depth.reshape(-1),
+                    setup, px, py_g, w, full_h,
+                    shadow_map=state["ShadowMap.sun"] if use_shadow else None,
+                    sun_shadow_vp=scene.lights.sun_view_proj if use_shadow else None,
+                    positions=state["geom.positions"],
+                    normals=state["geom.normals"],
+                    tangents=state["geom.tangents"],
+                    n_spots=n_spots, n_points=n_points, tex_flags=tex_flags,
+                )
+                tri = setup.orig_tri[jnp.maximum(vis.reshape(-1), 0)]
+                alpha = scene.materials.base_color_factor[
+                    scene.inst_material[scene.tri_instance[tri]]
+                ][:, 3]
+                a = jnp.where(gb.valid, alpha, 0.0).reshape(h, w, 1)
+                peeled.append((gb.color.reshape(h, w, 3), a,
+                               gb.velocity.reshape(h, w, 2)))
+                limit = depth  # next layer: strictly behind this one
+
+            # -- composite back-to-front (exact OIT for K layers).
+            color = state["SceneColor"]
+            for lc, la, _lv in reversed(peeled):
+                color = color * (1.0 - la) + lc * la
+            a0 = peeled[0][1]
             vel = jnp.where(
-                (a[..., 0] > 0.5)[..., None],
-                gb.velocity.reshape(h, w, 2),
-                state["SceneVelocity"],
+                (a0[..., 0] > 0.5)[..., None], peeled[0][2], state["SceneVelocity"]
             )
             return {"SceneColor": color, "SceneVelocity": vel}
 

@@ -56,3 +56,59 @@ def test_translucency_blends_not_occludes():
     # Behind-glass pixels still correlate with the original image.
     corr = np.corrcoef(img_glass[changed].ravel(), img_none[changed].ravel())[0, 1]
     assert corr > 0.5
+
+
+def scene_with_glass_panes(with_back: bool):
+    """Parallel translucent pane(s) in front of the sphere — the back pane
+    is a surface single-layer transparency cannot represent."""
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    front = scene.add_material(Material(
+        base_color_factor=np.array([0.9, 0.3, 0.2, 0.5], np.float32),
+        roughness_factor=0.1, blend_mode=BLEND_TRANSLUCENT,
+    ))
+    back = scene.add_material(Material(
+        base_color_factor=np.array([0.2, 0.4, 0.9, 0.5], np.float32),
+        roughness_factor=0.1, blend_mode=BLEND_TRANSLUCENT,
+    ))
+    # The test camera sits at (4, 2.5, 5): place the back pane ALONG the
+    # camera ray through the front pane so it is genuinely occluded.
+    cam_pos = np.array([4.0, 2.5, 5.0], np.float32)
+    p_front = np.array([-2.0, 1.0, 2.2], np.float32)
+    ray = (p_front - cam_pos) / np.linalg.norm(p_front - cam_pos)
+    p_back = p_front + ray * 0.9
+    panes = [(front, p_front, 1.6)] + ([(back, p_back, 2.4)] if with_back else [])
+    for mat, pos, size in panes:
+        pane = make_box((size, size, 0.05))
+        pane.material = mat
+        w = np.eye(4, dtype=np.float32)
+        w[:3, 3] = pos
+        scene.add_instance(scene.add_segment(pane), w)
+    return scene, cam
+
+
+def _render(with_back, layers):
+    scene, cam = scene_with_glass_panes(with_back)
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False, oit_layers=layers)
+    return np.array(r.render_frame())
+
+
+def test_depth_peeled_oit_shows_second_layer():
+    """A back pane hidden behind the front pane is INVISIBLE to 1-layer
+    transparency but contributes with depth peeling. (Each pane is a thin
+    box = 2 faces, so the front pane alone saturates layers 1-2; peeling 4
+    layers reaches through it to the back pane.)"""
+    base1 = _render(with_back=False, layers=1)
+    both1 = _render(with_back=True, layers=1)
+    base4 = _render(with_back=False, layers=4)
+    both4 = _render(with_back=True, layers=4)
+    assert np.isfinite(both4).all()
+
+    # Overlap region = pixels covered by the front pane: where base1 differs
+    # from a no-pane render is irrelevant; instead compare the back pane's
+    # visible effect under each mode.
+    d1 = np.abs(both1 - base1).max(-1)
+    d4 = np.abs(both4 - base4).max(-1)
+    # Peeling reveals the back pane in many pixels where 1-layer cannot
+    # (pixels where the back pane is strictly behind the front pane).
+    newly_visible = (d4 > 0.02) & (d1 <= 0.002)
+    assert newly_visible.sum() > 40
