@@ -145,8 +145,13 @@ class Renderer:
 
     def __init__(
         self, scene: Scene, camera: Camera, cfg: PipelineConfig,
-        debug_draw: bool = False, auto_exposure: bool = False, **pipeline_kw,
+        debug_draw: bool = False, auto_exposure: bool = False,
+        dynamic_transforms: bool = False, **pipeline_kw,
     ):
+        # dynamic_transforms: re-upload instance matrices/bounds every frame
+        # (physics / editor-moved rigid bodies) — an incremental upload, not
+        # a scene rebuild; see Scene.update_instance_transforms.
+        self.dynamic_transforms = dynamic_transforms
         self.auto_exposure = auto_exposure
         import dataclasses
 
@@ -181,6 +186,10 @@ class Renderer:
         self.time = 0.0
 
     def render_frame(self, delta_time: float = 1 / 60) -> jax.Array:
+        if self.dynamic_transforms:
+            self.scene_arrays = self.scene.update_instance_transforms(
+                self.scene_arrays
+            )
         if self.cfg.scene.has_skin or self.cfg.scene.has_morphs:
             # Host animation -> palette + morph-weight upload
             # (Scene::update analogue).

@@ -563,6 +563,50 @@ class Scene:
         ).astype(np.float32)
         return build_bvh(world_pos, indices, tri_valid)
 
+    def update_instance_transforms(self, arrays: "SceneArrays") -> "SceneArrays":
+        """Incremental transform upload: recompute ONLY the per-instance
+        matrices and bounds from the (possibly physics/editor-moved)
+        instance list and swap them into an existing SceneArrays — the heavy
+        vertex/index/texture pools are untouched and the jitted frame does
+        not retrace (same pytree structure, same shapes).
+
+        This is the streaming half of the reference's VertexManager +
+        GpuScene per-frame upload state machine (instance transforms are
+        re-uploaded every frame there; geometry uploads stay incremental):
+        dynamic rigid motion costs a few KB of host->device traffic, not a
+        rebuild."""
+        dmax = self.limits.max_drawables
+        world = np.asarray(arrays.world).copy()
+        prev_world = np.asarray(arrays.prev_world).copy()
+        normal_mat = np.asarray(arrays.normal_mat).copy()
+        inst_sphere = np.asarray(arrays.inst_sphere).copy()
+        inst_lod_band = np.asarray(arrays.inst_lod_band).copy()
+        for inst_id, (sid, w, pw, clip, lod_band) in enumerate(self.instances):
+            if inst_id >= dmax:
+                break
+            seg = self.segments[sid]
+            world[inst_id] = w
+            prev_world[inst_id] = pw if pw is not None else w
+            normal_mat[inst_id] = np.linalg.inv(w[:3, :3]).T
+            if self._hair is not None and sid == self._hair[3]:
+                hp, _, hr, _ = self._hair
+                center_obj = 0.5 * (hp.min(0) + hp.max(0))
+                r_obj = np.linalg.norm(hp - center_obj, axis=-1).max() + hr.max()
+            else:
+                center_obj = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
+                r_obj = np.linalg.norm(seg.positions - center_obj, axis=-1).max()
+            scale = np.linalg.norm(w[:3, :3], axis=0).max()
+            center_w = w[:3, :3] @ center_obj + w[:3, 3]
+            inst_sphere[inst_id] = (*center_w, r_obj * scale)
+            inst_lod_band[inst_id] = lod_band
+        return arrays._replace(
+            world=jnp.asarray(world),
+            prev_world=jnp.asarray(prev_world),
+            normal_mat=jnp.asarray(normal_mat),
+            inst_sphere=jnp.asarray(inst_sphere),
+            inst_lod_band=jnp.asarray(inst_lod_band),
+        )
+
     def static_info(self) -> SceneStatic:
         mats = self.materials
         return SceneStatic(

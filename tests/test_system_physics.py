@@ -104,3 +104,40 @@ def test_physics_impulse_and_scene_sync():
     _, world, prev, *_ = scene.instances[1]
     assert world[0, 3] > 0.1  # moved +X from the impulse (friction decays it)
     assert prev is not None   # previous transform recorded for velocity
+
+
+def test_dynamic_transforms_stream_into_renderer():
+    """PhysicsScene.commit + Renderer(dynamic_transforms=True): the moved
+    body shows up in the next frame without a scene rebuild (incremental
+    instance-transform upload)."""
+    from arkoserenderer_tpu.core.types import RasterConfig
+    from arkoserenderer_tpu.models.standard import Renderer
+    from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+    from arkoserenderer_tpu.assets.procedural import build_test_scene
+
+    cfg = PipelineConfig(
+        width=96, height=96,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256),
+        shadow_map_size=128,
+    )
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r = Renderer(scene, cam, cfg, taa=False, bloom=False, dynamic_transforms=True)
+    img0 = np.array(r.render_frame())
+    arrays_before = r.scene_arrays
+
+    # Teleport the sphere (instance 1) +1.2m up, as physics/editor would.
+    sid, w, pw, clip, band = scene.instances[1]
+    w2 = np.array(w)
+    w2[1, 3] += 1.2
+    scene.instances[1] = (sid, w2, w, clip, band)
+    img1 = np.array(r.render_frame())
+
+    assert np.abs(img1 - img0).max() > 0.05     # the sphere visibly moved
+    # The heavy pools were NOT re-uploaded (same device buffers).
+    assert r.scene_arrays.positions is arrays_before.positions
+    assert r.scene_arrays.indices is arrays_before.indices
+    # And the world transform did change on device.
+    moved = float(np.asarray(r.scene_arrays.world[1][1, 3])
+                  - np.asarray(arrays_before.world[1][1, 3]))
+    assert abs(moved - 1.2) < 1e-5
