@@ -218,7 +218,8 @@ class HairFile:
 _DDS_MAGIC = 0x20534444  # "DDS "
 _DDPF_FOURCC = 0x4
 _DDPF_RGB = 0x40
-_DXGI_TO_FOURCC = {71: b"DXT1", 77: b"DXT5", 80: b"ATI1", 83: b"ATI2"}
+_DXGI_TO_FOURCC = {71: b"DXT1", 77: b"DXT5", 80: b"ATI1", 83: b"ATI2",
+                   98: b"BC7 ", 99: b"BC7S"}
 
 
 def _decode_bc1_color(blocks: np.ndarray, h: int, w: int,
@@ -301,6 +302,12 @@ class DDSImage:
                     r = meshopt.decompress_bc4(raw, bh, bw)
                     img = np.dstack([r, r, r, np.full_like(r, 255)])
                     off += nblk * 8
+                elif fourcc in (b"BC7 ", b"BC7S"):
+                    from arkoserenderer_tpu.assets import bc7
+
+                    raw = np.frombuffer(data, np.uint8, nblk * 16, off)
+                    img = bc7.decompress_bc7(raw, bh, bw)
+                    off += nblk * 16
                 elif fourcc in (b"ATI2", b"BC5U"):
                     raw = np.frombuffer(data, np.uint8, nblk * 16, off).reshape(-1, 16)
                     r = meshopt.decompress_bc4(raw[:, :8], bh, bw)

@@ -1,0 +1,83 @@
+"""BC7 mode-6 codec roundtrip (TextureCompressor BC7 analogue)."""
+
+import numpy as np
+
+from arkoserenderer_tpu.assets import bc7
+
+
+def test_bc7_roundtrip_smooth_gradient():
+    x = np.linspace(0, 255, 16)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., 0] = x[None, :]
+    img[..., 1] = x[:, None]
+    img[..., 2] = 128
+    img[..., 3] = 255
+    blocks = bc7.compress_bc7_mode6(img)
+    assert blocks.shape == (16, 16)  # 4:1 compression of RGBA8
+    out = bc7.decompress_bc7(blocks, 16, 16)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # R varies horizontally and G vertically inside each block — a 2D color
+    # spread one endpoint segment cannot represent exactly; the residual is
+    # perpendicular distance to the block diagonal.
+    assert err.max() <= 40 and err.mean() < 8.0
+
+
+def test_bc7_roundtrip_random_noise_bounded():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    out = bc7.decompress_bc7(bc7.compress_bc7_mode6(img), 32, 32)
+    # Noise is the worst case for one line segment per block; error stays
+    # bounded by the endpoint span but the mean must be sane.
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 60
+
+
+def test_bc7_constant_block_exact():
+    img = np.full((4, 4, 4), (200, 64, 32, 255), np.uint8)
+    out = bc7.decompress_bc7(bc7.compress_bc7_mode6(img), 4, 4)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_bc7_alpha_preserved():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    img[..., 3] = np.linspace(10, 250, 8).astype(np.uint8)[:, None]
+    out = bc7.decompress_bc7(bc7.compress_bc7_mode6(img), 8, 8)
+    assert np.abs(out[..., 3].astype(int) - img[..., 3].astype(int)).mean() < 40
+
+
+def test_bc7_unsupported_mode_is_loud():
+    blk = np.zeros((1, 16), np.uint8)
+    blk[0, 0] = 1  # mode 0
+    out = bc7.decompress_bc7(blk, 4, 4)
+    assert (out == np.array([255, 0, 255, 255], np.uint8)).all()
+
+
+def test_bc7_two_color_block_near_exact():
+    """Texels exactly at the two endpoints must decode back to them (up to
+    the 7+1-bit endpoint quantization): exercises the full bit layout —
+    endpoints, p-bits, anchor index, and the 4-bit weight table."""
+    rng = np.random.default_rng(5)
+    a = np.array([24, 200, 96, 255], np.uint8)
+    b = np.array([230, 40, 180, 128], np.uint8)
+    img = np.where(rng.random((4, 4, 1)) < 0.5, a[None, None], b[None, None])
+    out = bc7.decompress_bc7(bc7.compress_bc7_mode6(img), 4, 4)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_bc7_dds_container_roundtrip():
+    import struct
+
+    from arkoserenderer_tpu.assets import external as ext
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    blocks = bc7.compress_bc7_mode6(img)
+    pf = struct.pack("<II4sIIIII", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
+    hdr = (b"DDS " + struct.pack("<7I", 124, 0x1007, 8, 8, 0, 0, 1)
+           + b"\0" * 44 + pf + b"\0" * 20)
+    dx10 = struct.pack("<5I", 98, 3, 0, 1, 0)  # DXGI_FORMAT_BC7_UNORM
+    dds = ext.DDSImage.parse(hdr + dx10 + blocks.tobytes())
+    assert dds.fourcc == "BC7 "
+    err = np.abs(dds.mips[0].astype(int) - img.astype(int))
+    assert err.mean() < 60  # mode-6 noise bound (see roundtrip test above)
