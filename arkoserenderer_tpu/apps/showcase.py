@@ -52,6 +52,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-draw", action="store_true")
     p.add_argument("--light-icons", action="store_true",
                    help="lightbulb billboards at local light positions")
+    p.add_argument("--oit-layers", type=int, default=1,
+                   help="translucent depth-peeling layer count (exact OIT)")
     p.add_argument("--timings", action="store_true", help="print per-pass ms")
     return p
 
@@ -125,6 +127,7 @@ def main(argv=None) -> None:
         upscale_to=upscale_to,
         debug_draw=args.debug_draw,
         light_icons=args.light_icons,
+        oit_layers=args.oit_layers,
     )
     if args.debug_draw:
         r.debug.axes(size=1.0)
