@@ -277,3 +277,86 @@ def sample_grad(
     if quality == "bilinear":
         return sample_bilinear_nearest_mip(pool, tex_id, uv, lod, decode_srgb)
     return sample_trilinear(pool, tex_id, uv, lod, decode_srgb=decode_srgb)
+
+
+# ---------------------------------------------------------------------------
+# Tile-rect one-hot gather (experimental fast path; round-2 shading kernel
+# building block).
+
+
+def sample_bilinear_tile_onehot(
+    pool: TexturePool,
+    tex_id: jax.Array,      # (N,) — must be TILE-UNIFORM (one id per tile)
+    uv: jax.Array,          # (N, 2)
+    lod: jax.Array,         # (N,)
+    tile: int = 1024,
+    texel_budget: int = 4096,
+    decode_srgb: bool = True,
+) -> jax.Array:
+    """Nearest-mip bilinear via per-tile mip slices + one-hot matmuls.
+
+    The texture-gather replacement measured 2.4x faster than the 4-gather
+    bilinear path and 4.2x faster than trilinear at 2 Mpx on TPU (see
+    METRICS.md): instead of N random gathers into the 8M-texel pool, each
+    tile of ``tile`` pixels dynamic-slices ONE contiguous mip (a DMA), and
+    the 4 taps become (tile x budget) one-hot x (budget x 4) matmuls on the
+    MXU. Constraints (the caller's contract, enforced by clamping):
+      * one texture id per tile (take the tile's first — callers tile by
+        material or accept bleeding at material boundaries);
+      * the tile uses ONE mip: the median pixel LOD, clamped COARSER until
+        the whole mip fits ``texel_budget`` (magnified tiles blur instead of
+        breaking — bounded, predictable quality loss).
+    The full shading kernel (round 2) lifts both by sorting pixels.
+    """
+    n = uv.shape[0]
+    assert n % tile == 0, "pixel count must be tile-aligned"
+    n_tiles = n // tile
+    uv_t = uv.reshape(n_tiles, tile, 2)
+    lod_t = lod.reshape(n_tiles, tile)
+    tid_t = tex_id.reshape(n_tiles, tile)[:, 0]
+    max_lod = (pool.n_mips[tid_t] - 1).astype(jnp.float32)
+    l_med = jnp.clip(jnp.round(jnp.median(lod_t, axis=1)), 0.0, max_lod)
+    # Clamp coarser until the mip fits the texel budget.
+    n_texels = (pool.mip_size[tid_t, :, 0] * pool.mip_size[tid_t, :, 1])  # (nt, M)
+    fits = n_texels <= texel_budget                                        # (nt, M)
+    first_fit = jnp.argmax(fits, axis=1).astype(jnp.float32)
+    l_t = jnp.maximum(l_med, first_fit).astype(jnp.int32)
+
+    srgb_t = pool.srgb[tid_t]
+    wrap_t = pool.wrap[tid_t]
+
+    def per_tile(tid, lvl, uvs, srgb_f, wrap_f):
+        off = pool.mip_offset[tid, lvl]
+        size = pool.mip_size[tid, lvl]
+        w = size[0]
+        h = size[1]
+        texels = jax.lax.dynamic_slice(pool.texels, (off,), (texel_budget,))
+        rgba = unpack_rgba8(texels)
+        if decode_srgb:
+            rgb_lin = srgb_to_linear(rgba[:, :3])
+            rgba = rgba.at[:, :3].set(jnp.where(srgb_f, rgb_lin, rgba[:, :3]))
+        x = uvs[:, 0] * w.astype(jnp.float32) - 0.5
+        y = uvs[:, 1] * h.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        iota = jnp.arange(texel_budget, dtype=jnp.int32)
+        out = jnp.zeros((uvs.shape[0], 4), jnp.float32)
+        rgba_bf = rgba.astype(jnp.bfloat16)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0.astype(jnp.int32) + dx
+                yi = y0.astype(jnp.int32) + dy
+                xi = jnp.where(wrap_f == WRAP_REPEAT, jnp.mod(xi, w),
+                               jnp.clip(xi, 0, w - 1))
+                yi = jnp.where(wrap_f == WRAP_REPEAT, jnp.mod(yi, h),
+                               jnp.clip(yi, 0, h - 1))
+                li = yi * w + xi
+                onehot = (li[:, None] == iota[None, :]).astype(jnp.bfloat16)
+                c = (onehot @ rgba_bf).astype(jnp.float32)
+                wgt = jnp.where(dx, fx, 1 - fx) * jnp.where(dy, fy, 1 - fy)
+                out = out + c * wgt
+        return out
+
+    return jax.vmap(per_tile)(tid_t, l_t, uv_t, srgb_t, wrap_t).reshape(-1, 4)

@@ -115,3 +115,40 @@ def test_bilinear_quality_close_to_trilinear(rng):
     )
     assert jnp.max(jnp.abs(tri - bil)) < 0.35
     assert jnp.mean(jnp.abs(tri - bil)) < 0.08
+
+
+def test_tile_onehot_matches_bilinear_when_uniform(rng):
+    """The one-hot tile gather is exact vs the standard nearest-mip bilinear
+    path when its contract holds (uniform texture+mip per tile, mip fits)."""
+    b = tx.TexturePoolBuilder(max_textures=8, pool_capacity=1 << 18)
+    img = (rng.random((128, 128, 4)) * 255).astype(np.uint8)
+    tid = b.add(img, srgb=False)
+    pool = b.finalize()
+    n, tile = 2048, 256
+    uv = jnp.asarray(rng.random((n, 2)).astype(np.float32) * 2.5)  # wrapping
+    ids = jnp.full((n,), tid, jnp.int32)
+    lod = jnp.full((n,), 3.0)  # mip 3 = 16x16, fits any budget
+    ref = tx.sample_bilinear_nearest_mip(pool, ids, uv, lod, decode_srgb=False)
+    got = tx.sample_bilinear_tile_onehot(pool, ids, uv, lod, tile=tile,
+                                         decode_srgb=False)
+    assert jnp.max(jnp.abs(got - ref)) < 0.01  # bf16 one-hot matmul rounding
+
+
+def test_tile_onehot_clamps_oversized_mips_coarser(rng):
+    """Magnified tiles (mip 0 of a big texture exceeds the budget) clamp to
+    the first fitting mip instead of producing garbage."""
+    b = tx.TexturePoolBuilder(max_textures=8, pool_capacity=1 << 18)
+    img = (rng.random((256, 256, 4)) * 255).astype(np.uint8)
+    tid = b.add(img, srgb=False)
+    pool = b.finalize()
+    n, tile = 1024, 256
+    uv = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+    ids = jnp.full((n,), tid, jnp.int32)
+    lod = jnp.zeros((n,))  # wants mip 0 = 65536 texels > 4096 budget
+    got = tx.sample_bilinear_tile_onehot(pool, ids, uv, lod, tile=tile,
+                                         texel_budget=4096, decode_srgb=False)
+    # mip 2 (64x64 = 4096) is the first fitting level.
+    ref = tx.sample_bilinear_nearest_mip(pool, ids, uv, jnp.full((n,), 2.0),
+                                         decode_srgb=False)
+    assert jnp.max(jnp.abs(got - ref)) < 0.01
+    assert bool(jnp.isfinite(got).all())
