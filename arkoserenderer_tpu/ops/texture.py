@@ -271,11 +271,18 @@ def sample_grad(
     quality: str = "trilinear",
 ) -> jax.Array:
     """Gradient-correct sample (the standard material-texture path)."""
-    if quality not in ("trilinear", "bilinear"):
-        raise ValueError(f"unknown texture quality {quality!r} (trilinear|bilinear)")
+    if quality not in ("trilinear", "bilinear", "sorted"):
+        raise ValueError(
+            f"unknown texture quality {quality!r} (trilinear|bilinear|sorted)"
+        )
     lod = compute_lod(pool, tex_id, duv_dx, duv_dy)
     if quality == "bilinear":
         return sample_bilinear_nearest_mip(pool, tex_id, uv, lod, decode_srgb)
+    if quality == "sorted":
+        # Nearest-mip bilinear through the sorted one-hot MXU gather
+        # (fastest path; see METRICS.md).
+        return sample_bilinear_sorted(pool, tex_id, uv, lod,
+                                      decode_srgb=decode_srgb)
     return sample_trilinear(pool, tex_id, uv, lod, decode_srgb=decode_srgb)
 
 
@@ -360,3 +367,65 @@ def sample_bilinear_tile_onehot(
         return out
 
     return jax.vmap(per_tile)(tid_t, l_t, uv_t, srgb_t, wrap_t).reshape(-1, 4)
+
+
+def sample_bilinear_sorted(
+    pool: TexturePool,
+    tex_id: jax.Array,      # (N,) arbitrary per-pixel ids
+    uv: jax.Array,          # (N, 2)
+    lod: jax.Array,         # (N,)
+    tile: int = 1024,
+    texel_budget: int = 4096,
+    decode_srgb: bool = True,
+) -> jax.Array:
+    """General-purpose nearest-mip bilinear through the one-hot tile gather.
+
+    Lifts `sample_bilinear_tile_onehot`'s per-tile-uniform contract for
+    arbitrary per-pixel textures: pixels are SORTED by (texture, mip), each
+    texture's run is padded to a tile multiple (so no tile ever spans two
+    textures), sampled with the tile gather, and scattered back. Within a
+    texture's run, a tile straddling two mip levels uses the tile-median
+    level — at most a +-1 mip shift on the few boundary tiles, the same
+    class of error as nearest-mip vs trilinear. Measured: the sort + three
+    permutes cost ~33 ms at 2 Mpx; each avoided pool-gather chain saves
+    ~85-190 ms (see METRICS.md), so this wins whenever >=1 trilinear or
+    >=2 bilinear chains share one sort.
+    """
+    n = uv.shape[0]
+    n_tex = pool.mip_offset.shape[0]
+    n_pad = n + n_tex * tile
+
+    max_lod = (pool.n_mips[tex_id] - 1).astype(jnp.float32)
+    level = jnp.clip(jnp.round(lod), 0.0, max_lod).astype(jnp.int32)
+    key = tex_id * MAX_MIPS + level
+    order = jnp.argsort(key)
+    tex_s = tex_id[order]
+    uv_s = uv[order]
+    lvl_s = level[order]
+
+    # Per-texture run lengths -> padded bases (each run tile-aligned).
+    counts = jnp.zeros((n_tex,), jnp.int32).at[tex_id].add(1)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    padded = ((counts + tile - 1) // tile) * tile
+    pad_base = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]])
+    dest = pad_base[tex_s] + (jnp.arange(n, dtype=jnp.int32) - start[tex_s])
+
+    # Padded buffers; dummy slots carry their region's texture id + a mip
+    # that is guaranteed to fit the budget, so every tile stays uniform.
+    region_edges = jnp.cumsum(padded)
+    slot_tex = jnp.searchsorted(region_edges, jnp.arange(n_pad, dtype=jnp.int32),
+                                side="right").astype(jnp.int32)
+    slot_tex = jnp.clip(slot_tex, 0, n_tex - 1)
+    n_texels = pool.mip_size[:, :, 0] * pool.mip_size[:, :, 1]       # (T, M)
+    first_fit = jnp.argmax(n_texels <= texel_budget, axis=1).astype(jnp.int32)
+    tex_p = slot_tex.at[dest].set(tex_s)
+    uv_p = jnp.zeros((n_pad, 2), uv.dtype).at[dest].set(uv_s)
+    lvl_p = first_fit[slot_tex].at[dest].set(lvl_s)
+
+    out_p = sample_bilinear_tile_onehot(
+        pool, tex_p, uv_p, lvl_p.astype(jnp.float32),
+        tile=tile, texel_budget=texel_budget, decode_srgb=decode_srgb,
+    )
+    out_s = out_p[dest]                       # back to sorted pixel order
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=order.dtype))
+    return out_s[inv]

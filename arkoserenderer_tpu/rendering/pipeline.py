@@ -57,7 +57,7 @@ class PipelineConfig:
     shadow_map_size: int = 2048
     local_shadow_map_size: int = 512  # per-spot shadow atlas tile
     tonemap_mode: str = "agx"
-    texture_quality: str = "trilinear"  # or "bilinear" (4 taps, ~2x cheaper)
+    texture_quality: str = "trilinear"  # | "bilinear" (4 taps) | "sorted" (one-hot MXU gather)
     # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the
     # pipeline renders a HORIZONTAL BAND of a taller frame — ``height`` is
     # the band height, ``full_height`` the whole frame, and each device's
