@@ -43,3 +43,35 @@ def test_sharded_multi_frame_stable():
         img = np.array(shr.render_frame())
     assert np.all(np.isfinite(img))
     assert 0.05 < img.mean() < 0.95
+
+
+def test_sharded_matches_with_spot_shadow_atlas_and_icons():
+    """The round-closing passes (local shadow atlas, icon billboards) must
+    be band-correct: each device rasterizes the full (small) spot atlas and
+    splats icons only into its own band."""
+    from arkoserenderer_tpu.scene.lights import SpotLight
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, local_shadow_map_size=64)
+
+    def make():
+        scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+        scene.spots.append(SpotLight(
+            position=np.array([-2.0, 3.5, 0.0], np.float32),
+            direction=np.array([0.0, -1.0, 0.0], np.float32),
+            luminous_intensity_cd=60000.0,
+            outer_cone_angle=np.radians(50.0),
+            inner_cone_angle=np.radians(35.0),
+        ))
+        return scene, cam
+
+    scene, cam = make()
+    ref = Renderer(scene, cam, cfg, bloom=False, light_icons=True)
+    a = np.asarray(ref.render_frame())
+
+    scene2, cam2 = make()
+    shr = ShardedRenderer(scene2, cam2, cfg, n_devices=4, bloom=False,
+                          light_icons=True)
+    b = np.array(shr.render_frame())
+    mism = np.abs(a - b) > 1e-5
+    assert mism.mean() < 1e-3, f"sharded spot/icon render diverges: {mism.mean():.4f}"
