@@ -113,8 +113,9 @@ def shade_visibility_buffer(
         return default if tex_flags is None else getattr(tex_flags, flag)
 
     tq = texture_quality
+    _p2 = bool(getattr(tex_flags, "textures_pow2", False))
     if _use("uses_base_tex"):
-        base_tex = tx.sample_grad(scene.textures, m.base_color_tex[mat_id], uv, duv_dx, duv_dy, quality=tq)
+        base_tex = tx.sample_grad(scene.textures, m.base_color_tex[mat_id], uv, duv_dx, duv_dy, quality=tq, pow2=_p2)
         base_color = base_tex[:, :3] * m.base_color_factor[mat_id][:, :3]
     else:
         base_color = m.base_color_factor[mat_id][:, :3]
@@ -122,7 +123,7 @@ def shade_visibility_buffer(
     if _use("uses_mr_tex"):
         mr_tex = tx.sample_grad(
             scene.textures, m.mr_tex[mat_id], uv, duv_dx, duv_dy,
-            decode_srgb=False, quality=tq,
+            decode_srgb=False, quality=tq, pow2=_p2,
         )
         roughness = jnp.clip(mr_tex[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.0, 1.0)
         metallic = jnp.clip(mr_tex[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
@@ -132,7 +133,8 @@ def shade_visibility_buffer(
 
     if _use("uses_emissive_tex", False):
         emissive_tex = tx.sample_grad(
-            scene.textures, m.emissive_tex[mat_id], uv, duv_dx, duv_dy, quality=tq
+            scene.textures, m.emissive_tex[mat_id], uv, duv_dx, duv_dy,
+            quality=tq, pow2=_p2,
         )
         emissive = emissive_tex[:, :3] * m.emissive_factor[mat_id]
     else:
@@ -141,7 +143,7 @@ def shade_visibility_buffer(
     if _use("uses_occlusion_tex", False):
         occl_tex = tx.sample_grad(
             scene.textures, m.occlusion_tex[mat_id], uv, duv_dx, duv_dy,
-            decode_srgb=False, quality=tq,
+            decode_srgb=False, quality=tq, pow2=_p2,
         )
         occlusion = occl_tex[:, 0:1]
     else:
@@ -151,7 +153,7 @@ def shade_visibility_buffer(
     if _use("uses_normal_tex"):
         nrm_tex = tx.sample_grad(
             scene.textures, m.normal_tex[mat_id], uv, duv_dx, duv_dy,
-            decode_srgb=False, quality=tq,
+            decode_srgb=False, quality=tq, pow2=_p2,
         )
         n_ts = nrm_tex[:, :3] * 2.0 - 1.0
         bitan = jnp.cross(world_nrm, world_tan) * obj_tan[:, 3:4]

@@ -61,6 +61,7 @@ class SceneStatic:
     uses_mr_tex: bool = True
     uses_emissive_tex: bool = False
     uses_occlusion_tex: bool = False
+    textures_pow2: bool = False  # all pool textures power-of-two (mask wrap)
     # Hair ribbons (camera-facing expansion in the Scene pass)
     has_hair: bool = False
     hair_vertex_base: int = 0
@@ -623,6 +624,7 @@ class Scene:
             uses_mr_tex=any(m.mr_tex != 0 for m in mats),
             uses_emissive_tex=any(m.emissive_tex != 0 for m in mats),
             uses_occlusion_tex=any(m.occlusion_tex != 0 for m in mats),
+            textures_pow2=getattr(self.texture_builder, "all_pow2", False),
             has_hair=self._hair is not None,
             hair_vertex_base=self._hair_vertex_base(),
             has_translucent=any(m.blend_mode == BLEND_TRANSLUCENT for m in mats),

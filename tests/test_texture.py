@@ -205,3 +205,29 @@ def test_sample_grad_sorted_quality(rng):
     srt = tx.sample_grad(pool, ids, uv, duv, duv * 0, quality="sorted")
     bil = tx.sample_grad(pool, ids, uv, duv, duv * 0, quality="bilinear")
     assert jnp.max(jnp.abs(srt - bil)) < 0.01
+
+
+def test_pow2_mask_addressing_matches_mod(rng):
+    """With pow2=True the REPEAT wrap uses a bitmask — must be bit-identical
+    to the jnp.mod path for power-of-two textures, incl. negative coords."""
+    b = tx.TexturePoolBuilder(max_textures=8, pool_capacity=1 << 18)
+    tid = b.add((rng.random((128, 64, 4)) * 255).astype(np.uint8), srgb=False)
+    cid = b.add((rng.random((32, 32, 4)) * 255).astype(np.uint8), srgb=False,
+                wrap=tx.WRAP_CLAMP)
+    pool = b.finalize()
+    assert b.all_pow2
+    n = 1024
+    uv = jnp.asarray((rng.random((n, 2)).astype(np.float32) - 0.5) * 6.0)
+    for t in (tid, cid):
+        ids = jnp.full((n,), t, jnp.int32)
+        lod = jnp.asarray(rng.random(n).astype(np.float32) * 4.0)
+        ref = tx.sample_trilinear(pool, ids, uv, lod, decode_srgb=False)
+        got = tx.sample_trilinear(pool, ids, uv, lod, decode_srgb=False, pow2=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_non_pow2_detected(rng):
+    b = tx.TexturePoolBuilder(max_textures=8, pool_capacity=1 << 18)
+    b.add((rng.random((48, 64, 4)) * 255).astype(np.uint8), srgb=False,
+          mipmapped=False)
+    assert not b.all_pow2
