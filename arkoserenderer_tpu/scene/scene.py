@@ -473,6 +473,20 @@ class Scene:
             subsurface=_soa([x.subsurface for x in self.materials], (mmax,)),
         )
 
+        # Host mirrors for incremental streaming (stream_instance): the
+        # VertexManager state machine's staging half — new geometry writes
+        # into pool padding without re-deriving the rest of the scene.
+        self._mirror = {
+            "positions": positions, "normals": normals, "uvs": uvs,
+            "tangents": tangents, "vertex_instance": vertex_instance,
+            "indices": indices, "tri_instance": tri_instance,
+            "tri_valid": tri_valid, "world": world, "prev_world": prev_world,
+            "normal_mat": normal_mat, "inst_material": inst_material,
+            "inst_sphere": inst_sphere, "inst_valid": inst_valid,
+            "inst_lod_band": inst_lod_band,
+            "v_cursor": v_cursor, "t_cursor": t_cursor,
+        }
+
         center, radius = self.bounding_sphere()
         lights = build_light_arrays(
             self.sun, self.spots, self.points,
@@ -563,6 +577,95 @@ class Scene:
             np.einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
         ).astype(np.float32)
         return build_bvh(world_pos, indices, tri_valid)
+
+    def stream_instance(self, arrays: "SceneArrays", segment_id: int,
+                        world: np.ndarray,
+                        lod_band=(0.0, LOD_FAR)) -> "SceneArrays":
+        """Incremental geometry streaming: add an instance of an EXISTING
+        segment into the live SceneArrays without a rebuild or a retrace.
+
+        The VertexManager streaming state machine analogue
+        (arkose/rendering/VertexManager + GpuScene's staged uploads): the
+        new geometry is written into the fixed pools' padding host-side and
+        only the touched pools are re-uploaded — every array keeps its
+        shape, so the jitted frame function's cache stays hot. Returns the
+        updated SceneArrays; raises when a pool is out of capacity (the
+        caller evicts or rebuilds with larger limits, the reference's
+        defragment-or-grow path).
+
+        Scope (round 1): static rigid segments (no skin/morph/hair); the
+        static BVH does not include streamed geometry until the next
+        full build (RT sees it after ``Scene.build(with_bvh=True)``).
+        """
+        mir = getattr(self, "_mirror", None)
+        assert mir is not None, "call build() before stream_instance()"
+        seg = self.segments[segment_id]
+        assert seg.skeleton < 0 and seg.morph_pos is None, (
+            "streaming is rigid-static only this round"
+        )
+        v = seg.positions.shape[0]
+        t = seg.num_triangles
+        vc, tc = mir["v_cursor"], mir["t_cursor"]
+        inst_id = len(self.instances)
+        if (vc + v > self.limits.max_vertices
+                or tc + t > self.limits.max_indices // 3
+                or inst_id >= self.limits.max_drawables):
+            raise RuntimeError("scene pools full — rebuild with larger limits")
+
+        w = np.asarray(world, np.float32)
+        self.instances.append((segment_id, w, None, None, lod_band))
+        mir["positions"][vc:vc + v] = seg.positions
+        mir["normals"][vc:vc + v] = seg.normals
+        mir["uvs"][vc:vc + v] = seg.uvs
+        mir["tangents"][vc:vc + v] = seg.tangents
+        mir["vertex_instance"][vc:vc + v] = inst_id
+        mir["indices"][tc:tc + t] = seg.indices.reshape(t, 3) + vc
+        mir["tri_instance"][tc:tc + t] = inst_id
+        mir["tri_valid"][tc:tc + t] = True
+        mir["world"][inst_id] = w
+        mir["prev_world"][inst_id] = w
+        mir["normal_mat"][inst_id] = np.linalg.inv(w[:3, :3]).T
+        mir["inst_material"][inst_id] = seg.material
+        center_obj = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
+        r_obj = np.linalg.norm(seg.positions - center_obj, axis=-1).max()
+        scale = np.linalg.norm(w[:3, :3], axis=0).max()
+        mir["inst_sphere"][inst_id] = (*(w[:3, :3] @ center_obj + w[:3, 3]),
+                                       r_obj * scale)
+        mir["inst_valid"][inst_id] = True
+        mir["inst_lod_band"][inst_id] = lod_band
+        mir["v_cursor"] = vc + v
+        mir["t_cursor"] = tc + t
+
+        # Refit the light setup to the grown bounds (the sun shadow ortho
+        # tracks the scene's bounding sphere, like the reference's per-frame
+        # shadow fit) so a streamed scene renders identically to a rebuild.
+        center, radius = self.bounding_sphere()
+        lights = build_light_arrays(
+            self.sun, self.spots, self.points, exposure=1.0,
+            scene_center=center, scene_radius=radius,
+            max_spots=self.limits.max_spot_lights,
+            max_points=self.limits.max_point_lights,
+            ambient_lx=self.ambient_lx,
+        )
+
+        return arrays._replace(
+            lights=lights,
+            positions=jnp.asarray(mir["positions"]),
+            normals=jnp.asarray(mir["normals"]),
+            uvs=jnp.asarray(mir["uvs"]),
+            tangents=jnp.asarray(mir["tangents"]),
+            vertex_instance=jnp.asarray(mir["vertex_instance"]),
+            indices=jnp.asarray(mir["indices"]),
+            tri_instance=jnp.asarray(mir["tri_instance"]),
+            tri_valid=jnp.asarray(mir["tri_valid"]),
+            world=jnp.asarray(mir["world"]),
+            prev_world=jnp.asarray(mir["prev_world"]),
+            normal_mat=jnp.asarray(mir["normal_mat"]),
+            inst_material=jnp.asarray(mir["inst_material"]),
+            inst_sphere=jnp.asarray(mir["inst_sphere"]),
+            inst_valid=jnp.asarray(mir["inst_valid"]),
+            inst_lod_band=jnp.asarray(mir["inst_lod_band"]),
+        )
 
     def update_instance_transforms(self, arrays: "SceneArrays") -> "SceneArrays":
         """Incremental transform upload: recompute ONLY the per-instance
