@@ -65,6 +65,12 @@ def make_forward_pipeline(
     shadow (mapped or ray-traced) -> deferred shade -> RT reflections ->
     SSAO -> lighting compose -> sky -> fog -> motion blur -> DoF -> bloom ->
     TAA -> tonemap [-> FXAA -> CAS]."""
+    if cfg.texture_quality == "auto":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, texture_quality="stochastic" if taa else "trilinear"
+        )
     pipe = RenderPipeline(cfg)
     pipe.add_pass(ScenePass())
     pipe.add_pass(GeometryPass())

@@ -47,37 +47,41 @@ def upsample2x(img: jax.Array) -> jax.Array:
 
 
 def blur3(img: jax.Array) -> jax.Array:
-    """3x3 binomial ([1,2,1]/4 separable) blur with edge clamp."""
-    k = jnp.array([0.25, 0.5, 0.25])
+    """3x3 binomial ([1,2,1]/4 separable) blur with edge clamp.
+
+    Implemented with edge-pad + static slices (pure data movement the TPU
+    executes in the elementwise fused path) — NOT index-array takes, which
+    lower to the gather unit (~26 ms/op class at 1080p, METRICS.md round 2).
+    """
+    k = (0.25, 0.5, 0.25)
 
     def conv_axis(x, axis):
-        lo = jnp.take(x, jnp.maximum(jnp.arange(x.shape[axis]) - 1, 0), axis=axis)
-        hi = jnp.take(
-            x, jnp.minimum(jnp.arange(x.shape[axis]) + 1, x.shape[axis] - 1), axis=axis
-        )
-        return k[0] * lo + k[1] * x + k[2] * hi
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (1, 1)
+        p = jnp.pad(x, pad, mode="edge")
+        n = x.shape[axis]
+
+        def sl(off):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(off, off + n)
+            return p[tuple(idx)]
+
+        return k[0] * sl(0) + k[1] * sl(1) + k[2] * sl(2)
 
     return conv_axis(conv_axis(img, 0), 1)
 
 
 def neighborhood_min_max(img: jax.Array):
-    """Per-pixel 3x3 min / max (for TAA neighborhood clamping)."""
-    h, w = img.shape[0], img.shape[1]
+    """Per-pixel 3x3 min / max (for TAA neighborhood clamping).
 
-    def shift(dy, dx):
-        ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-        xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-        return img[ys][:, xs]
-
-    lo = img
-    hi = img
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            s = shift(dy, dx)
-            lo = jnp.minimum(lo, s)
-            hi = jnp.maximum(hi, s)
+    reduce_window hits the TPU pooling path (measured ~free at 1080p);
+    'SAME' padding with +-inf init equals edge-clamp semantics exactly."""
+    lo = jax.lax.reduce_window(
+        img, jnp.inf, jax.lax.min, (3, 3, 1), (1, 1, 1), "SAME"
+    )
+    hi = jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max, (3, 3, 1), (1, 1, 1), "SAME"
+    )
     return lo, hi
 
 
@@ -111,6 +115,66 @@ def sample_catmull_rom(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             yj = jnp.clip((cy + (j - 1)).astype(jnp.int32), 0, h - 1)
             acc = acc + img.reshape(-1, img.shape[-1])[yj * w + xi] * (wxi * wyj)[:, None]
     return acc
+
+
+def band_halo_rows(img: jax.Array, axis_name: str, n_shards: int):
+    """Neighbor bands' boundary rows for seam-exact banded stencils.
+
+    Under pixel-band SPMD each device holds a horizontal band; stencils and
+    upsamples near band edges need the adjacent device's rows. Returns
+    (top, bottom) single rows fetched over the mesh axis with ppermute (ICI
+    traffic: one row each way); the frame's outer edges fall back to edge
+    clamp, exactly like the single-device path."""
+    i = jax.lax.axis_index(axis_name)
+    from_above = jax.lax.ppermute(
+        img[-1:], axis_name, [(d, d + 1) for d in range(n_shards - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        img[:1], axis_name, [(d + 1, d) for d in range(n_shards - 1)]
+    )
+    top = jnp.where(i == 0, img[:1], from_above)
+    bottom = jnp.where(i == n_shards - 1, img[-1:], from_below)
+    return top, bottom
+
+
+def upsample_bilinear_k(img: jax.Array, k: int, halo_rows=None) -> jax.Array:
+    """(h, w, c) -> (h*k, w*k, c) separable bilinear upsample, edge clamp.
+
+    Built from edge-pad + static slices + per-phase lerps (all elementwise —
+    no gathers, unlike jax.image.resize which costs a full gather-class op
+    on this chip). ``halo_rows`` = (top, bottom) rows from band_halo_rows for
+    seam-exact upsampling of a sharded band."""
+    if k == 1:
+        return img
+
+    def axis_up(x, axis):
+        n = x.shape[axis]
+        if axis == 0 and halo_rows is not None:
+            p = jnp.concatenate([halo_rows[0], x, halo_rows[1]], axis=0)
+        else:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (1, 1)
+            p = jnp.pad(x, pad, mode="edge")
+
+        def sl(off):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(off, off + n)
+            return p[tuple(idx)]
+
+        prev, cur, nxt = sl(0), sl(1), sl(2)
+        phases = []
+        for ph in range(k):
+            f = (ph + 0.5) / k - 0.5
+            if f < 0:
+                phases.append(cur * (1.0 + f) + prev * (-f))
+            else:
+                phases.append(cur * (1.0 - f) + nxt * f)
+        s = jnp.stack(phases, axis=axis + 1)
+        shape = list(x.shape)
+        shape[axis] = n * k
+        return s.reshape(shape)
+
+    return axis_up(axis_up(img, 0), 1)
 
 
 def luminance(rgb: jax.Array) -> jax.Array:

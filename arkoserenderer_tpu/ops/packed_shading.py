@@ -1,0 +1,318 @@
+"""Packed-record deferred shading — the TPU fast path.
+
+Same role as ops/shading.shade_visibility_buffer (the reference's
+VisibilityBufferShadingNode + shadeVisibilityBuffer.comp:1-278), restructured
+for a gather-latency-bound machine. Measured on the target chip (METRICS.md
+round 2): every per-pixel random access costs ~10-30 ms per op at 1080p
+regardless of row width, and the reference-style shading front-end issues
+~25-30 of them (vertex indices, three attribute pools, three matrix tables,
+a dozen material fields, texture metadata...). Total: ~900 ms of a ~1000 ms
+frame.
+
+The fix: fold EVERYTHING a pixel needs into one per-triangle record row at
+geometry time (per-triangle work is 30x cheaper than per-pixel), so shading
+issues exactly ONE per-pixel row gather for geometry + material + texture
+metadata, plus the texel taps themselves (ops/mattex: one row per tap for
+ALL material channels) and one prefiltered shadow tap (ops/shadow VSM).
+
+Per-pixel random-access budget of a full PBR frame: 1 record gather +
+4-8 packed texel taps + 4 shadow moment taps ~= 9-13 row gathers, versus
+~30-60 scalar gathers in the reference-style path. Everything else is
+fused VPU/MXU arithmetic, which this chip executes at speed of light.
+
+Record layout (REC_SIZE = 96 f32 lanes per raster setup row):
+  [0:6)   screen xy of the 3 corners        (raster setup, sub-triangle)
+  [6:9)   1/w_clip per corner
+  [9:57)  3 corners x 16 lanes: wpos(3) prev_wpos(3) wnrm(3) wtan(3)
+          tanw(1) uv(2) pad(1)  — already corner_bary-folded, i.e. these are
+          the SUB-triangle corners, so per-pixel sub-barycentrics apply
+          directly (near clipping is invisible here, like ops/interpolate)
+  [57:89) material record (MREC, 32 lanes)
+  [89:96) pad
+
+Material record (built once per scene in Scene.build):
+  [0:4) base_color_factor  [4:7) emissive_factor  [7] metallic  [8] roughness
+  [9] double_sided  [10] clearcoat  [11] clearcoat_roughness  [12] subsurface
+  [13] alpha_cutoff  [14] blend_mode
+  [15:32) packed-texture meta: wrap, w0, h0, n_mips, mip_offsets*13
+          (ops/mattex.META_LANES)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from arkoserenderer_tpu.core import mathx as mx
+from arkoserenderer_tpu.ops import brdf
+from arkoserenderer_tpu.ops import mattex
+from arkoserenderer_tpu.ops.interpolate import _persp_bary
+from arkoserenderer_tpu.ops.raster import TriSetup
+from arkoserenderer_tpu.ops.shading import GBuffer
+from arkoserenderer_tpu.ops.shadow import sample_shadow_pcf, sample_vsm
+
+REC_SIZE = 96
+C_STRIDE = 16
+MREC_SIZE = 32
+MREC_BASE = 57  # record lane where the material record starts
+
+# Corner sub-lane offsets
+C_WPOS, C_PREV, C_WNRM, C_WTAN, C_TANW, C_UV = 0, 3, 6, 9, 12, 13
+
+# Material record lanes
+M_BASEF, M_EMIF, M_METAL, M_ROUGH = 0, 4, 7, 8
+M_DSIDED, M_CC, M_CCR, M_SSS, M_CUTOFF, M_BLEND = 9, 10, 11, 12, 13, 14
+M_TEXMETA = 15  # + mattex.META_LANES = 32
+
+
+def build_vertex_world(scene, positions, normals, tangents) -> jax.Array:
+    """Per-vertex packed WORLD-space pool (V, 16):
+    [wpos3, prev_wpos3, wnrm3, wtan3, tanw, uv2, pad].
+
+    One instance-matrix row gather per vertex (the per-instance matrices are
+    packed into a single (D, 33) table first — elementwise), then pure
+    einsum. This replaces the reference-style per-PIXEL matrix gathers."""
+    d = scene.world.shape[0]
+    m_pack = jnp.concatenate(
+        [
+            scene.world[:, :3, :].reshape(d, 12),
+            scene.prev_world[:, :3, :].reshape(d, 12),
+            scene.normal_mat.reshape(d, 9),
+        ],
+        axis=-1,
+    )  # (D, 33)
+    m = m_pack[scene.vertex_instance]  # (V, 33) — ONE row gather at V lanes
+    w_rot = m[:, 0:12].reshape(-1, 3, 4)
+    p_rot = m[:, 12:24].reshape(-1, 3, 4)
+    n_rot = m[:, 24:33].reshape(-1, 3, 3)
+    wpos = jnp.einsum("vij,vj->vi", w_rot[:, :, :3], positions) + w_rot[:, :, 3]
+    ppos = jnp.einsum("vij,vj->vi", p_rot[:, :, :3], positions) + p_rot[:, :, 3]
+    wnrm = mx.normalize(jnp.einsum("vij,vj->vi", n_rot, normals))
+    wtan = mx.normalize(jnp.einsum("vij,vj->vi", w_rot[:, :, :3], tangents[:, :3]))
+    return jnp.concatenate(
+        [
+            wpos, ppos, wnrm, wtan, tangents[:, 3:4], scene.uvs,
+            jnp.zeros((wpos.shape[0], 1), jnp.float32),
+        ],
+        axis=-1,
+    )  # (V, 16)
+
+
+def build_records(
+    setup: TriSetup,
+    vtx_world: jax.Array,    # (V, 16)
+    indices: jax.Array,      # (Tmax, 3)
+    tri_material: jax.Array, # (Tmax,) i32
+    mat_records: jax.Array,  # (M, 32)
+) -> jax.Array:
+    """(T', REC_SIZE) shading records, one per raster setup row.
+
+    Gather chain (at triangle lanes — 30x cheaper than pixel lanes):
+    indices[orig] -> vtx_world[corners]; tri_material[orig] ->
+    mat_records[mat]. corner_bary is folded in here so the record's corners
+    ARE the clipped sub-triangle's corners."""
+    t = setup.orig_tri.shape[0]
+    corners = indices[setup.orig_tri]            # (T', 3)
+    vtx = vtx_world[corners]                     # (T', 3, 16)
+    sub = jnp.einsum("tkj,tjc->tkc", setup.corner_bary, vtx)  # fold clipping
+    mrec = mat_records[tri_material[setup.orig_tri]]          # (T', 32)
+    rec = jnp.concatenate(
+        [
+            setup.screen_xy.reshape(t, 6),
+            setup.inv_w,
+            sub.reshape(t, 48),
+            mrec,
+            jnp.zeros((t, REC_SIZE - 89), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return rec
+
+
+def shade_packed(
+    scene,
+    cam,
+    vis_flat: jax.Array,     # (N,) setup-row ids (VIS_NONE background)
+    depth_flat: jax.Array,   # (N,)
+    records: jax.Array,      # (T', REC_SIZE)
+    px: jax.Array,
+    py: jax.Array,
+    width: int,
+    height: int,
+    shadow_moments: jax.Array | None = None,   # (S, S, 2) sun VSM
+    sun_shadow_vp: jax.Array | None = None,
+    shadow_mask: jax.Array | None = None,      # (N,) RT mask wins
+    local_shadow_maps: jax.Array | None = None,
+    spot_shadow_flags: tuple | None = None,
+    n_spots: int = 0,
+    n_points: int = 0,
+    any_tex: bool = True,
+    texture_quality: str = "trilinear",
+    frame_index: jax.Array | None = None,  # for stochastic filtering noise
+) -> GBuffer:
+    valid = vis_flat >= 0
+    row = jnp.maximum(vis_flat, 0)
+    rec = records[row]                 # (N, 96) — THE per-pixel gather
+    n = px.shape[0]
+    exposure = cam.exposure
+
+    sxy = rec[:, 0:6].reshape(n, 3, 2)
+    inv_w = rec[:, 6:9]
+    c = rec[:, 9:57].reshape(n, 3, 16)
+    mrec = rec[:, MREC_BASE : MREC_BASE + MREC_SIZE]
+
+    bary = _persp_bary(sxy, inv_w, px, py)
+    bary_dx = _persp_bary(sxy, inv_w, px + 1.0, py)
+    bary_dy = _persp_bary(sxy, inv_w, px, py + 1.0)
+
+    attr = jnp.einsum("nk,nkc->nc", bary, c)       # every attribute at once
+    attr_dx = jnp.einsum("nk,nkc->nc", bary_dx, c)
+    attr_dy = jnp.einsum("nk,nkc->nc", bary_dy, c)
+
+    world_pos = attr[:, C_WPOS : C_WPOS + 3]
+    prev_world_pos = attr[:, C_PREV : C_PREV + 3]
+    world_nrm = mx.normalize(attr[:, C_WNRM : C_WNRM + 3])
+    world_tan = mx.normalize(attr[:, C_WTAN : C_WTAN + 3])
+    tanw = attr[:, C_TANW : C_TANW + 1]
+    uv = attr[:, C_UV : C_UV + 2]
+    duv_dx = attr_dx[:, C_UV : C_UV + 2] - uv
+    duv_dy = attr_dy[:, C_UV : C_UV + 2] - uv
+
+    base_factor = mrec[:, M_BASEF : M_BASEF + 4]
+    emissive_factor = mrec[:, M_EMIF : M_EMIF + 3]
+    metallic_f = mrec[:, M_METAL : M_METAL + 1]
+    roughness_f = mrec[:, M_ROUGH : M_ROUGH + 1]
+    double_sided = mrec[:, M_DSIDED] > 0.5
+    clearcoat = mrec[:, M_CC : M_CC + 1]
+    cc_rough = mrec[:, M_CCR : M_CCR + 1]
+    subsurface = mrec[:, M_SSS]
+
+    if any_tex:
+        noise = None
+        if texture_quality == "stochastic":
+            # Per-pixel per-frame white noise (integer hash — pure VPU);
+            # TAA averages the jittered-mip estimator to trilinear.
+            seed = (
+                px.astype(jnp.int32)
+                + py.astype(jnp.int32) * 19349663
+                + (frame_index if frame_index is not None else 0) * 83492791
+            ).astype(jnp.uint32)
+            seed = seed ^ (seed >> 16)
+            seed = seed * jnp.uint32(0x7FEB352D)
+            seed = seed ^ (seed >> 15)
+            seed = seed * jnp.uint32(0x846CA68B)
+            seed = seed ^ (seed >> 16)
+            noise = (seed >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        ms = mattex.sample_packed(
+            scene.mat_tex.rows,
+            mrec[:, M_TEXMETA : M_TEXMETA + mattex.META_LANES],
+            uv, duv_dx, duv_dy, quality=texture_quality, noise=noise,
+        )
+        base_color = ms.base[:, :3] * base_factor[:, :3]
+        roughness = jnp.clip(ms.rough_metal[:, 0:1] * roughness_f, 0.0, 1.0)
+        metallic = jnp.clip(ms.rough_metal[:, 1:2] * metallic_f, 0.0, 1.0)
+        emissive = ms.emissive * emissive_factor
+        occlusion = ms.occlusion[:, None]
+        n_ts = ms.normal_ts
+        bitan = jnp.cross(world_nrm, world_tan) * tanw
+        shading_nrm = mx.normalize(
+            n_ts[:, 0:1] * world_tan + n_ts[:, 1:2] * bitan + n_ts[:, 2:3] * world_nrm
+        )
+    else:
+        base_color = base_factor[:, :3]
+        roughness = jnp.clip(roughness_f, 0.0, 1.0)
+        metallic = jnp.clip(metallic_f, 0.0, 1.0)
+        emissive = emissive_factor
+        occlusion = jnp.ones_like(roughness)
+        shading_nrm = world_nrm
+
+    view = mx.normalize(cam.position[None, :] - world_pos)
+    facing = jnp.sign(mx.vdot(shading_nrm, view))
+    flip = jnp.where(double_sided[:, None], facing, 1.0)
+    shading_nrm = shading_nrm * jnp.where(flip == 0.0, 1.0, flip)
+
+    # -- direct lighting (same math as ops/shading, VSM sun shadow) ------------
+    color = emissive * exposure
+
+    sun_l = -scene.lights.sun_direction[None, :]
+    n_dot_l_geo = jnp.clip(mx.vdot(world_nrm, sun_l, keepdims=False), 0.0, 1.0)
+    if shadow_mask is not None:
+        shadow = shadow_mask
+    elif shadow_moments is not None:
+        shadow = sample_vsm(shadow_moments, sun_shadow_vp, world_pos, n_dot_l_geo)
+    else:
+        shadow = jnp.ones((n,))
+    sun_fr = brdf.evaluate(
+        jnp.broadcast_to(sun_l, (n, 3)), view, shading_nrm,
+        base_color, roughness, metallic, clearcoat, cc_rough,
+    )
+    sun_radiance = scene.lights.sun_color[None, :] * exposure
+    color = color + sun_fr * sun_radiance * shadow[:, None] * scene.lights.sun_valid
+
+    for i in range(n_spots):
+        to_l = scene.lights.spot_pos[i][None, :] - world_pos
+        dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+        l = to_l * jax.lax.rsqrt(dist2)
+        cos_dir = -mx.vdot(l, scene.lights.spot_dir[i][None, :], keepdims=False)
+        cone = scene.lights.spot_cone[i]
+        t = jnp.clip((cos_dir - cone[1]) / jnp.maximum(cone[0] - cone[1], 1e-4), 0.0, 1.0)
+        angle_idx = jnp.clip(
+            (jnp.arccos(jnp.clip(cos_dir, -1.0, 1.0)) / jnp.pi * 255.0).astype(jnp.int32),
+            0, 255,
+        )
+        ies = scene.lights.spot_ies[i][angle_idx]
+        falloff = t * t * ies / dist2[:, 0]
+        if (
+            local_shadow_maps is not None
+            and spot_shadow_flags is not None
+            and i < len(spot_shadow_flags)
+            and spot_shadow_flags[i]
+        ):
+            n_dot_l_spot = jnp.clip(mx.vdot(world_nrm, l, keepdims=False), 0.0, 1.0)
+            falloff = falloff * sample_shadow_pcf(
+                local_shadow_maps[i], scene.lights.spot_view_proj[i],
+                world_pos, n_dot_l_spot,
+            )
+        fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
+        color = color + fr * (
+            scene.lights.spot_color[i][None, :] * exposure
+        ) * falloff[:, None]
+
+    for i in range(n_points):
+        to_l = scene.lights.point_pos[i][None, :] - world_pos
+        dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+        l = to_l * jax.lax.rsqrt(dist2)
+        fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
+        color = color + fr * (
+            scene.lights.point_color[i][None, :] * exposure
+        ) / dist2
+
+    # -- velocity ---------------------------------------------------------------
+    def to_screen(vp, p):
+        clip = mx.transform_points_h(vp, p)
+        w_c = clip[:, 3]
+        inv = jnp.where(jnp.abs(w_c) > 1e-8, 1.0 / jnp.where(w_c == 0, 1.0, w_c), 0.0)
+        sx = (clip[:, 0] * inv * 0.5 + 0.5) * width
+        sy = (0.5 - clip[:, 1] * inv * 0.5) * height
+        return jnp.stack([sx, sy], axis=-1)
+
+    cur_s = to_screen(cam.unjittered_view_proj, world_pos)
+    prev_s = to_screen(cam.prev_view_proj, prev_world_pos)
+    velocity = cur_s - prev_s
+
+    vf = valid[:, None]
+    return GBuffer(
+        color=jnp.where(vf, color, 0.0),
+        normal=jnp.where(vf, shading_nrm, 0.0),
+        velocity=jnp.where(vf, velocity, 0.0),
+        base_color=jnp.where(vf, base_color, 0.0),
+        material=jnp.where(
+            vf,
+            jnp.concatenate(
+                [roughness, metallic, occlusion, subsurface[:, None]], axis=-1
+            ),
+            0.0,
+        ),
+        depth=depth_flat,
+        valid=valid,
+    )

@@ -70,3 +70,80 @@ def sample_shadow_pcf(
     lit = jax.lax.fori_loop(0, num_taps, one_tap, jnp.zeros(uv.shape[0])) / num_taps
     # Outside the shadow frustum: fully lit (sun covers the whole scene bounds).
     return jnp.where(inside, lit, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Variance shadow maps (the TPU fast path)
+#
+# PCF taps are per-pixel random gathers — the single most expensive op class
+# on this hardware (~10-30 ms per gather op at 1080p, METRICS.md round 2),
+# and 8 taps in a loop serialize. VSM moves the filtering to the shadow map
+# itself (prefiltering with reduce_window is effectively FREE on the TPU's
+# pooling path) so the receiver needs ONE bilinear tap (4 parallel row
+# gathers) for smooth shadows. Role-equivalent to projectShadow.comp's PCF
+# disc (arkose/shaders/shadow/projectShadow.comp) with equal-or-softer
+# quality.
+
+
+def shadow_moments(depth_map: jax.Array, blur_passes: int = 2) -> jax.Array:
+    """(S, S) reverse-Z depth -> (S, S, 2) prefiltered (E[d], E[d^2]).
+
+    Each blur pass is a 3x3 box via reduce_window (measured ~free); two
+    passes approximate a 5x5 tent like the reference's PCF disc radius."""
+    m = jnp.stack([depth_map, depth_map * depth_map], axis=-1)
+    for _ in range(blur_passes):
+        m = jax.lax.reduce_window(
+            m, 0.0, jax.lax.add, (3, 3, 1), (1, 1, 1), "SAME"
+        ) * (1.0 / 9.0)
+    return m
+
+
+def sample_vsm(
+    moments: jax.Array,     # (S, S, 2)
+    shadow_vp: jax.Array,
+    world_pos: jax.Array,   # (N, 3)
+    n_dot_l: jax.Array,
+    constant_bias: float = 1.5e-3,
+    slope_bias: float = 2.0e-3,
+    min_variance: float = 1e-6,
+    bleed_reduction: float = 0.25,
+) -> jax.Array:
+    """(N,) shadow visibility via Chebyshev upper bound (reverse-Z).
+
+    One bilinear moment tap (4 row gathers, all parallel). Light-bleed is
+    clipped by rescaling the tail probability (standard VSM bleed fix)."""
+    s = moments.shape[0]
+    uv, depth = project_to_shadow_uv(shadow_vp, world_pos)
+    slope = jnp.sqrt(jnp.maximum(1.0 - n_dot_l**2, 0.0)) / jnp.maximum(n_dot_l, 0.1)
+    bias = constant_bias + slope_bias * jnp.clip(slope, 0.0, 3.0)
+    d = depth + bias
+
+    x = jnp.clip(uv[:, 0] * s - 0.5, 0.0, s - 1.0)
+    y = jnp.clip(uv[:, 1] * s - 0.5, 0.0, s - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, s - 1)
+    y1i = jnp.minimum(y0i + 1, s - 1)
+    flat = moments.reshape(-1, 2)
+    m00 = flat[y0i * s + x0i]
+    m10 = flat[y0i * s + x1i]
+    m01 = flat[y1i * s + x0i]
+    m11 = flat[y1i * s + x1i]
+    m = (m00 * (1 - fx) + m10 * fx) * (1 - fy) + (m01 * (1 - fx) + m11 * fx) * fy
+
+    mean = m[:, 0]
+    var = jnp.maximum(m[:, 1] - mean * mean, min_variance)
+    # Reverse-Z: receiver lit when its depth >= occluder mean.
+    diff = mean - d
+    p = var / (var + diff * diff)
+    p = jnp.clip((p - bleed_reduction) / (1.0 - bleed_reduction), 0.0, 1.0)
+    lit = jnp.where(d >= mean, 1.0, p)
+
+    inside = (
+        (uv[:, 0] > 0.0) & (uv[:, 0] < 1.0) & (uv[:, 1] > 0.0) & (uv[:, 1] < 1.0)
+    )
+    return jnp.where(inside, lit, 1.0)

@@ -112,6 +112,8 @@ class TexturePoolBuilder:
         assert self._count < self.max_textures, "texture pool id capacity exceeded"
         if img.ndim == 2:
             img = img[..., None]
+        if not hasattr(self, "images"):
+            self.images: list[tuple[np.ndarray, bool, int]] = []
         if img.shape[2] < 4:
             pad = np.zeros(img.shape[:2] + (4 - img.shape[2],), np.uint8)
             if img.shape[2] < 4:
@@ -134,6 +136,7 @@ class TexturePoolBuilder:
         self._n_mips[tid] = len(mips)
         self._srgb[tid] = srgb
         self._wrap[tid] = wrap
+        self.images.append((img, srgb, wrap))
         self._count += 1
         if (img.shape[0] & (img.shape[0] - 1)) or (img.shape[1] & (img.shape[1] - 1)):
             self.all_pow2 = False
@@ -285,6 +288,8 @@ def sample_grad(
     pow2: bool = False,
 ) -> jax.Array:
     """Gradient-correct sample (the standard material-texture path)."""
+    if quality in ("auto", "stochastic"):
+        quality = "trilinear"  # reference path has no stochastic filter
     if quality not in ("trilinear", "bilinear", "sorted"):
         raise ValueError(
             f"unknown texture quality {quality!r} (trilinear|bilinear|sorted)"

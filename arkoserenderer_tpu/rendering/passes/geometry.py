@@ -46,11 +46,23 @@ def transform_vertices_clip(scene, view_proj, positions=None):
     return jnp.concatenate([xyz, w[:, None]], axis=-1)
 
 
+def world_to_clip(view_proj, wpos):
+    """(4,4) @ (V,3) world positions -> (V,4) clip. Pure elementwise/MXU —
+    used by the packed path where world-space vertices already exist."""
+    xyz = jnp.einsum("ij,vj->vi", view_proj[:3, :3], wpos) + view_proj[:3, 3]
+    w = jnp.einsum("j,vj->v", view_proj[3, :3], wpos) + view_proj[3, 3]
+    return jnp.concatenate([xyz, w[:, None]], axis=-1)
+
+
 class GeometryPass(RenderPass):
     name = "Geometry"
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         reg.get("geom.positions")
+        packed = cfg.shading_mode == "packed"
+        if packed:
+            reg.get("geom.vtx_world")
+            reg.publish("vis.records")
         reg.create("SceneDepth", (cfg.height, cfg.width), jnp.float32,
                    clear=mx.DEPTH_FAR)
         reg.create("Visibility", (cfg.height, cfg.width), jnp.int32, clear=-1)
@@ -59,9 +71,14 @@ class GeometryPass(RenderPass):
         full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:
-            clip = transform_vertices_clip(
-                ctx.scene, ctx.camera.view_proj, state["geom.positions"]
-            )
+            if packed:
+                clip = world_to_clip(
+                    ctx.camera.view_proj, state["geom.vtx_world"][:, 0:3]
+                )
+            else:
+                clip = transform_vertices_clip(
+                    ctx.scene, ctx.camera.view_proj, state["geom.positions"]
+                )
             # Per-instance frustum culling before triangle setup — the
             # task-shader culling stage (meshletVisibilityBuffer.task:24-58 /
             # common/culling.glsl sphere-vs-frustum) at instance granularity;
@@ -126,11 +143,19 @@ class GeometryPass(RenderPass):
                 vis, depth = raster.rasterize_tiles(
                     setup, bins, w, h, rcfg, y_offset=ctx.row_offset
                 )
-            return {
+            out = {
                 "SceneDepth": depth,
                 "Visibility": vis,
                 "vis.setup": setup,
                 "vis.overflow": bins.overflow,
             }
+            if packed:
+                from arkoserenderer_tpu.ops.packed_shading import build_records
+
+                out["vis.records"] = build_records(
+                    setup, state["geom.vtx_world"], ctx.scene.indices,
+                    ctx.scene.tri_material, ctx.scene.mat_records,
+                )
+            return out
 
         return execute

@@ -28,6 +28,11 @@ class ScenePass(RenderPass):
         reg.publish("geom.positions")
         reg.publish("geom.normals")
         reg.publish("geom.tangents")
+        packed = cfg.shading_mode == "packed"
+        if packed:
+            # World-space packed vertex pool for the record-based shading
+            # path (ops/packed_shading.build_vertex_world).
+            reg.publish("geom.vtx_world")
         has_skin = cfg.scene.has_skin
         has_hair = cfg.scene.has_hair
         hair_base = cfg.scene.hair_vertex_base
@@ -70,6 +75,11 @@ class ScenePass(RenderPass):
                 p = jax.lax.dynamic_update_slice_in_dim(p, ribbon, hair_base, axis=0)
                 n = jax.lax.dynamic_update_slice_in_dim(n, nrm, hair_base, axis=0)
                 t = jax.lax.dynamic_update_slice_in_dim(t, tan, hair_base, axis=0)
-            return {"geom.positions": p, "geom.normals": n, "geom.tangents": t}
+            out = {"geom.positions": p, "geom.normals": n, "geom.tangents": t}
+            if packed:
+                from arkoserenderer_tpu.ops.packed_shading import build_vertex_world
+
+                out["geom.vtx_world"] = build_vertex_world(ctx.scene, p, n, t)
+            return out
 
         return execute

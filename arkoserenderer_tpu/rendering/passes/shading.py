@@ -27,15 +27,27 @@ class VisibilityShadingPass(RenderPass):
         reg.get("Visibility")
         reg.get("SceneDepth")
         reg.get("vis.setup")
-        reg.get("geom.positions")
-        reg.get("geom.normals")
-        reg.get("geom.tangents")
+        packed = cfg.shading_mode == "packed"
+        if packed:
+            reg.get("vis.records")
+        else:
+            reg.get("geom.positions")
+            reg.get("geom.normals")
+            reg.get("geom.tangents")
         n_spots = cfg.scene.n_spots
         n_points = cfg.scene.n_points
         tex_flags = cfg.scene
+        any_tex = (
+            tex_flags.uses_base_tex or tex_flags.uses_normal_tex
+            or tex_flags.uses_mr_tex or tex_flags.uses_emissive_tex
+            or tex_flags.uses_occlusion_tex
+        )
         texture_quality = cfg.texture_quality
         use_shadow = reg.has("ShadowMap.sun")
-        if use_shadow:
+        use_moments = packed and reg.has("ShadowMoments.sun")
+        if use_moments:
+            reg.get("ShadowMoments.sun")
+        elif use_shadow:
             reg.get("ShadowMap.sun")
         use_rt_shadow = reg.has("ShadowMask.sun")
         if use_rt_shadow:
@@ -58,6 +70,39 @@ class VisibilityShadingPass(RenderPass):
             vis_flat = state["Visibility"].reshape(-1)
             depth_flat = state["SceneDepth"].reshape(-1)
             py_global = py + ctx.row_offset.astype(py.dtype)
+            if packed:
+                from arkoserenderer_tpu.ops.packed_shading import shade_packed
+
+                gb = shade_packed(
+                    ctx.scene, ctx.camera, vis_flat, depth_flat,
+                    state["vis.records"], px, py_global, w, full_h,
+                    shadow_moments=state["ShadowMoments.sun"] if use_moments else None,
+                    sun_shadow_vp=(
+                        ctx.scene.lights.sun_view_proj if use_moments else None
+                    ),
+                    shadow_mask=(
+                        state["ShadowMask.sun"].reshape(-1) if use_rt_shadow else None
+                    ),
+                    local_shadow_maps=(
+                        state["ShadowMap.locals"] if use_local_shadow else None
+                    ),
+                    spot_shadow_flags=(
+                        spot_shadow_flags if use_local_shadow else None
+                    ),
+                    n_spots=n_spots,
+                    n_points=n_points,
+                    any_tex=any_tex,
+                    texture_quality=texture_quality,
+                    frame_index=ctx.frame_index,
+                )
+                return {
+                    "SceneColor": gb.color.reshape(h, w, 3),
+                    "SceneNormal": gb.normal.reshape(h, w, 3),
+                    "SceneVelocity": gb.velocity.reshape(h, w, 2),
+                    "SceneBaseColor": gb.base_color.reshape(h, w, 3),
+                    "SceneMaterial": gb.material.reshape(h, w, 4),
+                    "SceneCoverage": gb.valid.reshape(h, w),
+                }
             gb = shade_visibility_buffer(
                 ctx.scene, ctx.camera, vis_flat, depth_flat,
                 state["vis.setup"], px, py_global, w, full_h,

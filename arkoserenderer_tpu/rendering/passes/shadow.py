@@ -30,6 +30,12 @@ class SunShadowPass(RenderPass):
     def construct(self, cfg: PipelineConfig, reg: Registry):
         s = cfg.shadow_map_size
         reg.get("geom.positions")
+        packed = cfg.shading_mode == "packed"
+        if packed:
+            reg.get("geom.vtx_world")
+            # Prefiltered VSM moments for the single-tap shadow sample
+            # (ops/shadow.shadow_moments; reduce_window prefilter is ~free).
+            reg.create("ShadowMoments.sun", (s, s, 2), jnp.float32)
         reg.create("ShadowMap.sun", (s, s), jnp.float32, clear=mx.DEPTH_FAR)
         rcfg = cfg.raster
         shard_axis = cfg.shard_axis
@@ -40,9 +46,16 @@ class SunShadowPass(RenderPass):
         )
 
         def execute(state: dict, ctx: FrameContext) -> dict:
-            clip = transform_vertices_clip(
-                ctx.scene, ctx.scene.lights.sun_view_proj, state["geom.positions"]
-            )
+            if packed:
+                from arkoserenderer_tpu.rendering.passes.geometry import world_to_clip
+
+                clip = world_to_clip(
+                    ctx.scene.lights.sun_view_proj, state["geom.vtx_world"][:, 0:3]
+                )
+            else:
+                clip = transform_vertices_clip(
+                    ctx.scene, ctx.scene.lights.sun_view_proj, state["geom.positions"]
+                )
             tri_valid = ctx.scene.tri_valid
             # Light-frustum culling (DirectionalShadowDrawNode's culling).
             planes = mx.frustum_planes_from_matrix(ctx.scene.lights.sun_view_proj)
@@ -77,7 +90,12 @@ class SunShadowPass(RenderPass):
                 depth = jax.lax.all_gather(
                     band_depth, shard_axis, axis=0, tiled=True
                 )  # (S, S) on every device — rides ICI
-            return {"ShadowMap.sun": depth}
+            out = {"ShadowMap.sun": depth}
+            if packed:
+                from arkoserenderer_tpu.ops.shadow import shadow_moments
+
+                out["ShadowMoments.sun"] = shadow_moments(depth)
+            return out
 
         return execute
 

@@ -21,8 +21,11 @@ from arkoserenderer_tpu.rendering.registry import Registry
 class TAAPass(RenderPass):
     name = "TAA"
 
-    def __init__(self, hysteresis: float = 0.9, use_catmull_rom: bool = True):
+    def __init__(self, hysteresis: float = 0.9, use_catmull_rom: bool | None = None):
         self.hysteresis = hysteresis
+        # None = follow cfg.taa_filter ("bilinear" is the TPU default: the
+        # 16-gather Catmull-Rom history resample costs ~150 ms at 1080p on
+        # the gather-latency-bound chip vs ~40 ms for bilinear).
         self.use_catmull_rom = use_catmull_rom
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
@@ -36,7 +39,11 @@ class TAAPass(RenderPass):
         px = jnp.asarray(px.ravel())
         py = jnp.asarray(py.ravel())
         hysteresis = self.hysteresis
-        catmull = self.use_catmull_rom
+        catmull = (
+            self.use_catmull_rom
+            if self.use_catmull_rom is not None
+            else cfg.taa_filter == "catmull"
+        )
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             color = state["SceneColor"]

@@ -57,7 +57,22 @@ class PipelineConfig:
     shadow_map_size: int = 2048
     local_shadow_map_size: int = 512  # per-spot shadow atlas tile
     tonemap_mode: str = "agx"
-    texture_quality: str = "trilinear"  # | "bilinear" (4 taps) | "sorted" (one-hot MXU gather)
+    # Texture filter: "auto" resolves to "stochastic" (jittered-mip, 4 taps,
+    # trilinear-equivalent under TAA) when TAA is in the pipeline, else
+    # "trilinear" (8 taps). Explicit: trilinear | bilinear | stochastic |
+    # sorted (one-hot MXU gather, reference shading mode only).
+    texture_quality: str = "auto"
+    # Deferred-shading path: "packed" = per-triangle record + channel-packed
+    # material textures + VSM sun shadows (ops/packed_shading — the TPU fast
+    # path, ~1 per-pixel gather for geometry+material); "reference" = the
+    # round-1 per-field gather path kept for cross-checking.
+    shading_mode: str = "packed"
+    # TAA history filter: "bilinear" (4 gathers) | "catmull" (16 gathers,
+    # sharper history — the reference's optional Catmull-Rom, taa.comp).
+    taa_filter: str = "bilinear"
+    # Sky env-map fetch at 1/k resolution then bilinear-upsampled (the env
+    # fetch is 4 per-pixel gathers; sky is low-frequency). 1 = full res.
+    sky_fetch_scale: int = 4
     # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the
     # pipeline renders a HORIZONTAL BAND of a taller frame — ``height`` is
     # the band height, ``full_height`` the whole frame, and each device's

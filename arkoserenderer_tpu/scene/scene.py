@@ -179,6 +179,12 @@ class SceneArrays(NamedTuple):
     # Materials + bindless textures
     materials: MaterialArrays
     textures: TexturePool
+    # TPU fast path: per-triangle material id, packed material records
+    # (factors + packed-texture metadata, ops/packed_shading layout) and the
+    # channel-packed per-material texel pool (ops/mattex).
+    tri_material: jax.Array     # (Tmax,) i32
+    mat_records: jax.Array      # (Mmax, 32) f32
+    mat_tex: object             # ops.mattex.PackedTexturePool
     # Lights (raw photometric units; pre-exposure applied in shading)
     lights: LightArrays
     # Environment: equirect radiance map + multiplier
@@ -487,6 +493,28 @@ class Scene:
             "v_cursor": v_cursor, "t_cursor": t_cursor,
         }
 
+        # Packed material records + channel-packed textures (TPU fast path,
+        # ops/packed_shading + ops/mattex).
+        from arkoserenderer_tpu.ops import mattex
+
+        tex_rows, tex_meta = mattex.build_packed_materials(
+            self.materials, getattr(self.texture_builder, "images", [])
+        )
+        mat_records = np.zeros((mmax, 32), np.float32)
+        for i, x in enumerate(self.materials):
+            mat_records[i, 0:4] = x.base_color_factor
+            mat_records[i, 4:7] = x.emissive_factor
+            mat_records[i, 7] = x.metallic_factor
+            mat_records[i, 8] = x.roughness_factor
+            mat_records[i, 9] = 1.0 if x.double_sided else 0.0
+            mat_records[i, 10] = x.clearcoat
+            mat_records[i, 11] = x.clearcoat_roughness
+            mat_records[i, 12] = x.subsurface
+            mat_records[i, 13] = x.alpha_cutoff
+            mat_records[i, 14] = x.blend_mode
+            mat_records[i, 15:32] = tex_meta[i]
+        tri_material = inst_material[tri_instance].astype(np.int32)
+
         center, radius = self.bounding_sphere()
         lights = build_light_arrays(
             self.sun, self.spots, self.points,
@@ -515,6 +543,9 @@ class Scene:
             inst_lod_band=jnp.asarray(inst_lod_band),
             materials=mat,
             textures=self.texture_builder.finalize(),
+            tri_material=jnp.asarray(tri_material),
+            mat_records=jnp.asarray(mat_records),
+            mat_tex=mattex.PackedTexturePool(rows=jnp.asarray(tex_rows)),
             lights=lights,
             env_map=jnp.asarray(self.env_map),
             env_brightness=jnp.asarray(self.env_brightness, jnp.float32),
@@ -635,6 +666,14 @@ class Scene:
         mir["inst_lod_band"][inst_id] = lod_band
         mir["v_cursor"] = vc + v
         mir["t_cursor"] = tc + t
+        # Packed-shading side table (ops/packed_shading): per-triangle
+        # material ids for the streamed range. The material itself must
+        # already exist in mat_records / the packed texel pool (streaming a
+        # NEW material is a rebuild — same constraint as the reference's
+        # bindless material slots being pre-registered).
+        tri_material = np.asarray(arrays.tri_material)
+        tri_material = tri_material.copy()
+        tri_material[tc:tc + t] = seg.material
 
         # Refit the light setup to the grown bounds (the sun shadow ortho
         # tracks the scene's bounding sphere, like the reference's per-frame
@@ -665,6 +704,7 @@ class Scene:
             inst_sphere=jnp.asarray(mir["inst_sphere"]),
             inst_valid=jnp.asarray(mir["inst_valid"]),
             inst_lod_band=jnp.asarray(mir["inst_lod_band"]),
+            tri_material=jnp.asarray(tri_material),
         )
 
     def update_instance_transforms(self, arrays: "SceneArrays") -> "SceneArrays":
