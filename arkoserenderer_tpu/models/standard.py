@@ -65,11 +65,23 @@ def make_forward_pipeline(
     shadow (mapped or ray-traced) -> deferred shade -> RT reflections ->
     SSAO -> lighting compose -> sky -> fog -> motion blur -> DoF -> bloom ->
     TAA -> tonemap [-> FXAA -> CAS]."""
-    if cfg.texture_quality == "auto":
+    if cfg.texture_quality == "auto" or cfg.shadow_filter == "auto":
         import dataclasses
 
+        repl = {}
+        if cfg.texture_quality == "auto":
+            repl["texture_quality"] = "stochastic" if taa else "trilinear"
+        if cfg.shadow_filter == "auto":
+            repl["shadow_filter"] = "stochastic" if taa else "bilinear"
+        cfg = dataclasses.replace(cfg, **repl)
+    if upscale_to is not None and cfg.mip_bias == 0.0:
+        # DLSS-style global mip bias: sharpen texture LOD by the render/
+        # display ratio (DLSSNode.cpp mip-bias drive).
+        import dataclasses
+        import math
+
         cfg = dataclasses.replace(
-            cfg, texture_quality="stochastic" if taa else "trilinear"
+            cfg, mip_bias=math.log2(cfg.width / upscale_to[0])
         )
     pipe = RenderPipeline(cfg)
     pipe.add_pass(ScenePass())

@@ -177,5 +177,52 @@ def upsample_bilinear_k(img: jax.Array, k: int, halo_rows=None) -> jax.Array:
     return axis_up(axis_up(img, 0), 1)
 
 
+def resize_bilinear_rational(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(h, w, c) -> (out_h, out_w, c) bilinear resample for RATIONAL scale
+    factors, gather-free.
+
+    Output rows with the same phase p (j = p + k*t for out_n = in_n * k / m
+    in lowest terms) map to input rows start_p + m*t — a strided static
+    slice. Each phase is a lerp of two such slices; phases interleave with a
+    stack+reshape. Everything is elementwise data movement: no gathers, no
+    jax.image.resize (both are ~26 ms/op-class on this chip at 1080p)."""
+    import math
+
+    def axis_resize(x, out_n, axis):
+        in_n = x.shape[axis]
+        if out_n == in_n:
+            return x
+        g = math.gcd(out_n, in_n)
+        k, m = out_n // g, in_n // g  # out_n = in_n * k / m
+        assert k <= 16, (
+            f"resize {in_n}->{out_n}: phase count {k} too large — pick "
+            f"render/display dims with a small rational ratio"
+        )
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (1, 1)
+        p_arr = jnp.pad(x, pad, mode="edge")  # index i -> padded i+1
+
+        def strided(start, step, count):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(start + 1, start + 1 + (count - 1) * step + 1, step)
+            return p_arr[tuple(idx)]
+
+        t_count = out_n // k
+        phases = []
+        for p in range(k):
+            y = (p + 0.5) * m / k - 0.5
+            y0 = math.floor(y)
+            f = y - y0
+            lo = strided(max(y0, -1), m, t_count)
+            hi = strided(max(y0, -1) + 1, m, t_count)
+            phases.append(lo * (1.0 - f) + hi * f)
+        s = jnp.stack(phases, axis=axis + 1)  # (..., t_count, k, ...)
+        shape = list(x.shape)
+        shape[axis] = out_n
+        return s.reshape(shape)
+
+    return axis_resize(axis_resize(img, out_h, 0), out_w, 1)
+
+
 def luminance(rgb: jax.Array) -> jax.Array:
     return jnp.sum(rgb * jnp.array([0.2126, 0.7152, 0.0722]), axis=-1, keepdims=True)

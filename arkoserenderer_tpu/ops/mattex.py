@@ -268,6 +268,9 @@ def sample_packed(
     duv_dy: jax.Array,
     quality: str = "trilinear",
     noise: jax.Array | None = None,   # (N,) in [0,1) for "stochastic"
+    lod_bias: float = 0.0,            # negative when rendering below display
+                                      # res (the DLSS mip-bias drive,
+                                      # DLSSNode.cpp's global mip bias)
 ) -> MaterialSample:
     """Gradient-correct packed material sample: 4 row gathers (bilinear
     nearest-mip / stochastic trilinear) or 8 (trilinear). meta lanes: [wrap,
@@ -291,7 +294,7 @@ def sample_packed(
     dx = duv_dx * size0
     dy = duv_dy * size0
     rho2 = jnp.maximum(jnp.sum(dx * dx, -1), jnp.sum(dy * dy, -1))
-    lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+    lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12)) + lod_bias
     max_lod = n_mips - 1.0
     lod = jnp.clip(lod, 0.0, max_lod)
 

@@ -148,7 +148,9 @@ def shade_packed(
     n_points: int = 0,
     any_tex: bool = True,
     texture_quality: str = "trilinear",
+    shadow_filter: str = "bilinear",       # | "stochastic" (1 tap + TAA)
     frame_index: jax.Array | None = None,  # for stochastic filtering noise
+    mip_bias: float = 0.0,                 # DLSS-style bias when upscaling
 ) -> GBuffer:
     valid = vis_flat >= 0
     row = jnp.maximum(vis_flat, 0)
@@ -187,26 +189,29 @@ def shade_packed(
     cc_rough = mrec[:, M_CCR : M_CCR + 1]
     subsurface = mrec[:, M_SSS]
 
+    def pixel_noise(salt: int) -> jax.Array:
+        # Per-pixel per-frame white noise (integer hash — pure VPU); TAA
+        # averages stochastic single-tap estimators to their filtered value.
+        seed = (
+            px.astype(jnp.int32)
+            + py.astype(jnp.int32) * 19349663
+            + (frame_index if frame_index is not None else 0) * 83492791
+            + salt * 374761393
+        ).astype(jnp.uint32)
+        seed = seed ^ (seed >> 16)
+        seed = seed * jnp.uint32(0x7FEB352D)
+        seed = seed ^ (seed >> 15)
+        seed = seed * jnp.uint32(0x846CA68B)
+        seed = seed ^ (seed >> 16)
+        return (seed >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
     if any_tex:
-        noise = None
-        if texture_quality == "stochastic":
-            # Per-pixel per-frame white noise (integer hash — pure VPU);
-            # TAA averages the jittered-mip estimator to trilinear.
-            seed = (
-                px.astype(jnp.int32)
-                + py.astype(jnp.int32) * 19349663
-                + (frame_index if frame_index is not None else 0) * 83492791
-            ).astype(jnp.uint32)
-            seed = seed ^ (seed >> 16)
-            seed = seed * jnp.uint32(0x7FEB352D)
-            seed = seed ^ (seed >> 15)
-            seed = seed * jnp.uint32(0x846CA68B)
-            seed = seed ^ (seed >> 16)
-            noise = (seed >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        noise = pixel_noise(0) if texture_quality == "stochastic" else None
         ms = mattex.sample_packed(
             scene.mat_tex.rows,
             mrec[:, M_TEXMETA : M_TEXMETA + mattex.META_LANES],
             uv, duv_dx, duv_dy, quality=texture_quality, noise=noise,
+            lod_bias=mip_bias,
         )
         base_color = ms.base[:, :3] * base_factor[:, :3]
         roughness = jnp.clip(ms.rough_metal[:, 0:1] * roughness_f, 0.0, 1.0)
@@ -239,7 +244,15 @@ def shade_packed(
     if shadow_mask is not None:
         shadow = shadow_mask
     elif shadow_moments is not None:
-        shadow = sample_vsm(shadow_moments, sun_shadow_vp, world_pos, n_dot_l_geo)
+        noise2 = (
+            jnp.stack([pixel_noise(1), pixel_noise(2)], axis=-1)
+            if shadow_filter == "stochastic"
+            else None
+        )
+        shadow = sample_vsm(
+            shadow_moments, sun_shadow_vp, world_pos, n_dot_l_geo,
+            taps=shadow_filter, noise2=noise2,
+        )
     else:
         shadow = jnp.ones((n,))
     sun_fr = brdf.evaluate(

@@ -85,12 +85,23 @@ def sample_shadow_pcf(
 # quality.
 
 
-def shadow_moments(depth_map: jax.Array, blur_passes: int = 2) -> jax.Array:
-    """(S, S) reverse-Z depth -> (S, S, 2) prefiltered (E[d], E[d^2]).
+def shadow_moments(
+    depth_map: jax.Array, blur_passes: int = 2, downsample: int = 2
+) -> jax.Array:
+    """(S, S) reverse-Z depth -> (S/k, S/k, 2) prefiltered (E[d], E[d^2]).
 
     Each blur pass is a 3x3 box via reduce_window (measured ~free); two
-    passes approximate a 5x5 tent like the reference's PCF disc radius."""
+    passes approximate a 5x5 tent like the reference's PCF disc radius.
+    ``downsample``: averaging MOMENTS over 2x2 blocks is exact VSM
+    prefiltering, and the receiver's gather table shrinks 4x — gather cost
+    on this chip grows with table size, so half-res moments make the
+    per-pixel shadow tap measurably cheaper at zero quality cost beyond the
+    (intended) extra softening."""
     m = jnp.stack([depth_map, depth_map * depth_map], axis=-1)
+    k = downsample
+    if k > 1 and depth_map.shape[0] % k == 0 and depth_map.shape[1] % k == 0:
+        h, w = m.shape[0] // k, m.shape[1] // k
+        m = m.reshape(h, k, w, k, 2).mean(axis=(1, 3))
     for _ in range(blur_passes):
         m = jax.lax.reduce_window(
             m, 0.0, jax.lax.add, (3, 3, 1), (1, 1, 1), "SAME"
@@ -107,11 +118,16 @@ def sample_vsm(
     slope_bias: float = 2.0e-3,
     min_variance: float = 1e-6,
     bleed_reduction: float = 0.25,
+    taps: str = "bilinear",          # | "stochastic" (1 jittered tap + TAA)
+    noise2: jax.Array | None = None,  # (N, 2) in [0,1) for stochastic taps
 ) -> jax.Array:
     """(N,) shadow visibility via Chebyshev upper bound (reverse-Z).
 
-    One bilinear moment tap (4 row gathers, all parallel). Light-bleed is
-    clipped by rescaling the tail probability (standard VSM bleed fix)."""
+    One bilinear moment tap (4 row gathers, all parallel) — or a single
+    stochastically-jittered nearest tap whose expectation equals bilinear
+    (TAA converges the variance; the moments are prefiltered so the noise
+    amplitude is small). Light-bleed is clipped by rescaling the tail
+    probability (standard VSM bleed fix)."""
     s = moments.shape[0]
     uv, depth = project_to_shadow_uv(shadow_vp, world_pos)
     slope = jnp.sqrt(jnp.maximum(1.0 - n_dot_l**2, 0.0)) / jnp.maximum(n_dot_l, 0.1)
@@ -120,20 +136,26 @@ def sample_vsm(
 
     x = jnp.clip(uv[:, 0] * s - 0.5, 0.0, s - 1.0)
     y = jnp.clip(uv[:, 1] * s - 0.5, 0.0, s - 1.0)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, s - 1)
-    y1i = jnp.minimum(y0i + 1, s - 1)
     flat = moments.reshape(-1, 2)
-    m00 = flat[y0i * s + x0i]
-    m10 = flat[y0i * s + x1i]
-    m01 = flat[y1i * s + x0i]
-    m11 = flat[y1i * s + x1i]
-    m = (m00 * (1 - fx) + m10 * fx) * (1 - fy) + (m01 * (1 - fx) + m11 * fx) * fy
+    if taps == "stochastic" and noise2 is not None:
+        # round(x + u - 0.5), u~U[0,1) has E = bilinear weighting per axis.
+        xi = jnp.clip(jnp.round(x + noise2[:, 0] - 0.5), 0.0, s - 1.0).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(y + noise2[:, 1] - 0.5), 0.0, s - 1.0).astype(jnp.int32)
+        m = flat[yi * s + xi]
+    else:
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, s - 1)
+        y1i = jnp.minimum(y0i + 1, s - 1)
+        m00 = flat[y0i * s + x0i]
+        m10 = flat[y0i * s + x1i]
+        m01 = flat[y1i * s + x0i]
+        m11 = flat[y1i * s + x1i]
+        m = (m00 * (1 - fx) + m10 * fx) * (1 - fy) + (m01 * (1 - fx) + m11 * fx) * fy
 
     mean = m[:, 0]
     var = jnp.maximum(m[:, 1] - mean * mean, min_variance)

@@ -93,7 +93,13 @@ class VisibilityShadingPass(RenderPass):
                     n_points=n_points,
                     any_tex=any_tex,
                     texture_quality=texture_quality,
+                    shadow_filter=(
+                        cfg.shadow_filter
+                        if cfg.shadow_filter != "auto"
+                        else "bilinear"
+                    ),
                     frame_index=ctx.frame_index,
+                    mip_bias=cfg.mip_bias,
                 )
                 return {
                     "SceneColor": gb.color.reshape(h, w, 3),

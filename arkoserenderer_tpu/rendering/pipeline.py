@@ -70,6 +70,12 @@ class PipelineConfig:
     # TAA history filter: "bilinear" (4 gathers) | "catmull" (16 gathers,
     # sharper history — the reference's optional Catmull-Rom, taa.comp).
     taa_filter: str = "bilinear"
+    # Sun shadow receiver filter: "auto" = stochastic single tap under TAA
+    # (expectation equals bilinear; moments are prefiltered), else bilinear.
+    shadow_filter: str = "auto"
+    # Texture LOD bias; drive negative when rendering below display res
+    # (the upscale pass sets this — DLSSNode.cpp's global mip bias drive).
+    mip_bias: float = 0.0
     # Sky env-map fetch at 1/k resolution then bilinear-upsampled (the env
     # fetch is 4 per-pixel gathers; sky is low-frequency). 1 = full res.
     sky_fetch_scale: int = 4
