@@ -1,6 +1,6 @@
 """PathTracer driver — the PathTracerApp analogue.
 
-Owns the scene BVH (built host-side over world-space triangles), a
+Owns the scene BVH (two-level TLAS/BLAS, ops/bvh.py), a
 persistent accumulation buffer, and the progressive sampling loop; the
 accumulation resets whenever the host moves the camera, matching
 PathTracerNode's reset-on-camera-move behavior (PathTracerNode.cpp:81-103).
@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from arkoserenderer_tpu.ops import tonemap as tm
-from arkoserenderer_tpu.ops.bvh import build_bvh
 from arkoserenderer_tpu.ops.pathtrace import trace_path
 from arkoserenderer_tpu.ops.texture import linear_to_srgb
 from arkoserenderer_tpu.scene.camera import Camera
@@ -43,12 +42,8 @@ class PathTracer:
         self.camera = camera
         self.width = width
         self.height = height
-        self.arrays = scene.build()
-        self.bvh = build_bvh(
-            world_space_vertices(self.arrays),
-            np.asarray(self.arrays.indices),
-            np.asarray(self.arrays.tri_valid),
-        )
+        self.arrays = scene.build(with_bvh=True)
+        self.bvh = self.arrays.bvh  # two-level TLAS/BLAS (ops/bvh.py)
         xs = np.arange(width, dtype=np.float32) + 0.5
         ys = np.arange(height, dtype=np.float32) + 0.5
         pxg, pyg = np.meshgrid(xs, ys)

@@ -108,7 +108,7 @@ def make_forward_pipeline(
     if rt_reflections:
         from arkoserenderer_tpu.rendering.passes.rt import RTReflectionsPass
 
-        pipe.add_pass(RTReflectionsPass())
+        pipe.add_pass(RTReflectionsPass(ddgi_grid=ddgi))
     if ssao:
         pipe.add_pass(SSAOPass())
     pipe.add_pass(LightingComposePass(ddgi_grid=ddgi))

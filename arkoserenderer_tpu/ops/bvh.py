@@ -21,6 +21,7 @@ part #2).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -56,21 +57,17 @@ class Hit(NamedTuple):
     hit: jax.Array       # (R,) bool
 
 
-def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) -> FlatBVH:
-    """Host-side median-split BVH over world-space triangles.
+def _median_build(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
+    """Host-side median-split tree over primitive AABBs (lo/hi: (n, 3)).
 
-    ``world_verts``: (V, 3); ``tris``: (T, 3) indices; ``tri_valid``: (T,).
-    Invalid (pool-padding) triangles are excluded.
+    Returns numpy arrays (node_min, node_max, left, right, count,
+    node_start, node_end) truncated to the node count, plus ``order`` — the
+    primitive permutation such that every node's primitives are the
+    contiguous range [node_start, node_end) of ``order``. For leaves,
+    ``left`` is the first slot (== node_start) and ``count`` the length.
     """
-    ids = np.nonzero(tri_valid)[0].astype(np.int32)
-    if len(ids) == 0:
-        ids = np.zeros((1,), np.int32)  # degenerate: one dummy leaf
-    v = world_verts[tris[ids]]                     # (n, 3, 3)
-    lo = v.min(axis=1)
-    hi = v.max(axis=1)
     centroid = 0.5 * (lo + hi)
-
-    n = len(ids)
+    n = lo.shape[0]
     max_nodes = 2 * n
     node_min = np.zeros((max_nodes, 3), np.float32)
     node_max = np.zeros((max_nodes, 3), np.float32)
@@ -91,7 +88,7 @@ def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) 
         sel = order[s:e]
         node_min[node] = lo[sel].min(axis=0)
         node_max[node] = hi[sel].max(axis=0)
-        if e - s <= LEAF_SIZE:
+        if e - s <= leaf_size:
             left[node] = s
             count[node] = e - s
             continue
@@ -108,16 +105,40 @@ def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) 
         stack.append((l_idx, s, s + mid))
         stack.append((r_idx, s + mid, e))
 
+    return (
+        node_min[:n_nodes], node_max[:n_nodes], left[:n_nodes],
+        right[:n_nodes], count[:n_nodes], node_start[:n_nodes],
+        node_end[:n_nodes], order,
+    )
+
+
+def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) -> FlatBVH:
+    """Host-side median-split BVH over world-space triangles.
+
+    ``world_verts``: (V, 3); ``tris``: (T, 3) indices; ``tri_valid``: (T,).
+    Invalid (pool-padding) triangles are excluded.
+    """
+    ids = np.nonzero(tri_valid)[0].astype(np.int32)
+    if len(ids) == 0:
+        ids = np.zeros((1,), np.int32)  # degenerate: one dummy leaf
+    v = world_verts[tris[ids]]                     # (n, 3, 3)
+    lo = v.min(axis=1)
+    hi = v.max(axis=1)
+
+    (node_min, node_max, left, right, count, node_start, node_end,
+     order) = _median_build(lo, hi, LEAF_SIZE)
+    n_nodes = node_min.shape[0]
+
     tri_order = ids[order]
     tv = world_verts[tris[tri_order]]
     return FlatBVH(
-        node_min=jnp.asarray(node_min[:n_nodes]),
-        node_max=jnp.asarray(node_max[:n_nodes]),
-        left=jnp.asarray(left[:n_nodes]),
-        right=jnp.asarray(right[:n_nodes]),
-        count=jnp.asarray(count[:n_nodes]),
-        node_start=jnp.asarray(node_start[:n_nodes]),
-        node_end=jnp.asarray(node_end[:n_nodes]),
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        count=jnp.asarray(count),
+        node_start=jnp.asarray(node_start),
+        node_end=jnp.asarray(node_end),
         tri_order=jnp.asarray(tri_order),
         tri_v0=jnp.asarray(tv[:, 0].astype(np.float32)),
         tri_e1=jnp.asarray((tv[:, 1] - tv[:, 0]).astype(np.float32)),
@@ -125,23 +146,185 @@ def build_bvh(world_verts: np.ndarray, tris: np.ndarray, tri_valid: np.ndarray) 
     )
 
 
-def refit_bvh(bvh: FlatBVH, world_verts: jax.Array, tris: jax.Array) -> FlatBVH:
-    """Jit-traceable AABB refit: same topology, new vertex positions.
+@dataclasses.dataclass(frozen=True)
+class TwoLevelBVH:
+    """Two-level acceleration structure: a TLAS over instances whose leaves
+    redirect into per-segment BLASes (object space), packed into ONE unified
+    node pool so traversal issues a single bounds gather per step.
 
-    The TLAS/BLAS update-in-place analogue (the reference rebuilds or
-    updates BLASes for skinned meshes each frame and refits the TLAS,
-    GpuScene.cpp:872-1011 + VulkanAccelerationStructureKHR update mode).
-    Median-split build keeps every node's triangles CONTIGUOUS in
-    ``tri_order``, so each node's bounds are a range-min/max over the leaf
-    bound arrays — answered for all nodes at once with a sparse-table RMQ:
-    O(T log T) work, fully parallel, no bottom-up sequential walk.
+    TPU-native replacement for the reference's BLAS/TLAS stack
+    (arkose/rendering/backend/base/AccelerationStructure.h:14-102; per-frame
+    refit-vs-rebuild policy GpuScene.cpp:872-1011): instanced geometry is
+    stored ONCE per segment — instances carry affine object<->world
+    transforms, so a 4096-instance scene costs one BLAS + 4096 TLAS leaves,
+    not 4096 geometry copies.
+
+    Node pool layout: rows [0, n_tlas) are TLAS nodes (world space); rows
+    [n_tlas, M) are BLAS nodes (object space of their segment).
+    ``count`` encodes the node kind: 0 = internal (children in left/right),
+    > 0 = triangle leaf (``left`` = first slot, ``count`` triangles),
+    -1 = instance leaf (``left`` = instance slot; traversal redirects to
+    ``blas_root[left]`` with the instance's world->object transform).
+
+    Deformable geometry (skinned / morphed) gets a per-instance BLAS with an
+    identity transform ("object" space == world space); ``slot_inst`` marks
+    its triangle slots so ``refit`` can re-read deformed vertices (the
+    BLAS-update analogue of VulkanAccelerationStructureKHR's update mode).
     """
-    v = world_verts[tris[bvh.tri_order]]          # (n, 3, 3) in leaf order
-    lo = v.min(axis=1)                            # (n, 3)
-    hi = v.max(axis=1)
+
+    node_min: jax.Array     # (M, 3) f32
+    node_max: jax.Array     # (M, 3) f32
+    left: jax.Array         # (M,) i32
+    right: jax.Array        # (M,) i32
+    count: jax.Array        # (M,) i32 (see class docstring)
+    node_start: jax.Array   # (M,) i32 — BLAS rows: range into tri slots;
+    node_end: jax.Array     # (M,) i32   TLAS rows: range into inst_order
+    tri_order: jax.Array    # (T,) i32 — slot -> SEGMENT-LOCAL triangle id
+    tri_v0: jax.Array       # (T, 3) f32 object-space v0
+    tri_e1: jax.Array       # (T, 3) f32 v1 - v0
+    tri_e2: jax.Array       # (T, 3) f32 v2 - v0
+    slot_inst: jax.Array    # (T,) i32 owning instance for per-instance
+                            #   (deformable) BLAS slots; -1 = shared/static
+    inst_order: jax.Array   # (I,) i32 TLAS leaf permutation of instances
+    inst_w2o: jax.Array     # (I + 1, 3, 4) f32; row 0 = identity (TLAS)
+    inst_o2w: jax.Array     # (I, 3, 4) f32
+    blas_root: jax.Array    # (I,) i32 unified-pool node index of the root
+    inst_tri_base: jax.Array  # (I,) i32 — global tri id = base + local id
+    inst_id: jax.Array      # (I,) i32 SCENE instance id (the bvh may hold a
+                            #   filtered subset, e.g. LOD0 drawables only)
+    n_tlas: int = dataclasses.field(metadata={"static": True}, default=1)
+
+
+jax.tree_util.register_dataclass(
+    TwoLevelBVH,
+    data_fields=[
+        "node_min", "node_max", "left", "right", "count", "node_start",
+        "node_end", "tri_order", "tri_v0", "tri_e1", "tri_e2", "slot_inst",
+        "inst_order", "inst_w2o", "inst_o2w", "blas_root", "inst_tri_base",
+        "inst_id",
+    ],
+    meta_fields=["n_tlas"],
+)
+
+
+def _affine_inverse_np(m: np.ndarray) -> np.ndarray:
+    """(4, 4) -> (3, 4) inverse of an affine transform."""
+    inv = np.linalg.inv(m.astype(np.float64))
+    return inv[:3, :4].astype(np.float32)
+
+
+def build_two_level(
+    blas_geo: list[tuple[np.ndarray, np.ndarray]],
+    inst_blas: np.ndarray,      # (I,) i32 BLAS id per instance
+    inst_o2w: np.ndarray,       # (I, 4, 4) f32 object->world
+    inst_tri_base: np.ndarray,  # (I,) i32 global tri-id base per instance
+    blas_owner: np.ndarray | None = None,  # (B,) i32 owning instance for
+                                           # deformable BLASes (BVH slot),
+                                           # else -1
+    inst_id: np.ndarray | None = None,     # (I,) i32 scene instance ids
+) -> TwoLevelBVH:
+    """Host-side build: one BLAS per unique geometry + a TLAS over instances.
+
+    ``blas_geo[b]`` = (verts (V, 3) object space, tris (t, 3) local indices).
+    """
+    n_inst = len(inst_blas)
+    if n_inst == 0 or len(blas_geo) == 0:
+        blas_geo = [(np.zeros((3, 3), np.float32), np.array([[0, 1, 2]], np.int32))]
+        inst_blas = np.zeros((1,), np.int32)
+        inst_o2w = np.eye(4, dtype=np.float32)[None]
+        inst_tri_base = np.zeros((1,), np.int32)
+        n_inst = 1
+        blas_owner = None
+        inst_id = None
+    if blas_owner is None:
+        blas_owner = np.full((len(blas_geo),), -1, np.int32)
+    if inst_id is None or len(inst_id) != n_inst:
+        inst_id = np.arange(n_inst, dtype=np.int32)
+
+    # ---- per-BLAS median-split builds (object space) ------------------------
+    blas_nodes = []      # list of per-BLAS node tuples
+    blas_slots = []      # (local tri order, v0, e1, e2, owner)
+    for b, (verts, tris) in enumerate(blas_geo):
+        v = verts[tris]                              # (t, 3, 3)
+        lo = v.min(axis=1)
+        hi = v.max(axis=1)
+        nodes = _median_build(lo, hi, LEAF_SIZE)
+        order = nodes[-1].astype(np.int32)
+        tv = v[order]
+        blas_nodes.append(nodes[:-1])
+        blas_slots.append((order, tv[:, 0], tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0],
+                           np.full((len(order),), blas_owner[b], np.int32)))
+
+    # ---- TLAS over instance world AABBs (leaf size 1) -----------------------
+    root_lo = np.stack([n[0][0] for n in blas_nodes])   # (B, 3) object aabb
+    root_hi = np.stack([n[1][0] for n in blas_nodes])
+    c_obj = 0.5 * (root_lo + root_hi)[inst_blas]
+    e_obj = 0.5 * (root_hi - root_lo)[inst_blas]
+    rot = inst_o2w[:, :3, :3]
+    wc = np.einsum("iab,ib->ia", rot, c_obj) + inst_o2w[:, :3, 3]
+    we = np.einsum("iab,ib->ia", np.abs(rot), e_obj)
+    (t_min, t_max_, t_left, t_right, t_count, t_start, t_end,
+     t_order) = _median_build(wc - we, wc + we, 1)
+    n_tlas = t_min.shape[0]
+
+    # TLAS leaves become instance leaves: count -1, left = instance slot.
+    leaf = t_count > 0
+    t_left = np.where(leaf, t_order.astype(np.int32)[np.clip(t_start, 0, n_inst - 1)], t_left)
+    t_count = np.where(leaf, -1, t_count)
+
+    # ---- pack BLAS node/slot pools after the TLAS ---------------------------
+    node_off = n_tlas
+    slot_off = 0
+    roots_by_blas = np.zeros((len(blas_geo),), np.int32)
+    packed_nodes = [(t_min, t_max_, t_left, t_right, t_count, t_start, t_end)]
+    for b, (nm, nx, lf, rt, ct, ns, ne) in enumerate(blas_nodes):
+        roots_by_blas[b] = node_off
+        internal = ct == 0
+        lf = np.where(internal, lf + node_off, lf + slot_off)
+        rt = np.where(internal, rt + node_off, rt)
+        packed_nodes.append((nm, nx, lf, rt, ct, ns + slot_off, ne + slot_off))
+        node_off += nm.shape[0]
+        slot_off += blas_slots[b][0].shape[0]
+
+    cat = [np.concatenate([p[i] for p in packed_nodes]) for i in range(7)]
+    node_min, node_max, left, right, count, node_start, node_end = cat
+
+    w2o = np.stack(
+        [np.eye(3, 4, dtype=np.float32)]
+        + [_affine_inverse_np(inst_o2w[i]) for i in range(n_inst)]
+    )
+    return TwoLevelBVH(
+        node_min=jnp.asarray(node_min.astype(np.float32)),
+        node_max=jnp.asarray(node_max.astype(np.float32)),
+        left=jnp.asarray(left.astype(np.int32)),
+        right=jnp.asarray(right.astype(np.int32)),
+        count=jnp.asarray(count.astype(np.int32)),
+        node_start=jnp.asarray(node_start.astype(np.int32)),
+        node_end=jnp.asarray(node_end.astype(np.int32)),
+        tri_order=jnp.asarray(np.concatenate([s[0] for s in blas_slots])),
+        tri_v0=jnp.asarray(np.concatenate([s[1] for s in blas_slots]).astype(np.float32)),
+        tri_e1=jnp.asarray(np.concatenate([s[2] for s in blas_slots]).astype(np.float32)),
+        tri_e2=jnp.asarray(np.concatenate([s[3] for s in blas_slots]).astype(np.float32)),
+        slot_inst=jnp.asarray(np.concatenate([s[4] for s in blas_slots])),
+        inst_order=jnp.asarray(t_order.astype(np.int32)),
+        inst_w2o=jnp.asarray(w2o),
+        inst_o2w=jnp.asarray(inst_o2w[:, :3, :4].astype(np.float32)),
+        blas_root=jnp.asarray(roots_by_blas[inst_blas].astype(np.int32)),
+        inst_tri_base=jnp.asarray(inst_tri_base.astype(np.int32)),
+        inst_id=jnp.asarray(np.asarray(inst_id, np.int32)),
+        n_tlas=n_tlas,
+    )
+
+
+def _rmq_bounds(lo: jax.Array, hi: jax.Array, starts: jax.Array, ends: jax.Array):
+    """Sparse-table range-min/max: per-query AABB union over [start, end).
+
+    ``lo``/``hi``: (n, 3) leaf bounds in slot order; ``starts``/``ends``:
+    (q,) i32 with 1 <= end - start <= n. O(n log n) fully parallel work —
+    no bottom-up sequential tree walk.
+    """
     n = lo.shape[0]
     levels = max(int(np.ceil(np.log2(max(n, 1)))) + 1, 1)
-
     pw_lo, pw_hi = [lo], [hi]
     for k in range(1, levels):
         half = 1 << (k - 1)
@@ -156,14 +339,104 @@ def refit_bvh(bvh: FlatBVH, world_verts: jax.Array, tris: jax.Array) -> FlatBVH:
     table_lo = jnp.stack(pw_lo)                   # (levels, n, 3)
     table_hi = jnp.stack(pw_hi)
 
-    length = (bvh.node_end - bvh.node_start).astype(jnp.float32)  # >= 1
+    length = (ends - starts).astype(jnp.float32)  # >= 1
     k = jnp.floor(jnp.log2(jnp.maximum(length, 1.0)) + 1e-6).astype(jnp.int32)
-    second = bvh.node_end - (1 << k)              # range [second, end) tail
-    node_min = jnp.minimum(table_lo[k, bvh.node_start], table_lo[k, second])
-    node_max = jnp.maximum(table_hi[k, bvh.node_start], table_hi[k, second])
+    second = ends - (1 << k)                      # range [second, end) tail
+    q_min = jnp.minimum(table_lo[k, starts], table_lo[k, second])
+    q_max = jnp.maximum(table_hi[k, starts], table_hi[k, second])
+    return q_min, q_max
+
+
+def refit_bvh(bvh, world_verts: jax.Array, tris: jax.Array, world=None):
+    """Jit-traceable AABB refit: same topology, new vertex positions.
+
+    The TLAS/BLAS update-in-place analogue (the reference rebuilds or
+    updates BLASes for skinned meshes each frame and refits the TLAS,
+    GpuScene.cpp:872-1011 + VulkanAccelerationStructureKHR update mode).
+    Median-split build keeps every node's triangles CONTIGUOUS in
+    ``tri_order``, so each node's bounds are a range-min/max over the leaf
+    bound arrays, answered for all nodes at once with a sparse-table RMQ.
+
+    For a TwoLevelBVH, ``world`` (if given, (>=I, 4, 4) per SCENE-instance
+    transforms gathered by the bvh's instance slots) also refreshes the
+    instance o2w/w2o transforms and the TLAS is refit from the (possibly
+    deformed) BLAS roots — moving instances costs no geometry work at all.
+    """
+    if isinstance(bvh, TwoLevelBVH):
+        return _refit_two_level(bvh, world_verts, tris, world)
+    v = world_verts[tris[bvh.tri_order]]          # (n, 3, 3) in leaf order
+    lo = v.min(axis=1)                            # (n, 3)
+    hi = v.max(axis=1)
+    node_min, node_max = _rmq_bounds(lo, hi, bvh.node_start, bvh.node_end)
     return bvh._replace(
         node_min=node_min, node_max=node_max,
         tri_v0=v[:, 0], tri_e1=v[:, 1] - v[:, 0], tri_e2=v[:, 2] - v[:, 0],
+    )
+
+
+def _affine_inverse(m: jax.Array) -> jax.Array:
+    """(..., 3, 4) affine -> (..., 3, 4) inverse, via the 3x3 adjugate."""
+    r = m[..., :3, :3]
+    t = m[..., :3, 3]
+    c0 = jnp.cross(r[..., :, 1], r[..., :, 2], axis=-1)
+    c1 = jnp.cross(r[..., :, 2], r[..., :, 0], axis=-1)
+    c2 = jnp.cross(r[..., :, 0], r[..., :, 1], axis=-1)
+    det = jnp.sum(r[..., :, 0] * c0, axis=-1, keepdims=True)[..., None]
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+    r_inv = jnp.stack([c0, c1, c2], axis=-2) * inv_det     # rows = adj^T
+    t_inv = -jnp.einsum("...ab,...b->...a", r_inv, t)
+    return jnp.concatenate([r_inv, t_inv[..., None]], axis=-1)
+
+
+def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
+    # 1. Deformable (per-instance BLAS) slots re-read skinned/morphed
+    #    world-space vertices; shared static slots keep their object verts.
+    own_i = jnp.maximum(bvh.slot_inst, 0)
+    gid = bvh.inst_tri_base[own_i] + bvh.tri_order
+    v = world_verts[tris[jnp.clip(gid, 0, tris.shape[0] - 1)]]   # (T, 3, 3)
+    own = (bvh.slot_inst >= 0)[:, None]
+    v0 = jnp.where(own, v[:, 0], bvh.tri_v0)
+    e1 = jnp.where(own, v[:, 1] - v[:, 0], bvh.tri_e1)
+    e2 = jnp.where(own, v[:, 2] - v[:, 0], bvh.tri_e2)
+    v1 = v0 + e1
+    v2 = v0 + e2
+    lo = jnp.minimum(v0, jnp.minimum(v1, v2))
+    hi = jnp.maximum(v0, jnp.maximum(v1, v2))
+
+    # 2. BLAS node bounds: RMQ over tri slots (rows n_tlas:).
+    nt = bvh.n_tlas
+    b_min, b_max = _rmq_bounds(lo, hi, bvh.node_start[nt:], bvh.node_end[nt:])
+
+    # 3. Instance transforms (moving instances).
+    if world is not None:
+        o2w = world[bvh.inst_id][..., :3, :4]
+        w2o = jnp.concatenate(
+            [jnp.eye(3, 4, dtype=jnp.float32)[None], _affine_inverse(o2w)]
+        )
+    else:
+        o2w, w2o = bvh.inst_o2w, bvh.inst_w2o
+
+    # 4. Instance world AABBs from refit BLAS roots + o2w.
+    root = bvh.blas_root - nt
+    r_lo = b_min[root]
+    r_hi = b_max[root]
+    c = 0.5 * (r_lo + r_hi)
+    e = 0.5 * (r_hi - r_lo)
+    rot = o2w[:, :3, :3]
+    wc = jnp.einsum("iab,ib->ia", rot, c) + o2w[:, :3, 3]
+    we = jnp.einsum("iab,ib->ia", jnp.abs(rot), e)
+
+    # 5. TLAS node bounds: RMQ over instances in TLAS leaf order.
+    i_lo = (wc - we)[bvh.inst_order]
+    i_hi = (wc + we)[bvh.inst_order]
+    t_min, t_max_ = _rmq_bounds(i_lo, i_hi, bvh.node_start[:nt], bvh.node_end[:nt])
+
+    return dataclasses.replace(
+        bvh,
+        node_min=jnp.concatenate([t_min, b_min]),
+        node_max=jnp.concatenate([t_max_, b_max]),
+        tri_v0=v0, tri_e1=e1, tri_e2=e2,
+        inst_o2w=o2w, inst_w2o=w2o,
     )
 
 
@@ -214,6 +487,9 @@ def trace_rays(
     ray owns a fixed-depth stack. ``any_hit=True`` terminates a ray on its
     first accepted intersection (shadow/occlusion rays).
     """
+    if isinstance(bvh, TwoLevelBVH):
+        return _trace_two_level(bvh, origins, directions, t_max, t_eps,
+                                any_hit, max_steps)
     r = origins.shape[0]
     inv_dir = 1.0 / jnp.where(jnp.abs(directions) < 1e-12,
                               jnp.where(directions < 0, -1e-12, 1e-12), directions)
@@ -299,6 +575,139 @@ def trace_rays(
     return Hit(
         t=best_t, tri=best_tri, u=best_u, v=best_v, hit=best_tri >= 0
     )
+
+
+def _trace_two_level(
+    bvh: TwoLevelBVH,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_max,
+    t_eps: float,
+    any_hit: bool,
+    max_steps: int,
+) -> Hit:
+    """Two-level SIMD-over-rays traversal with a SINGLE i32 stack.
+
+    Instead of storing (node, instance) pairs, each ray keeps two registers:
+    ``cur_inst`` (the instance whose BLAS it is inside, -1 = TLAS) and
+    ``base_sp`` (the stack depth at BLAS entry). TLAS -> BLAS transitions
+    never nest — an instance leaf can only be popped from TLAS territory
+    (below ``base_sp``) — so popping below ``base_sp`` exactly identifies
+    the return to the TLAS. This halves traversal stack memory vs paired
+    stacks (matters at 2M rays x depth 48).
+
+    Rays are transformed into the current node's space per step (one 3x4
+    gather from ``inst_w2o``; row 0 = identity for the TLAS). Directions are
+    NOT renormalized, so ``t`` is world-metric in both levels and hit
+    ordering across instances is correct.
+    """
+    r = origins.shape[0]
+    rows = jnp.arange(r)
+    t_cap = bvh.tri_v0.shape[0] - 1
+
+    stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
+    sp = jnp.ones((r,), jnp.int32)              # TLAS root pre-pushed
+    cur_inst = jnp.full((r,), -1, jnp.int32)
+    base_sp = jnp.zeros((r,), jnp.int32)
+    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
+    best_tri = jnp.full((r,), -1, jnp.int32)
+    best_u = jnp.zeros((r,))
+    best_v = jnp.zeros((r,))
+
+    def cond(state):
+        sp = state[1]
+        step = state[-1]
+        return jnp.any(sp > 0) & (step < max_steps)
+
+    def body(state):
+        stack, sp, cur_inst, base_sp, best_t, best_tri, best_u, best_v, step = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = stack[rows, top]
+        # Returning below the BLAS entry depth = back in the TLAS.
+        left_blas = active & (top < base_sp)
+        cur_inst = jnp.where(left_blas, -1, cur_inst)
+        base_sp = jnp.where(left_blas, 0, base_sp)
+        inst = cur_inst
+        sp_pop = jnp.where(active, sp - 1, sp)
+
+        # Ray in the node's space (identity for TLAS rows).
+        m = bvh.inst_w2o[inst + 1]                       # (r, 3, 4)
+        o = jnp.einsum("rab,rb->ra", m[:, :, :3], origins) + m[:, :, 3]
+        d = jnp.einsum("rab,rb->ra", m[:, :, :3], directions)
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                jnp.where(d < 0, -1e-12, 1e-12), d)
+
+        hit_box, _ = _aabb_hit(bvh.node_min[node], bvh.node_max[node], o, inv_d, best_t)
+        hit_box = hit_box & active
+
+        cnt = bvh.count[node]
+        is_tri_leaf = cnt > 0
+        is_inst_leaf = cnt < 0
+
+        # -- triangle leaf (BLAS): object-space Moller-Trumbore ---------------
+        first = bvh.left[node]
+        do_leaf = hit_box & is_tri_leaf
+        bt, btri, bu, bv = best_t, best_tri, best_u, best_v
+        g_base = bvh.inst_tri_base[jnp.maximum(inst, 0)]
+        for k in range(LEAF_SIZE):
+            slot = jnp.clip(first + k, 0, t_cap)
+            ok, t, u, v = _tri_hit(
+                bvh.tri_v0[slot], bvh.tri_e1[slot], bvh.tri_e2[slot],
+                o, d, t_eps,
+            )
+            take = do_leaf & (k < cnt) & ok & (t < bt)
+            bt = jnp.where(take, t, bt)
+            btri = jnp.where(take, g_base + bvh.tri_order[slot], btri)
+            bu = jnp.where(take, u, bu)
+            bv = jnp.where(take, v, bv)
+
+        # -- internal: push children, near child last (popped first) ----------
+        do_int = hit_box & (cnt == 0)
+        l_child = bvh.left[node]
+        r_child = bvh.right[node]
+        hit_l, near_l = _aabb_hit(bvh.node_min[l_child], bvh.node_max[l_child], o, inv_d, bt)
+        hit_r, near_r = _aabb_hit(bvh.node_min[r_child], bvh.node_max[r_child], o, inv_d, bt)
+        hit_l = hit_l & do_int
+        hit_r = hit_r & do_int
+        l_first = near_l <= near_r
+        far_child = jnp.where(l_first, r_child, l_child)
+        near_child = jnp.where(l_first, l_child, r_child)
+        far_ok = jnp.where(l_first, hit_r, hit_l)
+        near_ok = jnp.where(l_first, hit_l, hit_r)
+
+        # -- instance leaf (TLAS): redirect into the BLAS ----------------------
+        do_inst = hit_box & is_inst_leaf
+        leaf_inst = bvh.left[node]
+        push2_ok = near_ok | do_inst
+        push2_val = jnp.where(do_inst, bvh.blas_root[jnp.maximum(leaf_inst, 0)], near_child)
+
+        new_sp = sp_pop
+        slot1 = jnp.minimum(new_sp, STACK_DEPTH - 1)
+        stack = stack.at[rows, slot1].set(
+            jnp.where(far_ok, far_child, stack[rows, slot1])
+        )
+        new_sp = jnp.where(far_ok, jnp.minimum(new_sp + 1, STACK_DEPTH - 1), new_sp)
+        slot2 = jnp.minimum(new_sp, STACK_DEPTH - 1)
+        stack = stack.at[rows, slot2].set(
+            jnp.where(push2_ok, push2_val, stack[rows, slot2])
+        )
+        # Entering a BLAS: remember the instance and the entry depth (the
+        # pushed root's slot) so popping below it restores the TLAS.
+        cur_inst = jnp.where(do_inst, leaf_inst, cur_inst)
+        base_sp = jnp.where(do_inst, new_sp, base_sp)
+        new_sp = jnp.where(push2_ok, jnp.minimum(new_sp + 1, STACK_DEPTH - 1), new_sp)
+
+        if any_hit:
+            new_sp = jnp.where(btri >= 0, 0, new_sp)
+
+        return stack, new_sp, cur_inst, base_sp, bt, btri, bu, bv, step + 1
+
+    state = (stack, sp, cur_inst, base_sp, best_t, best_tri, best_u, best_v,
+             jnp.zeros((), jnp.int32))
+    state = jax.lax.while_loop(cond, body, state)
+    best_t, best_tri, best_u, best_v = state[4:8]
+    return Hit(t=best_t, tri=best_tri, u=best_u, v=best_v, hit=best_tri >= 0)
 
 
 def trace_rays_brute(

@@ -19,8 +19,14 @@ from arkoserenderer_tpu.ops.bvh import Hit, trace_rays
 from arkoserenderer_tpu.ops.envmap import sample_equirect
 
 
-def surface_at_hits(scene, hit: Hit):
-    """Reconstruct geometry + material ids at hit points."""
+def surface_at_hits(scene, hit: Hit, with_uv_density: bool = False):
+    """Reconstruct geometry + material ids at hit points.
+
+    ``with_uv_density=True`` additionally returns sqrt(uv-area / world-area)
+    per hit — the uv length per world unit, which turns a ray-cone radius
+    into a texture-LOD footprint (the RT analogue of screen derivatives;
+    there are no implicit derivatives at ray hits, same reason the
+    reference's hit shaders use explicit LOD)."""
     tri = jnp.maximum(hit.tri, 0)
     corners = scene.indices[tri]
     inst = scene.tri_instance[tri]
@@ -32,7 +38,19 @@ def surface_at_hits(scene, hit: Hit):
     nrm = mx.normalize(jnp.einsum("rij,rj->ri", scene.normal_mat[inst], obj_nrm))
     uv = jnp.einsum("rk,rkc->rc", bary, scene.uvs[corners])
     mat_id = scene.inst_material[inst]
-    return world_pos, nrm, uv, mat_id
+    if not with_uv_density:
+        return world_pos, nrm, uv, mat_id
+
+    p = scene.positions[corners]                     # (R, 3, 3) object space
+    e1w = jnp.einsum("rij,rj->ri", w_m[:, :3, :3], p[:, 1] - p[:, 0])
+    e2w = jnp.einsum("rij,rj->ri", w_m[:, :3, :3], p[:, 2] - p[:, 0])
+    area_w = 0.5 * jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
+    t_uv = scene.uvs[corners]
+    e1u = t_uv[:, 1] - t_uv[:, 0]
+    e2u = t_uv[:, 2] - t_uv[:, 0]
+    area_uv = 0.5 * jnp.abs(e1u[:, 0] * e2u[:, 1] - e1u[:, 1] * e2u[:, 0])
+    uv_density = jnp.sqrt(area_uv / jnp.maximum(area_w, 1e-12))
+    return world_pos, nrm, uv, mat_id, uv_density
 
 
 def shade_hits_simple(
@@ -63,6 +81,84 @@ def shade_hits_simple(
     ) + emissive * exposure
     if ddgi_sample is not None:
         color = color + ddgi_sample(world_pos, nrm) * albedo / jnp.pi
+
+    env = sample_equirect(scene.env_map, ray_dirs) * scene.env_brightness * exposure
+    return jnp.where(hit.hit[:, None], color, env)
+
+
+def shade_hits(
+    scene,
+    hit: Hit,
+    ray_origins: jax.Array,
+    ray_dirs: jax.Array,
+    exposure: jax.Array,
+    cone_spread: float = 2e-3,   # ray-cone half-angle (rad) ~ pixel footprint
+    ddgi_sample=None,
+) -> jax.Array:
+    """(R, 3) HONEST hit shading for reflection rays: textured material
+    (packed-pool sample at ray-cone LOD), Filament BRDF for the sun with an
+    any-hit shadow ray, emissive, point/spot-free env fallback on miss.
+
+    The closest-hit analogue of the reference's RT pipeline (rt-reflections/
+    raygen.rgen evaluates the full material + shadow at hits) — mirrors must
+    match the path tracer, not a flat-albedo approximation. Pre-exposed.
+    """
+    from arkoserenderer_tpu.ops import brdf as brdf_ops
+    from arkoserenderer_tpu.ops import mattex
+    from arkoserenderer_tpu.ops.packed_shading import (
+        M_BASEF, M_EMIF, M_METAL, M_ROUGH, M_TEXMETA,
+    )
+
+    world_pos, nrm, uv, mat_id, uv_density = surface_at_hits(
+        scene, hit, with_uv_density=True
+    )
+    nrm = nrm * jnp.where(mx.vdot(nrm, -ray_dirs) < 0.0, -1.0, 1.0)
+    mrec = scene.mat_records[mat_id]                  # (R, 32)
+
+    # Ray-cone texture footprint: cone radius at the hit x uv-per-world.
+    t_hit = hit.t * jnp.linalg.norm(ray_dirs, axis=-1)
+    footprint = jnp.maximum(t_hit * cone_spread, 1e-6) * uv_density
+    duv = jnp.stack([footprint, jnp.zeros_like(footprint)], axis=-1)
+    ms = mattex.sample_packed(
+        scene.mat_tex.rows,
+        mrec[:, M_TEXMETA : M_TEXMETA + mattex.META_LANES],
+        uv, duv, duv[:, ::-1], quality="bilinear",
+    )
+    base = ms.base[:, :3] * mrec[:, M_BASEF : M_BASEF + 3]
+    rough = jnp.clip(ms.rough_metal[:, 0:1] * mrec[:, M_ROUGH : M_ROUGH + 1], 0.0, 1.0)
+    metal = jnp.clip(ms.rough_metal[:, 1:2] * mrec[:, M_METAL : M_METAL + 1], 0.0, 1.0)
+    emissive = ms.emissive * mrec[:, M_EMIF : M_EMIF + 3]
+
+    sun_l = -scene.lights.sun_direction
+    occl = trace_rays(
+        scene.bvh, world_pos + nrm * 1e-2,
+        jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
+    )
+    view = -mx.normalize(ray_dirs)
+    # brdf.evaluate returns f(l, v) * <n.l> — multiply by illuminance only.
+    fr = brdf_ops.evaluate(
+        jnp.broadcast_to(sun_l, nrm.shape), view, nrm, base, rough, metal
+    )
+    color = (
+        fr
+        * (scene.lights.sun_color * exposure)[None, :]
+        * (~occl.hit)[:, None]
+        * scene.lights.sun_valid
+    ) + emissive * exposure
+
+    # Diffuse ambient at the hit, matching what the PRIMARY pipeline applies
+    # in LightingCompose (passes/post.py): DDGI when available, else the
+    # flat env-average ambient — reflections of surfaces must carry the same
+    # energy as those surfaces rendered directly (path-tracer parity).
+    diffuse = base * (1.0 - metal) * ms.occlusion[:, None]
+    if ddgi_sample is not None:
+        color = color + ddgi_sample(world_pos, nrm) * diffuse
+    else:
+        from arkoserenderer_tpu.ops.envmap import ambient_of_normal
+
+        ambient = ambient_of_normal(scene.env_map, nrm, scene.env_brightness)
+        ambient = (ambient + scene.lights.ambient_lx / jnp.pi) * exposure
+        color = color + diffuse * ambient
 
     env = sample_equirect(scene.env_map, ray_dirs) * scene.env_brightness * exposure
     return jnp.where(hit.hit[:, None], color, env)

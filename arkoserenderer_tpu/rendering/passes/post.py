@@ -86,12 +86,12 @@ class LightingComposePass(RenderPass):
         if use_refl:
             reg.get("SceneReflections")
         grid = self.ddgi_grid
+        reg.get("SceneNormal")  # DDGI probe lookup or SH env irradiance
         if use_ddgi:
             reg.get("DDGI.irradiance")
             reg.get("DDGI.offsets")
             reg.get("DDGI.visibility")
             reg.get("SceneDepth")
-            reg.get("SceneNormal")
             from arkoserenderer_tpu.rendering.pipeline import pixel_centers
 
             px, py = pixel_centers(cfg)
@@ -122,8 +122,17 @@ class LightingComposePass(RenderPass):
                 ambient = ddgi_ops.sample_irradiance(st, grid, world, nrm)
                 ambient = ambient.reshape(h, w, 3)
             else:
-                env_avg = average_radiance(ctx.scene.env_map) * ctx.scene.env_brightness
-                ambient = (env_avg + ctx.scene.lights.ambient_lx / jnp.pi) * exposure
+                # SH-2 env irradiance per normal (Ramamoorthi-Hanrahan) —
+                # directional ambient instead of a flat average, so upward
+                # surfaces see the (brighter) sky hemisphere. Matches the
+                # path tracer's sky term far better than the flat estimate.
+                from arkoserenderer_tpu.ops.envmap import ambient_of_normal
+
+                nrm = state["SceneNormal"].reshape(-1, 3)
+                ambient = ambient_of_normal(
+                    ctx.scene.env_map, nrm, ctx.scene.env_brightness
+                ).reshape(h, w, 3)
+                ambient = (ambient + ctx.scene.lights.ambient_lx / jnp.pi) * exposure
 
             ao = mat[..., 2:3]
             if use_ssao:

@@ -22,8 +22,7 @@ import jax.numpy as jnp
 from arkoserenderer_tpu.core import mathx as mx
 from arkoserenderer_tpu.ops import brdf as brdf_ops
 from arkoserenderer_tpu.ops.bvh import trace_rays
-from arkoserenderer_tpu.ops.image import blur3
-from arkoserenderer_tpu.ops.rt import shade_hits_simple, trace_shadow_mask
+from arkoserenderer_tpu.ops.rt import trace_shadow_mask
 from arkoserenderer_tpu.ops.ssao import reconstruct_world_pos
 from arkoserenderer_tpu.rendering.pipeline import (
     FrameContext,
@@ -56,7 +55,8 @@ class BVHRefitPass(RenderPass):
             p = state["geom.positions"]
             m = ctx.scene.world[ctx.scene.vertex_instance]       # (V, 4, 4)
             wp = jnp.einsum("vij,vj->vi", m[:, :3, :3], p) + m[:, :3, 3]
-            return {"scene.bvh": refit_bvh(ctx.scene.bvh, wp, ctx.scene.indices)}
+            return {"scene.bvh": refit_bvh(ctx.scene.bvh, wp, ctx.scene.indices,
+                                           world=ctx.scene.world)}
 
         return execute
 
@@ -102,10 +102,20 @@ class RTShadowPass(RenderPass):
 
 
 class RTReflectionsPass(RenderPass):
+    """RT reflections with honest hit shading + the FFX-style denoiser.
+
+    Hits are shaded with the textured material + sun BRDF + shadow ray
+    (ops/rt.shade_hits — the closest-hit shader analogue), then denoised by
+    the 3-stage chain in ops/reflection_denoise (reproject -> prefilter ->
+    resolveTemporal, matching RTReflectionsNode.cpp:23-288's dispatches of
+    shaders/rt-reflections/{reproject,prefilter,resolveTemporal}.comp).
+    """
+
     name = "RTReflections"
 
     def __init__(self, mirror_roughness: float = 0.25, max_roughness: float = 0.6,
-                 temporal: bool = True, hysteresis: float = 0.85):
+                 temporal: bool = True, hysteresis: float = 0.85,
+                 ddgi_grid=None):
         # Below mirror_roughness: pure mirror ray; between: VNDF-perturbed;
         # above max: no trace (diffuse GI covers it) — the reference's
         # roughness thresholds (RTReflectionsNode.cpp:78-79).
@@ -113,6 +123,7 @@ class RTReflectionsPass(RenderPass):
         self.max_roughness = max_roughness
         self.temporal = temporal
         self.hysteresis = hysteresis
+        self.ddgi_grid = ddgi_grid
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         h, w = cfg.height, cfg.width
@@ -123,21 +134,37 @@ class RTReflectionsPass(RenderPass):
         reg.get("SceneCoverage")
         if reg.has("scene.bvh"):
             reg.get("scene.bvh")
+        # DDGI irradiance at reflection HITS (the reference's raygen samples
+        # the probe volume for the GI term at hit points — bounce light in
+        # mirrors; ddgi/probeSampling.glsl from rt-reflections/raygen.rgen).
+        use_ddgi = self.ddgi_grid is not None and reg.has("DDGI.irradiance")
+        grid = self.ddgi_grid
+        if use_ddgi:
+            reg.get("DDGI.irradiance")
+            reg.get("DDGI.offsets")
+            reg.get("DDGI.visibility")
         reg.create("SceneReflections", (h, w, 3), jnp.float32)
         px, py = pixel_centers(cfg)
         full_h = cfg.frame_height
         max_rough = self.max_roughness
         temporal = self.temporal
-        hysteresis = self.hysteresis
+        # Ray-cone spread ~ one pixel of the vertical FOV.
+        cone_spread = 1.0 / max(full_h, 1)
         if temporal:
             reg.get("SceneVelocity")
             reg.create("RTRefl.history", (h, w, 3), jnp.float32, persistent=True)
+            reg.create("RTRefl.moments", (h, w, 3), jnp.float32, persistent=True)
+            reg.create("RTRefl.depth", (h, w), jnp.float32, persistent=True)
 
         def execute(state: dict, ctx: FrameContext) -> dict:
+            from arkoserenderer_tpu.ops import reflection_denoise as dn
+            from arkoserenderer_tpu.ops.rt import shade_hits
+
             py_g = py + ctx.row_offset.astype(py.dtype)
             inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
+            depth = state["SceneDepth"]
             world = reconstruct_world_pos(
-                state["SceneDepth"].reshape(-1), px, py_g, inv_vp, w, full_h
+                depth.reshape(-1), px, py_g, inv_vp, w, full_h
             )
             valid0 = state["SceneCoverage"].reshape(-1)
             # Sky pixels reconstruct to infinity (reverse-Z depth 0): zero
@@ -154,44 +181,56 @@ class RTReflectionsPass(RenderPass):
             active = valid0 & (rough[:, 0] < max_rough)
 
             live = scene_with_live_bvh(state, ctx)
-            hit = trace_rays(live.bvh, world + nrm * 2e-2, r_dir, t_max=1e4)
-            radiance = shade_hits_simple(live, hit, r_dir, ctx.camera.exposure)
+            origins = world + nrm * 2e-2
+            hit = trace_rays(live.bvh, origins, r_dir, t_max=1e4)
+            ddgi_sample = None
+            if use_ddgi:
+                from arkoserenderer_tpu.ops import ddgi as ddgi_ops
+
+                st = ddgi_ops.DDGIState(
+                    irradiance=state["DDGI.irradiance"],
+                    visibility=state["DDGI.visibility"],
+                    offsets=state["DDGI.offsets"],
+                )
+
+                def ddgi_sample(wp, n):
+                    return ddgi_ops.sample_irradiance(st, grid, wp, n)
+
+            radiance = shade_hits(
+                live, hit, origins, r_dir, ctx.camera.exposure,
+                cone_spread=cone_spread, ddgi_sample=ddgi_sample,
+            )
 
             f0 = brdf_ops.base_f0(base, metal)
             n_dot_v = jnp.clip(mx.vdot(nrm, view), 0.0, 1.0)
             fresnel = brdf_ops.env_fresnel_roughness(n_dot_v, f0, rough)
-            # Fade toward the roughness cutoff; diffuse GI takes over there.
-            fade = jnp.clip((max_rough - rough) / max_rough, 0.0, 1.0) ** 2
+            # Fade only in a band NEAR the roughness cutoff (mirrors keep
+            # full energy); diffuse GI takes over past the cutoff.
+            fade = jnp.clip((max_rough - rough) / (0.25 * max_rough), 0.0, 1.0)
             refl = jnp.where(active[:, None], radiance * fresnel * fade, 0.0)
             refl_img = refl.reshape(h, w, 3)
-            # Cheap prefilter: one 3x3 blur lap per roughness band
-            # (ffx-denoiser prefilter stand-in; dedicated denoiser TODO).
-            blurred = blur3(refl_img)
             rr = rough.reshape(h, w, 1)
-            refl_img = jnp.where(rr > 0.1, blurred, refl_img)
-            if not temporal:
-                return {"SceneReflections": refl_img}
-            # Temporal accumulation (the reproject+temporal stages of the
-            # FFX denoiser): reproject last frame's resolved reflections
-            # along the surface motion vectors, clamp to the current 3x3
-            # neighborhood to kill ghosting, then exponentially blend.
-            from arkoserenderer_tpu.ops.image import bilinear_sample, neighborhood_min_max
+            nrm_img = nrm.reshape(h, w, 3)
 
-            velocity = state["SceneVelocity"].reshape(-1, 2)
-            prev_x = px - velocity[:, 0]
-            prev_y = py + ctx.row_offset.astype(py.dtype) - velocity[:, 1]
-            hist = bilinear_sample(state["RTRefl.history"], prev_x,
-                                   prev_y - ctx.row_offset.astype(py.dtype))
-            hist = hist.reshape(h, w, 3)
-            lo_c, hi_c = neighborhood_min_max(refl_img)
-            hist = jnp.clip(hist, lo_c, hi_c)
-            on_screen = (
-                (prev_x >= 0.0) & (prev_x < w)
-                & (prev_y >= ctx.row_offset) & (prev_y < ctx.row_offset + h)
-            ).reshape(h, w, 1)
-            alpha = jnp.where((ctx.frame_index == 0) | ~on_screen, 1.0,
-                              1.0 - hysteresis)
-            out = hist + (refl_img - hist) * alpha
-            return {"SceneReflections": out, "RTRefl.history": out}
+            # -- prefilter (edge-aware, roughness-scaled) ----------------------
+            filtered = dn.prefilter(refl_img, rr, nrm_img, depth)
+            if not temporal:
+                return {"SceneReflections": filtered}
+
+            # -- reproject + resolve-temporal ---------------------------------
+            hist, mom, conf = dn.reproject(
+                state["RTRefl.history"], state["RTRefl.moments"],
+                state["RTRefl.depth"], depth,
+                state["SceneVelocity"], px, py,
+            )
+            resolved, moments = dn.resolve_temporal(
+                filtered, hist, mom, conf, ctx.frame_index == 0,
+            )
+            return {
+                "SceneReflections": resolved,
+                "RTRefl.history": resolved,
+                "RTRefl.moments": moments,
+                "RTRefl.depth": depth,
+            }
 
         return execute

@@ -592,22 +592,69 @@ class Scene:
             ),
             # RT sees only LOD0 drawables (bands starting at distance 0):
             # ray hits must not find the same surface at several LOD levels.
-            bvh=self._build_bvh(
-                positions, vertex_instance, world, indices,
-                tri_valid & (inst_lod_band[tri_instance, 0] == 0.0),
-            )
-            if with_bvh
-            else _dummy_bvh(),
+            bvh=self._build_bvh() if with_bvh else _dummy_bvh(),
         )
 
-    def _build_bvh(self, positions, vertex_instance, world, indices, tri_valid):
-        from arkoserenderer_tpu.ops.bvh import build_bvh
+    def _build_bvh(self):
+        """Two-level TLAS/BLAS (AccelerationStructure.h:14-102 analogue).
 
-        w = world[vertex_instance]
-        world_pos = (
-            np.einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
-        ).astype(np.float32)
-        return build_bvh(world_pos, indices, tri_valid)
+        One BLAS per STATIC segment shared by all of its instances (no
+        geometry duplication — a 4096-instance stress scene costs one BLAS);
+        deformable instances (skinned / morphed / hair) get a per-instance
+        BLAS in world space (identity transform) whose vertices the in-jit
+        ``refit`` re-reads from the skinned pool each frame (the reference's
+        per-instance BLAS update, GpuScene.cpp:629-711 + :872-1011).
+        RT sees only LOD0 instances (band starting at distance 0).
+        """
+        from arkoserenderer_tpu.ops.bvh import build_two_level
+
+        hair_sid = self._hair[3] if self._hair else -1
+
+        blas_geo: list[tuple[np.ndarray, np.ndarray]] = []
+        blas_owner: list[int] = []
+        seg_blas: dict[int, int] = {}       # static segment -> BLAS id
+
+        inst_blas, inst_o2w, inst_tri_base, inst_ids = [], [], [], []
+        tri_cursor = 0
+        for inst_id, (sid, w, pw, clip, lod_band) in enumerate(self.instances):
+            seg = self.segments[sid]
+            t = seg.num_triangles
+            base = tri_cursor
+            tri_cursor += t
+            if lod_band[0] != 0.0:
+                continue
+            tris = seg.indices.reshape(t, 3).astype(np.int32)
+            deform = (
+                seg.skeleton >= 0 or seg.morph_pos is not None or sid == hair_sid
+            )
+            slot = len(inst_ids)
+            if deform:
+                wm = np.asarray(w, np.float32)
+                wp = seg.positions @ wm[:3, :3].T + wm[:3, 3]
+                blas_geo.append((wp.astype(np.float32), tris))
+                blas_owner.append(slot)
+                b = len(blas_geo) - 1
+                inst_o2w.append(np.eye(4, dtype=np.float32))
+            else:
+                if sid not in seg_blas:
+                    seg_blas[sid] = len(blas_geo)
+                    blas_geo.append((seg.positions.astype(np.float32), tris))
+                    blas_owner.append(-1)
+                b = seg_blas[sid]
+                inst_o2w.append(np.asarray(w, np.float32))
+            inst_blas.append(b)
+            inst_tri_base.append(base)
+            inst_ids.append(inst_id)
+
+        return build_two_level(
+            blas_geo,
+            np.asarray(inst_blas, np.int32),
+            np.stack(inst_o2w) if inst_o2w else np.zeros((0, 4, 4), np.float32),
+            np.asarray(inst_tri_base, np.int32),
+            blas_owner=np.asarray(blas_owner, np.int32)
+            if blas_owner else None,
+            inst_id=np.asarray(inst_ids, np.int32),
+        )
 
     def stream_instance(self, arrays: "SceneArrays", segment_id: int,
                         world: np.ndarray,

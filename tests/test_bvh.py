@@ -122,3 +122,127 @@ def test_refit_node_bounds_contain_children(rng):
         for ch in (left[node], right[node]):
             assert (nmin[node] <= nmin[ch] + 1e-5).all()
             assert (nmax[node] >= nmax[ch] - 1e-5).all()
+
+
+# ---- two-level TLAS/BLAS (AccelerationStructure.h:14-102 analogue) ----------
+
+
+def _rand_xform(rng):
+    a = rng.uniform(0, 2 * np.pi)
+    c, s = np.cos(a), np.sin(a)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = (
+        np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        * rng.uniform(0.5, 2.0)
+    )
+    m[:3, 3] = rng.uniform(-5, 5, 3)
+    return m
+
+
+def _two_level_fixture(rng, n_inst=6):
+    """Two shared geometries instanced with random rigid+scale transforms.
+
+    Returns (bvh, geos, inst_blas, o2w, tris, tri_base) where ``tris`` is
+    the global duplicated triangle pool (the renderer's triangle-id space).
+    """
+    geos = [scene_soup(rng, 40), scene_soup(rng, 25)]
+    inst_blas = np.asarray(rng.integers(0, 2, n_inst), np.int32)
+    o2w = np.stack([_rand_xform(rng) for _ in range(n_inst)])
+    tri_base, all_t = [], []
+    cur_v = cur_t = 0
+    for i in range(n_inst):
+        v, t = geos[inst_blas[i]]
+        tri_base.append(cur_t)
+        all_t.append(t + cur_v)
+        cur_v += len(v)
+        cur_t += len(t)
+    bvh = bvh_ops.build_two_level(
+        geos, inst_blas, o2w, np.asarray(tri_base, np.int32)
+    )
+    return bvh, geos, inst_blas, o2w, np.concatenate(all_t)
+
+
+def _world_pool(geos, inst_blas, xforms):
+    """Duplicated world-space vertex pool under the given transforms."""
+    out = []
+    for i in range(len(inst_blas)):
+        v, _ = geos[inst_blas[i]]
+        m = xforms[i]
+        out.append(v @ m[:3, :3].T + m[:3, 3])
+    return np.concatenate(out).astype(np.float32)
+
+
+def test_two_level_matches_brute_force(rng):
+    bvh, geos, inst_blas, o2w, tris = _two_level_fixture(rng)
+    verts = _world_pool(geos, inst_blas, o2w)
+    origins, dirs = random_rays(rng, 512)
+    hit = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs))
+    ref_t, ref_tri = bvh_ops.trace_rays_brute(
+        verts, tris, np.ones(len(tris), bool), origins, dirs
+    )
+    got_tri = np.asarray(hit.tri)
+    np.testing.assert_array_equal(got_tri >= 0, ref_tri >= 0)
+    h = ref_tri >= 0
+    assert h.sum() > 30
+    np.testing.assert_allclose(np.asarray(hit.t)[h], ref_t[h], rtol=1e-3, atol=1e-3)
+    assert (got_tri[h] == ref_tri[h]).mean() > 0.99
+    any_hit = bvh_ops.trace_rays(bvh, jnp.asarray(origins), jnp.asarray(dirs), any_hit=True)
+    np.testing.assert_array_equal(np.asarray(any_hit.hit), ref_tri >= 0)
+
+
+def test_two_level_tlas_refit_moves_instances(rng):
+    """Move every instance, refit in-jit (pure transform update — no
+    geometry rebuild), and require agreement with brute force over the
+    moved scene (GpuScene.cpp:872-1011 refit semantics)."""
+    import jax
+
+    bvh, geos, inst_blas, o2w, tris = _two_level_fixture(rng)
+    world = np.array(o2w)
+    world[:, :3, 3] += rng.uniform(-3, 3, (len(world), 3)).astype(np.float32)
+
+    moved_pool = _world_pool(geos, inst_blas, world)
+    bvh2 = jax.jit(bvh_ops.refit_bvh)(
+        bvh, jnp.asarray(moved_pool), jnp.asarray(tris), world=jnp.asarray(world)
+    )
+    origins, dirs = random_rays(rng, 384)
+    hit = bvh_ops.trace_rays(bvh2, jnp.asarray(origins), jnp.asarray(dirs))
+    ref_t, ref_tri = bvh_ops.trace_rays_brute(
+        moved_pool, tris, np.ones(len(tris), bool), origins, dirs
+    )
+    got_tri = np.asarray(hit.tri)
+    np.testing.assert_array_equal(got_tri >= 0, ref_tri >= 0)
+    h = ref_tri >= 0
+    assert h.sum() > 20
+    np.testing.assert_allclose(np.asarray(hit.t)[h], ref_t[h], rtol=1e-3, atol=1e-3)
+    assert (got_tri[h] == ref_tri[h]).mean() > 0.99
+
+
+def test_two_level_deformable_refit(rng):
+    """A per-instance (deformable) BLAS re-reads pool vertices on refit:
+    deform the owned instance's pool range and require hits to track it."""
+    import jax
+
+    geo = scene_soup(rng, 30)
+    o2w = np.stack([np.eye(4, dtype=np.float32), _rand_xform(rng)])
+    # instance 0 owns BLAS 0 (deformable, world==object), instance 1 shares BLAS 1
+    bvh = bvh_ops.build_two_level(
+        [geo, geo], np.array([0, 1], np.int32), o2w,
+        np.asarray([0, len(geo[1])], np.int32),
+        blas_owner=np.array([0, -1], np.int32),
+    )
+    tris = np.concatenate([geo[1], geo[1] + len(geo[0])])
+    pool = _world_pool([geo, geo], np.array([0, 1]), o2w)
+    deformed = np.array(pool)
+    deformed[: len(geo[0])] += rng.normal(size=(len(geo[0]), 3)).astype(np.float32) * 1.0
+
+    bvh2 = jax.jit(bvh_ops.refit_bvh)(bvh, jnp.asarray(deformed), jnp.asarray(tris))
+    origins, dirs = random_rays(rng, 384)
+    hit = bvh_ops.trace_rays(bvh2, jnp.asarray(origins), jnp.asarray(dirs))
+    ref_t, ref_tri = bvh_ops.trace_rays_brute(
+        deformed, tris, np.ones(len(tris), bool), origins, dirs
+    )
+    got_tri = np.asarray(hit.tri)
+    np.testing.assert_array_equal(got_tri >= 0, ref_tri >= 0)
+    h = ref_tri >= 0
+    assert h.sum() > 20
+    np.testing.assert_allclose(np.asarray(hit.t)[h], ref_t[h], rtol=1e-3, atol=1e-3)

@@ -79,4 +79,7 @@ def test_matches_raster_rough_energy():
     tr.render_sample(8)
     pt_img = np.array(tr.ldr())
     ratio = pt_img.mean() / raster_img.mean()
-    assert 0.33 < ratio < 3.0, f"brightness mismatch: {ratio}"
+    # Round-2 tightening (was 3x in round 1): SH-2 env ambient + honest RT
+    # energy brought the raster pipeline within ~10% of the path tracer;
+    # residual gap is multi-bounce interreflection the raster path lacks.
+    assert 0.7 < ratio < 1.4, f"brightness mismatch: {ratio}"

@@ -137,22 +137,76 @@ def test_rt_shadows_track_morphing_geometry_via_refit():
 
 
 def test_rt_reflections_temporal_accumulation_converges():
-    """The FFX-style temporal stage: with a static camera, accumulated
-    reflections stabilize (frame-to-frame delta shrinks), and the history
-    buffer persists across frames."""
-    scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
-    scene.materials[1].roughness_factor = 0.05
-    scene.materials[1].metallic_factor = 1.0
-    r = Renderer(scene, cam, CFG, rt_reflections=True, taa=False, bloom=False)
-    r.render_frame()
-    r1 = np.array(np.asarray(r.state["SceneReflections"]))
-    r.render_frame()
-    r2 = np.array(np.asarray(r.state["SceneReflections"]))
-    r.render_frame()
-    r3 = np.array(np.asarray(r.state["SceneReflections"]))
-    assert np.isfinite(r3).all()
+    """The FFX-style temporal stage: with a static camera, the resolved
+    output is temporally more stable than the raw per-frame reflections
+    (the raster stays Halton-jittered, so the raw signal flickers), and the
+    sample-count state accumulates."""
+    from arkoserenderer_tpu.rendering.passes.rt import RTReflectionsPass
+
+    def run(temporal):
+        scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+        scene.materials[1].roughness_factor = 0.05
+        scene.materials[1].metallic_factor = 1.0
+        r = Renderer(scene, cam, CFG, rt_reflections=True, taa=False, bloom=False)
+        if not temporal:
+            for i, p in enumerate(r.pipeline.passes):
+                if isinstance(p, RTReflectionsPass):
+                    r.pipeline.passes[i] = RTReflectionsPass(temporal=False)
+            r.pipeline.construct_all()
+            r.state = r.pipeline.initial_state()
+        frames = []
+        for _ in range(8):
+            r.render_frame()
+            frames.append(np.array(np.asarray(r.state["SceneReflections"])))
+        deltas = [np.abs(b - a).mean() for a, b in zip(frames, frames[1:])]
+        return frames, deltas, r
+
+    frames, dn_deltas, r = run(True)
+    _, raw_deltas, _ = run(False)
+    assert np.isfinite(frames[-1]).all()
     assert "RTRefl.history" in r.state
-    d12 = np.abs(r2 - r1).mean()
-    d23 = np.abs(r3 - r2).mean()
-    # Static scene + static camera: the exponential blend must not diverge.
-    assert d23 <= d12 + 1e-5
+    assert "RTRefl.moments" in r.state  # FFX-style variance/sample-count state
+    # Damping: resolved output flickers strictly less than the raw signal,
+    # every frame, and by a solid margin on average.
+    assert all(d <= rr + 1e-6 for d, rr in zip(dn_deltas, raw_deltas))
+    assert np.mean(dn_deltas) < 0.75 * np.mean(raw_deltas)
+    # Sample count accumulates toward the max (fresh pixels converge fast).
+    n = np.asarray(r.state["RTRefl.moments"])[..., 2]
+    assert n.max() >= 7.0
+
+
+def test_mirror_reflections_match_path_tracer_energy():
+    """VERDICT round-2 criterion: reflection energy vs the path-traced
+    reference under a TIGHT tolerance (round 1 was 3x). Mirror pixels carry
+    one Fresnel-weighted bounce with honest hit shading (textures + sun BRDF
+    + shadow + SH ambient); the remaining deficit vs the converged path
+    tracer is recursive self-reflection (single-bounce limitation, same as
+    the reference's RTReflectionsNode)."""
+    from arkoserenderer_tpu.models.pathtracer import PathTracer
+
+    def mk():
+        s, c = build_test_scene(viewport=(W, H), n_spheres=1)
+        s.materials[2].roughness_factor = 0.03
+        s.materials[2].metallic_factor = 1.0
+        s.materials[2].base_color_factor = np.array([1, 1, 1, 1], np.float32)
+        return s, c
+
+    s1, c1 = mk()
+    r = Renderer(s1, c1, CFG, rt_reflections=True, taa=False, bloom=False)
+    for _ in range(8):
+        r.render_frame()
+    color = np.array(np.asarray(r.state["SceneColor"]))
+    mat = np.asarray(r.state["SceneMaterial"])
+    vis = np.asarray(r.state["SceneCoverage"])
+    mirror = (mat[..., 0] < 0.25) & (mat[..., 1] > 0.5) & (vis > 0)
+    assert mirror.sum() > 50
+
+    s2, c2 = mk()
+    tr = PathTracer(s2, c2, W, H, max_bounces=4)
+    tr.render_sample(48)
+    pt = np.array(np.asarray(tr.radiance()))
+
+    mirror_ratio = color[mirror].mean() / pt[mirror].mean()
+    diffuse_ratio = color[(~mirror) & (vis > 0)].mean() / pt[(~mirror) & (vis > 0)].mean()
+    assert 0.70 < mirror_ratio < 1.30, f"mirror energy ratio {mirror_ratio}"
+    assert 0.80 < diffuse_ratio < 1.20, f"diffuse energy ratio {diffuse_ratio}"
