@@ -656,27 +656,22 @@ class Scene:
             inst_id=np.asarray(inst_ids, np.int32),
         )
 
-    def stream_instance(self, arrays: "SceneArrays", segment_id: int,
-                        world: np.ndarray,
-                        lod_band=(0.0, LOD_FAR)) -> "SceneArrays":
-        """Incremental geometry streaming: add an instance of an EXISTING
-        segment into the live SceneArrays without a rebuild or a retrace.
+    def stage_instance(self, segment_id: int, world: np.ndarray,
+                       lod_band=(0.0, LOD_FAR)) -> dict:
+        """Host half of the VertexManager streaming state machine
+        (arkose/rendering/VertexManager.h:187-226 PendingAllocation step):
+        allocate pool ranges for a new instance of an EXISTING segment,
+        write the host mirrors, and return the UPLOAD PLAN — the ordered
+        list of (SceneArrays field, offset, host rows) a StreamingManager
+        feeds to the device under a per-frame byte budget
+        (rendering/streaming.py), plus the refit light arrays.
 
-        The VertexManager streaming state machine analogue
-        (arkose/rendering/VertexManager + GpuScene's staged uploads): the
-        new geometry is written into the fixed pools' padding host-side and
-        only the touched pools are re-uploaded — every array keeps its
-        shape, so the jitted frame function's cache stays hot. Returns the
-        updated SceneArrays; raises when a pool is out of capacity (the
-        caller evicts or rebuilds with larger limits, the reference's
-        defragment-or-grow path).
-
-        Scope (round 1): static rigid segments (no skin/morph/hair); the
-        static BVH does not include streamed geometry until the next
-        full build (RT sees it after ``Scene.build(with_bvh=True)``).
+        The plan's order is load-safe: vertex data first, then indices,
+        then instance rows, then ``tri_valid`` / ``inst_valid`` LAST — a
+        partially-uploaded instance never rasterizes garbage.
         """
         mir = getattr(self, "_mirror", None)
-        assert mir is not None, "call build() before stream_instance()"
+        assert mir is not None, "call build() before staging instances"
         seg = self.segments[segment_id]
         assert seg.skeleton < 0 and seg.morph_pos is None, (
             "streaming is rigid-static only this round"
@@ -713,14 +708,6 @@ class Scene:
         mir["inst_lod_band"][inst_id] = lod_band
         mir["v_cursor"] = vc + v
         mir["t_cursor"] = tc + t
-        # Packed-shading side table (ops/packed_shading): per-triangle
-        # material ids for the streamed range. The material itself must
-        # already exist in mat_records / the packed texel pool (streaming a
-        # NEW material is a rebuild — same constraint as the reference's
-        # bindless material slots being pre-registered).
-        tri_material = np.asarray(arrays.tri_material)
-        tri_material = tri_material.copy()
-        tri_material[tc:tc + t] = seg.material
 
         # Refit the light setup to the grown bounds (the sun shadow ortho
         # tracks the scene's bounding sphere, like the reference's per-frame
@@ -734,8 +721,60 @@ class Scene:
             ambient_lx=self.ambient_lx,
         )
 
+        one = np.s_[inst_id:inst_id + 1]
+        uploads = [
+            ("positions", vc, seg.positions.astype(np.float32)),
+            ("normals", vc, seg.normals.astype(np.float32)),
+            ("uvs", vc, seg.uvs.astype(np.float32)),
+            ("tangents", vc, seg.tangents.astype(np.float32)),
+            ("vertex_instance", vc, np.full((v,), inst_id, np.int32)),
+            ("indices", tc, (seg.indices.reshape(t, 3) + vc).astype(np.int32)),
+            ("tri_instance", tc, np.full((t,), inst_id, np.int32)),
+            ("tri_material", tc, np.full((t,), seg.material, np.int32)),
+            ("world", inst_id, mir["world"][one].copy()),
+            ("prev_world", inst_id, mir["prev_world"][one].copy()),
+            ("normal_mat", inst_id, mir["normal_mat"][one].copy()),
+            ("inst_material", inst_id, mir["inst_material"][one].copy()),
+            ("inst_sphere", inst_id, mir["inst_sphere"][one].copy()),
+            ("inst_lod_band", inst_id, mir["inst_lod_band"][one].copy()),
+            # LAST: make the geometry and the drawable visible.
+            ("tri_valid", tc, np.ones((t,), bool)),
+            ("inst_valid", inst_id, np.ones((1,), bool)),
+        ]
+        return {
+            "instance_id": inst_id,
+            "uploads": uploads,
+            "lights": lights,
+            "tri_range": (tc, t),
+            "vert_range": (vc, v),
+        }
+
+    def stream_instance(self, arrays: "SceneArrays", segment_id: int,
+                        world: np.ndarray,
+                        lod_band=(0.0, LOD_FAR)) -> "SceneArrays":
+        """Incremental geometry streaming: add an instance of an EXISTING
+        segment into the live SceneArrays without a rebuild or a retrace.
+
+        The VertexManager streaming state machine analogue
+        (arkose/rendering/VertexManager + GpuScene's staged uploads): the
+        new geometry is written into the fixed pools' padding host-side and
+        only the touched pools are re-uploaded — every array keeps its
+        shape, so the jitted frame function's cache stays hot. Returns the
+        updated SceneArrays; raises when a pool is out of capacity (the
+        caller evicts or rebuilds with larger limits, the reference's
+        defragment-or-grow path).
+
+        Scope (round 1): static rigid segments (no skin/morph/hair); the
+        static BVH does not include streamed geometry until the next
+        full build (RT sees it after ``Scene.build(with_bvh=True)``).
+        """
+        plan = self.stage_instance(segment_id, world, lod_band)
+        mir = self._mirror
+        tc, t = plan["tri_range"]
+        tri_material = np.asarray(arrays.tri_material).copy()
+        tri_material[tc:tc + t] = self.segments[segment_id].material
         return arrays._replace(
-            lights=lights,
+            lights=plan["lights"],
             positions=jnp.asarray(mir["positions"]),
             normals=jnp.asarray(mir["normals"]),
             uvs=jnp.asarray(mir["uvs"]),
