@@ -170,3 +170,89 @@ def build_test_scene(
     cam.look_at((4.0, 2.5, 5.0), (0.0, 0.6, -0.5))
     cam.focus_depth = 6.0
     return scene, cam
+
+
+def build_stress_scene(
+    n_instances: int = 4096,
+    viewport: tuple[int, int] = (256, 256),
+    limits: SceneLimits | None = None,
+) -> tuple[Scene, Camera]:
+    """Culling stress scene: a grid of N animated instances of ONE shared
+    segment — the analogue of ShowcaseApp's 4,096-helmet stress scene
+    (arkose/application/apps/ShowcaseApp.cpp:381-412), built to exercise
+    per-instance frustum/LOD culling, the instanced TLAS (one BLAS + N
+    TLAS leaves, ops/bvh.TwoLevelBVH), and per-frame transform streaming
+    (Scene.update_instance_transforms with Renderer(dynamic_transforms=
+    True) — call ``animate_stress_scene(scene, t)`` each frame).
+    """
+    side = int(np.ceil(np.sqrt(n_instances)))
+    spacing = 2.0
+    extent = side * spacing
+    lim = limits or SceneLimits(
+        max_vertices=max(1 << 15, 128 * n_instances + 4096),
+        max_indices=max(3 << 15, 3 * (192 * n_instances + 4096)),
+        max_drawables=max(64, n_instances + 8),
+        max_materials=32, max_textures=32, texture_pool_texels=1 << 19,
+    )
+    scene = Scene(limits=lim)
+
+    checker = scene.add_texture(checkerboard_texture(64, 8), srgb=True)
+    floor_mat = scene.add_material(
+        Material(base_color_tex=checker, roughness_factor=0.85)
+    )
+    floor = make_plane(size=extent * 1.2, uv_scale=extent / 4)
+    floor.material = floor_mat
+    fid = scene.add_segment(floor)
+    scene.add_instance(fid, np.eye(4, dtype=np.float32))
+
+    body_mat = scene.add_material(Material(
+        base_color_factor=np.array([0.75, 0.33, 0.21, 1.0], np.float32),
+        roughness_factor=0.35, metallic_factor=1.0,
+    ))
+    body = make_uv_sphere(0.55, rings=8, sectors=12)   # ~100 verts / ~176 tris
+    body.material = body_mat
+    sid = scene.add_segment(body)
+
+    rng = np.random.default_rng(1234)
+    phases = rng.uniform(0, 2 * np.pi, n_instances).astype(np.float32)
+    for i in range(n_instances):
+        gx, gz = i % side, i // side
+        w = np.eye(4, dtype=np.float32)
+        w[:3, 3] = (
+            (gx - side / 2 + 0.5) * spacing,
+            0.8,
+            (gz - side / 2 + 0.5) * spacing,
+        )
+        scene.add_instance(sid, w)
+    scene._stress = (sid, side, spacing, phases)  # for animate_stress_scene
+
+    scene.sun = DirectionalLight(
+        direction=np.array([0.4, -1.0, -0.3], np.float32),
+        illuminance_lux=90000.0,
+    )
+    scene.set_env_map(gradient_env_map(32), brightness=8000.0)
+    scene.ambient_lx = 6000.0
+
+    cam = Camera(viewport=viewport)
+    cam.look_at((extent * 0.08, 4.0, extent * 0.12), (0.0, 0.5, 0.0))
+    return scene, cam
+
+
+def animate_stress_scene(scene: Scene, t: float) -> None:
+    """Per-frame host animation of the stress grid (bobbing + spin), like
+    the reference's animated helmets; follow with
+    ``renderer.scene_arrays = scene.update_instance_transforms(...)`` or
+    construct the Renderer with ``dynamic_transforms=True``."""
+    sid, side, spacing, phases = scene._stress
+    ci, si = np.cos(t), np.sin(t)
+    for idx, (seg, w, pw, clip, band) in enumerate(scene.instances):
+        if seg != sid:
+            continue
+        k = idx - 1  # instance 0 is the floor
+        p = phases[k % len(phases)]
+        nw = np.array(w)
+        c, s = np.cos(t + p), np.sin(t + p)
+        nw[0, 0], nw[0, 2] = c * 1.0, s * 1.0
+        nw[2, 0], nw[2, 2] = -s * 1.0, c * 1.0
+        nw[1, 3] = 0.8 + 0.35 * np.sin(2.0 * t + p)
+        scene.instances[idx] = (seg, nw, w, clip, band)

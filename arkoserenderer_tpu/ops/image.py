@@ -40,25 +40,40 @@ def downsample2x(img: jax.Array) -> jax.Array:
     return img.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
 
 
-def upsample2x(img: jax.Array) -> jax.Array:
-    """2x nearest upsample followed by a 3x3 tent — cheap bilinear-ish."""
+def upsample2x(img: jax.Array, halo_rows=None) -> jax.Array:
+    """2x nearest upsample followed by a 3x3 tent — cheap bilinear-ish.
+
+    ``halo_rows``: optional (top, bottom) COARSE-level neighbor rows
+    (band_halo_rows) for seam-exact upsampling under pixel-band sharding —
+    after the 2x repeat, the row adjacent to the band edge is exactly the
+    neighbor band's coarse boundary row."""
     up = jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
-    return blur3(up)
+    if halo_rows is not None:
+        halo_rows = (jnp.repeat(halo_rows[0], 2, axis=1),
+                     jnp.repeat(halo_rows[1], 2, axis=1))
+    return blur3(up, halo_rows=halo_rows)
 
 
-def blur3(img: jax.Array) -> jax.Array:
+def blur3(img: jax.Array, halo_rows=None) -> jax.Array:
     """3x3 binomial ([1,2,1]/4 separable) blur with edge clamp.
 
     Implemented with edge-pad + static slices (pure data movement the TPU
     executes in the elementwise fused path) — NOT index-array takes, which
     lower to the gather unit (~26 ms/op class at 1080p, METRICS.md round 2).
+
+    ``halo_rows``: optional (top, bottom) neighbor-band rows (see
+    band_halo_rows) replacing the row-axis edge clamp, making the stencil
+    seam-exact under pixel-band sharding.
     """
     k = (0.25, 0.5, 0.25)
 
     def conv_axis(x, axis):
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (1, 1)
-        p = jnp.pad(x, pad, mode="edge")
+        if axis == 0 and halo_rows is not None:
+            p = jnp.concatenate([halo_rows[0], x, halo_rows[1]], axis=0)
+        else:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (1, 1)
+            p = jnp.pad(x, pad, mode="edge")
         n = x.shape[axis]
 
         def sl(off):

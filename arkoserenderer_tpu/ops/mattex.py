@@ -309,8 +309,31 @@ def sample_packed(
         l1 = jnp.minimum(l0 + 1, max_lod.astype(jnp.int32))
         f = (lod - l0.astype(jnp.float32))[:, None]
         c = level_fetch(l0) * (1 - f) + level_fetch(l1) * f
+    elif quality == "stochastic1" and noise is not None and noise.ndim == 2:
+        # ONE texel tap whose EXPECTATION equals trilinear: jittered mip
+        # pick (lane 0) + jittered nearest within the bilinear footprint
+        # (lanes 1-2; round(x + u - 0.5), u~U[0,1) has bilinear-weight
+        # expectation per axis — same estimator as the stochastic VSM tap).
+        # TAA converges the variance. Gather cost on this chip is per-TAP
+        # (~15 ms per 2M lanes regardless of row width, METRICS.md), so
+        # 1 tap vs trilinear's 8 is the whole texture bill.
+        lod_j = jnp.clip(lod + (noise[:, 0] - 0.5), 0.0, max_lod)
+        level = jnp.round(lod_j).astype(jnp.int32)
+        off = _select13(offs, level).astype(jnp.int32)
+        wl = _mip_dim(w0, level)
+        hl = _mip_dim(h0, level)
+        w_f = wl.astype(jnp.float32)
+        h_f = hl.astype(jnp.float32)
+        x = uv[:, 0] * w_f - 0.5 + (noise[:, 1] - 0.5)
+        y = uv[:, 1] * h_f - 0.5 + (noise[:, 2] - 0.5)
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        xi = jnp.where(wrap == 0, xi & (wl - 1), jnp.clip(xi, 0, wl - 1))
+        yi = jnp.where(wrap == 0, yi & (hl - 1), jnp.clip(yi, 0, hl - 1))
+        c = _unpack12(rows[off + yi * wl + xi])
     elif quality == "stochastic" and noise is not None:
-        lod_j = jnp.clip(lod + (noise - 0.5), 0.0, max_lod)
+        mip_noise = noise[:, 0] if noise.ndim == 2 else noise
+        lod_j = jnp.clip(lod + (mip_noise - 0.5), 0.0, max_lod)
         c = level_fetch(jnp.round(lod_j).astype(jnp.int32))
     else:  # bilinear nearest mip
         c = level_fetch(jnp.clip(jnp.round(lod), 0.0, max_lod).astype(jnp.int32))

@@ -206,7 +206,14 @@ def shade_packed(
         return (seed >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
 
     if any_tex:
-        noise = pixel_noise(0) if texture_quality == "stochastic" else None
+        if texture_quality == "stochastic1":
+            noise = jnp.stack(
+                [pixel_noise(0), pixel_noise(3), pixel_noise(4)], axis=-1
+            )
+        elif texture_quality == "stochastic":
+            noise = pixel_noise(0)
+        else:
+            noise = None
         ms = mattex.sample_packed(
             scene.mat_tex.rows,
             mrec[:, M_TEXMETA : M_TEXMETA + mattex.META_LANES],

@@ -20,15 +20,15 @@ CFG = PipelineConfig(
 
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_sharded_matches_single_device(n_devices):
-    # Bloom off: its pyramid is band-local under sharding (halo TODO) and
-    # would differ at seams. Everything else must match the single-device
-    # render exactly.
+    # Bloom ON: the pyramid exchanges one halo row per level over the mesh
+    # axis (ppermute), so even the wide blur chain matches the
+    # single-device render exactly (round-1 carve-out removed).
     scene, cam = build_test_scene(viewport=(W, H))
-    ref = Renderer(scene, cam, CFG, bloom=False)
+    ref = Renderer(scene, cam, CFG)
     a = np.asarray(ref.render_frame())
 
     scene2, cam2 = build_test_scene(viewport=(W, H))
-    shr = ShardedRenderer(scene2, cam2, CFG, n_devices=n_devices, bloom=False)
+    shr = ShardedRenderer(scene2, cam2, CFG, n_devices=n_devices)
     b = np.array(shr.render_frame())
 
     assert b.shape == (H, W, 3)

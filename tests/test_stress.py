@@ -1,0 +1,70 @@
+"""Culling stress scene (ShowcaseApp.cpp:381-412 analogue) — instanced
+rendering, per-frame transform streaming, and RT over the instanced TLAS.
+
+CPU-sized here (256 instances); bench.py --stress runs the full 4,096 on
+the TPU.
+"""
+
+import numpy as np
+
+from arkoserenderer_tpu.assets.procedural import (
+    animate_stress_scene,
+    build_stress_scene,
+)
+from arkoserenderer_tpu.core.types import RasterConfig
+from arkoserenderer_tpu.models.standard import Renderer
+from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+CFG = PipelineConfig(
+    width=128, height=128,
+    raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256, bin_chunk=1024),
+    shadow_map_size=256,
+)
+
+
+def test_stress_scene_renders_and_animates():
+    scene, cam = build_stress_scene(n_instances=256, viewport=(128, 128))
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False, dynamic_transforms=True)
+    img0 = np.array(r.render_frame())
+    assert np.isfinite(img0).all()
+    assert 0.05 < img0.mean() < 0.95
+    animate_stress_scene(scene, 0.7)
+    img1 = np.array(r.render_frame())
+    assert np.abs(img1 - img0).max() > 0.1      # instances moved
+    # Transform streaming must not retrace.
+    assert r.pipeline._compiled is not None
+
+
+def test_stress_scene_instanced_tlas_rt():
+    """RT shadows over the stress scene: the two-level BVH holds ONE shared
+    BLAS + N TLAS instance leaves (no world-space geometry duplication)."""
+    scene, cam = build_stress_scene(n_instances=256, viewport=(96, 96))
+    cfg = PipelineConfig(
+        width=96, height=96,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256, bin_chunk=1024),
+        shadow_map_size=256,
+    )
+    r = Renderer(scene, cam, cfg, rt_shadows=True, taa=False, bloom=False)
+    from arkoserenderer_tpu.ops.bvh import TwoLevelBVH
+
+    bvh = r.scene_arrays.bvh
+    assert isinstance(bvh, TwoLevelBVH)
+    # One BLAS for the sphere + one for the floor — shared by all instances.
+    n_unique_roots = len(np.unique(np.asarray(bvh.blas_root)))
+    assert n_unique_roots == 2
+    assert bvh.inst_id.shape[0] == 257          # floor + 256 spheres
+    img = np.array(r.render_frame())
+    assert np.isfinite(img).all()
+    mask = np.asarray(r.state["ShadowMask.sun"])
+    assert mask.min() == 0.0 and mask.max() == 1.0   # shadows + lit areas
+
+
+def test_stress_scene_frustum_culls():
+    """Most of the grid is outside the frustum; the visible-triangle count
+    after culling must be far below the scene total."""
+    scene, cam = build_stress_scene(n_instances=256, viewport=(128, 128))
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False)
+    r.render_frame()
+    vis = np.asarray(r.state["Visibility"])
+    covered = (vis >= 0).mean()
+    assert covered > 0.2   # plenty of geometry on screen
