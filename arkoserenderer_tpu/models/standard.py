@@ -197,6 +197,7 @@ class Renderer:
             self.cfg.scene.has_skin or self.cfg.scene.has_morphs
         ):
             pipeline_kw["rt_refit"] = True  # animated geometry: refit per frame
+        self._pipeline_kw = dict(pipeline_kw)   # for hot-reload rebuilds
         self.pipeline = make_forward_pipeline(self.cfg, **pipeline_kw)
         self.scene_arrays = scene.build(with_bvh=use_rt)
         self.state = self.pipeline.initial_state()
@@ -261,14 +262,35 @@ class Renderer:
             except Exception:
                 if attempt == retries:
                     raise
-                # Snapshot persistent state host-side, rebuild the compiled
-                # pipeline, and restore (recreate + reconstruct).
-                host = {k: np.array(v) for k, v in self.state.items()
-                        if k in self.pipeline.registry.persistent_names}
-                self.pipeline.construct_all()
-                fresh = self.pipeline.initial_state()
-                fresh.update({k: jnp.asarray(v) for k, v in host.items()})
-                self.state = fresh
+                self.reconstruct()
+
+    def reconstruct(self, rebuild_passes: bool = False):
+        """Rebuild the compiled pipeline and retrace, preserving persistent
+        state (the ``reconstructRenderPipelineResources`` analogue,
+        VulkanBackend.cpp:2327-2347: new Registry + constructAll, reusing
+        matching resources from the previous one). Used by the frame-retry
+        recovery loop and by HOT RELOAD (utils/hotreload: changed pass/op
+        modules are re-imported, then ``rebuild_passes=True`` re-instantiates
+        every pass from the RELOADED classes and re-jits the frame)."""
+        host = {k: np.array(v) for k, v in self.state.items()
+                if k in self.pipeline.registry.persistent_names}
+        if rebuild_passes:
+            # Fresh pass instances from the (possibly reloaded) modules.
+            import importlib
+
+            import arkoserenderer_tpu.models.standard as _std
+
+            _std = importlib.import_module(_std.__name__)
+            self.pipeline = _std.make_forward_pipeline(
+                self.cfg, **self._pipeline_kw
+            )
+        self.pipeline.construct_all()
+        fresh = self.pipeline.initial_state()
+        fresh.update({
+            k: jnp.asarray(v) for k, v in host.items()
+            if k in fresh and fresh[k].shape == v.shape
+        })
+        self.state = fresh
 
     def save_checkpoint(self, path: str):
         """Persist the resumable frame state (TAA history, DDGI atlases +

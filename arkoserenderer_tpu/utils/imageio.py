@@ -20,6 +20,20 @@ def save_png(path: str, img) -> None:
     Image.fromarray(a).save(path)
 
 
+def encode_png(img) -> bytes:
+    """Encode to PNG bytes in memory (live-viewer frame streaming)."""
+    import io
+
+    from PIL import Image
+
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = to_u8(a)
+    buf = io.BytesIO()
+    Image.fromarray(a).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def load_image_rgba(path: str) -> np.ndarray:
     """Load any PIL-supported image as (H, W, 4) uint8."""
     from PIL import Image

@@ -138,3 +138,68 @@ def test_geodata_region_crop():
     c = crop_region(h, (0.25, 0.25, 0.75, 0.75))
     assert c.shape == (64, 64)
     np.testing.assert_array_equal(c, h[32:96, 32:96])
+
+
+def test_live_viewer_http_roundtrip():
+    """Live viewer (the interactive System/Input/editor/timing-UI surface,
+    VulkanBackend's ImGui + GLFW slot): serve frames over HTTP, accept
+    input + pick events, and keep rendering."""
+    import json
+    import threading
+    import urllib.request
+
+    from arkoserenderer_tpu.apps import viewer
+
+    result = {}
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    def run2():
+        result["rc"] = viewer.main([
+            "--width", "96", "--height", "96", "--port", str(port),
+            "--frames", "60",
+        ])
+
+    th = threading.Thread(target=run2, daemon=True)
+    th.start()
+
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path, timeout=60):
+        return urllib.request.urlopen(base + path, timeout=timeout).read()
+
+    # Wait for the server + first frame.
+    import time as _t
+
+    png = b""
+    for _ in range(120):
+        try:
+            png = get("/frame.png")
+            if png:
+                break
+        except Exception:
+            pass
+        _t.sleep(0.5)
+    assert png[:4] == b"\x89PNG"
+
+    page = get("/")
+    assert b"viewer" in page
+    # Post a key event + a click; the loop must keep serving.
+    req = urllib.request.Request(
+        base + "/event", data=json.dumps({"type": "keydown", "key": "w"}).encode(),
+        method="POST")
+    urllib.request.urlopen(req, timeout=30).read()
+    req = urllib.request.Request(
+        base + "/event", data=json.dumps({"type": "click", "x": 48, "y": 60}).encode(),
+        method="POST")
+    urllib.request.urlopen(req, timeout=30).read()
+    _t.sleep(1.0)
+    stats = json.loads(get("/stats"))
+    assert stats["frame"] >= 1
+    assert stats["ms"] > 0
+    th.join(timeout=240)
+    assert result.get("rc") == 0

@@ -247,3 +247,89 @@ def test_dds_dx10_header():
     dds = ext.DDSImage.parse(data)
     assert dds.fourcc == "DXT1"
     np.testing.assert_array_equal(dds.mips[0][..., 1], 255)
+
+
+def test_module_watcher_reloads_changed_module(tmp_path):
+    """Hot-reload mechanics (ShaderManager.h:49-51 file watching +
+    Arkose.cpp:49-73 reconstruct-on-change): a watched module's source
+    changes on disk -> poll() reloads it -> new code is live."""
+    import os
+    import sys
+    import time
+
+    from arkoserenderer_tpu.utils.hotreload import ModuleWatcher
+
+    mod_file = tmp_path / "hot_mod_test.py"
+    mod_file.write_text("def value():\n    return 1\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import hot_mod_test  # noqa: F401
+
+        assert hot_mod_test.value() == 1
+        w = ModuleWatcher(roots=[str(tmp_path)], poll_interval=0.0)
+        assert w.poll() == []                      # nothing changed yet
+
+        time.sleep(0.01)
+        mod_file.write_text("def value():\n    return 2\n")
+        os.utime(mod_file, (time.time() + 2, time.time() + 2))
+        reloaded = w.poll()
+        assert "hot_mod_test" in reloaded
+        assert hot_mod_test.value() == 2           # new code is live
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("hot_mod_test", None)
+
+
+def test_module_watcher_survives_broken_module(tmp_path):
+    import os
+    import sys
+    import time
+
+    from arkoserenderer_tpu.utils.hotreload import ModuleWatcher
+
+    mod_file = tmp_path / "hot_mod_broken.py"
+    mod_file.write_text("def value():\n    return 1\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import hot_mod_broken
+
+        w = ModuleWatcher(roots=[str(tmp_path)], poll_interval=0.0)
+        mod_file.write_text("def value(:\n")       # syntax error
+        os.utime(mod_file, (time.time() + 2, time.time() + 2))
+        assert w.poll() == []                      # failed reload, no crash
+        assert hot_mod_broken.value() == 1         # old code still runs
+        # Fix it: reloads on the next poll.
+        mod_file.write_text("def value():\n    return 3\n")
+        os.utime(mod_file, (time.time() + 4, time.time() + 4))
+        assert "hot_mod_broken" in w.poll()
+        assert hot_mod_broken.value() == 3
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("hot_mod_broken", None)
+
+
+def test_renderer_reconstruct_preserves_history():
+    """reconstruct() (hot reload / recovery) keeps persistent temporal
+    state: TAA history survives the rebuild bit-exactly."""
+    import numpy as np
+
+    from arkoserenderer_tpu.assets.procedural import build_test_scene
+    from arkoserenderer_tpu.core.types import RasterConfig
+    from arkoserenderer_tpu.models.standard import Renderer
+    from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
+
+    scene, cam = build_test_scene(viewport=(96, 96))
+    cfg = PipelineConfig(
+        width=96, height=96,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256),
+        shadow_map_size=128,
+    )
+    r = Renderer(scene, cam, cfg)
+    for _ in range(3):
+        r.render_frame()
+    hist_before = np.array(np.asarray(r.state["TAAHistory"]))
+    r.reconstruct(rebuild_passes=True)
+    hist_after = np.array(np.asarray(r.state["TAAHistory"]))
+    np.testing.assert_array_equal(hist_before, hist_after)
+    img = np.array(r.render_frame())               # keeps rendering
+    assert np.isfinite(img).all()

@@ -46,11 +46,14 @@ def test_bc7_alpha_preserved():
     assert np.abs(out[..., 3].astype(int) - img[..., 3].astype(int)).mean() < 40
 
 
-def test_bc7_unsupported_mode_is_loud():
+def test_bc7_mode0_zero_block_decodes_black():
+    """A zero-filled mode-0 block (all endpoints 0) decodes to opaque black
+    — all modes are now fully decoded (round 1 flagged non-6 modes
+    magenta)."""
     blk = np.zeros((1, 16), np.uint8)
-    blk[0, 0] = 1  # mode 0
+    blk[0, 0] = 1  # mode 0 marker
     out = bc7.decompress_bc7(blk, 4, 4)
-    assert (out == np.array([255, 0, 255, 255], np.uint8)).all()
+    assert (out == np.array([0, 0, 0, 255], np.uint8)).all()
 
 
 def test_bc7_two_color_block_near_exact():
@@ -81,3 +84,34 @@ def test_bc7_dds_container_roundtrip():
     assert dds.fourcc == "BC7 "
     err = np.abs(dds.mips[0].astype(int) - img.astype(int))
     assert err.mean() < 60  # mode-6 noise bound (see roundtrip test above)
+
+
+def test_bc7_all_modes_match_independent_decoder():
+    """Fuzz the FULL 8-mode decoder block-for-block against Pillow's BCn
+    codec (an independent implementation of the BC7 spec): random bits with
+    a forced mode marker are valid blocks, so this covers every mode's
+    partitions, p-bits, rotations, and dual index sets."""
+    import numpy as np
+    import pytest
+
+    try:
+        from PIL import Image
+
+        Image.frombytes("RGBA", (4, 4), b"\x00" * 16, "bcn", (7, "RGBA"))
+    except Exception:
+        pytest.skip("Pillow BCn decoder unavailable")
+
+    from arkoserenderer_tpu.assets.bc7 import decompress_bc7
+
+    rng = np.random.default_rng(7)
+    for mode in range(8):
+        n = 256
+        raw = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+        b0 = raw[:, 0].astype(np.int64)
+        b0 = ((b0 >> (mode + 1)) << (mode + 1)) | (1 << mode)
+        raw[:, 0] = b0.astype(np.uint8)
+        ours = decompress_bc7(raw, 4, 4 * n)
+        ref = np.asarray(
+            Image.frombytes("RGBA", (4 * n, 4), raw.tobytes(), "bcn", (7, "RGBA"))
+        )
+        np.testing.assert_array_equal(ours, ref, err_msg=f"mode {mode}")

@@ -141,3 +141,26 @@ def test_dynamic_transforms_stream_into_renderer():
     moved = float(np.asarray(r.scene_arrays.world[1][1, 3])
                   - np.asarray(arrays_before.world[1][1, 3]))
     assert abs(moved - 1.2) < 1e-5
+
+
+def test_physics_triangle_mesh_collision():
+    """Triangle-mesh collider (PhysicsBackend.h:14-47 mesh shape): a sphere
+    dropped onto a ramp mesh comes to rest ON the surface and slides
+    downhill under gravity."""
+    import numpy as np
+
+    from arkoserenderer_tpu.physics.backend import BodyDesc, BuiltinPhysicsBackend
+
+    b = BuiltinPhysicsBackend()
+    verts = np.array([[-2, 0, -2], [2, 1, -2], [2, 1, 2], [-2, 0, 2]], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]])
+    b.add_static_mesh(verts, tris)
+    body = b.add_body(BodyDesc("sphere", np.array([0.2] * 3, np.float32)),
+                      (0.5, 3.0, 0.0))
+    for _ in range(240):
+        b.step(1 / 60.0)
+    p = b.pos[body]
+    surface_y = (p[0] + 2) / 4            # the ramp plane: y = (x + 2) / 4
+    assert 0.1 < p[1] - surface_y < 0.35  # resting at ~radius above surface
+    assert p[0] < 0.5                     # slid downhill
+    assert abs(p[2]) < 0.1                # no sideways drift
