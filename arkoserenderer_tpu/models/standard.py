@@ -70,7 +70,10 @@ def make_forward_pipeline(
 
         repl = {}
         if cfg.texture_quality == "auto":
-            repl["texture_quality"] = "stochastic" if taa else "trilinear"
+            # Single-tap stochastic filtering under TAA (expectation equals
+            # trilinear; measured -31 ms at 1080p vs the 4-tap variant,
+            # METRICS.md round 2); full trilinear without TAA.
+            repl["texture_quality"] = "stochastic1" if taa else "trilinear"
         if cfg.shadow_filter == "auto":
             repl["shadow_filter"] = "stochastic" if taa else "bilinear"
         cfg = dataclasses.replace(cfg, **repl)
@@ -175,7 +178,10 @@ class Renderer:
 
         self.scene = scene
         self.camera = camera
-        self.cfg = dataclasses.replace(cfg, scene=scene.static_info())
+        static = scene.static_info()
+        if dynamic_transforms:
+            static = dataclasses.replace(static, dynamic=True)
+        self.cfg = dataclasses.replace(cfg, scene=static)
         self.debug = None
         if debug_draw:
             from arkoserenderer_tpu.rendering.passes.debugdraw import DebugLineBuffer

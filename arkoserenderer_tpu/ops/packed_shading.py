@@ -20,15 +20,15 @@ Per-pixel random-access budget of a full PBR frame: 1 record gather +
 ~30-60 scalar gathers in the reference-style path. Everything else is
 fused VPU/MXU arithmetic, which this chip executes at speed of light.
 
-Record layout (REC_SIZE = 96 f32 lanes per raster setup row):
+Record layout (rec_size f32 lanes per raster setup row, PERMUTED per scene
+— see RecLayout; full = 88 lanes, static-no-normal-map = 64):
   [0:6)   screen xy of the 3 corners        (raster setup, sub-triangle)
   [6:9)   1/w_clip per corner
-  [9:57)  3 corners x 16 lanes: wpos(3) prev_wpos(3) wnrm(3) wtan(3)
-          tanw(1) uv(2) pad(1)  — already corner_bary-folded, i.e. these are
-          the SUB-triangle corners, so per-pixel sub-barycentrics apply
+  then    3 corners x c_stride lanes: wpos(3) [prev_wpos(3)] wnrm(3)
+          [wtan(3) tanw(1)] uv(2) — already corner_bary-folded, i.e. these
+          are the SUB-triangle corners, so per-pixel sub-barycentrics apply
           directly (near clipping is invisible here, like ops/interpolate)
-  [57:89) material record (MREC, 32 lanes)
-  [89:96) pad
+  then    material record (MREC, 32 lanes), then pad to a multiple of 8
 
 Material record (built once per scene in Scene.build):
   [0:4) base_color_factor  [4:7) emissive_factor  [7] metallic  [8] roughness
@@ -39,6 +39,8 @@ Material record (built once per scene in Scene.build):
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,13 +53,68 @@ from arkoserenderer_tpu.ops.raster import TriSetup
 from arkoserenderer_tpu.ops.shading import GBuffer
 from arkoserenderer_tpu.ops.shadow import sample_shadow_pcf, sample_vsm
 
-REC_SIZE = 96
-C_STRIDE = 16
 MREC_SIZE = 32
-MREC_BASE = 57  # record lane where the material record starts
 
-# Corner sub-lane offsets
-C_WPOS, C_PREV, C_WNRM, C_WTAN, C_TANW, C_UV = 0, 3, 6, 9, 12, 13
+# Material record lane constants live below; geometry lanes are described
+# by RecLayout (permutation-dependent).
+
+
+class RecLayout(NamedTuple):
+    """Compile-time record layout permutation (the DrawKey analogue for the
+    shading record): static scenes drop the prev-position lanes (velocity
+    reprojects the CURRENT world position through last frame's camera —
+    identical result when geometry doesn't move), and scenes without normal
+    maps drop the tangent lanes. The per-pixel record gather is the
+    dominant shading cost in-frame and scales with row bytes (METRICS.md
+    round 2), so fewer lanes = faster shading, chosen per scene at
+    construct time like the reference's shader permutations."""
+
+    has_prev: bool
+    has_tan: bool
+    c_stride: int
+    rec_size: int
+    # corner-relative lane offsets (prev/tan = -1 when absent)
+    o_prev: int
+    o_nrm: int
+    o_tan: int
+    o_uv: int
+
+
+def record_layout_for(scene_static) -> RecLayout:
+    """Layout from SceneStatic flags (single source for all passes)."""
+    any_tex = (
+        scene_static.uses_base_tex or scene_static.uses_normal_tex
+        or scene_static.uses_mr_tex or scene_static.uses_emissive_tex
+        or scene_static.uses_occlusion_tex
+    )
+    return record_layout(scene_static, any_tex)
+
+
+def record_layout(scene_static=None, any_tex: bool = True) -> RecLayout:
+    """Layout for a scene: full 96-lane when everything is on."""
+    has_prev = True
+    has_tan = True
+    if scene_static is not None:
+        has_prev = bool(
+            getattr(scene_static, "dynamic", True)
+            or scene_static.has_skin or scene_static.has_morphs
+            or scene_static.has_hair
+        )
+        has_tan = bool(any_tex and scene_static.uses_normal_tex)
+    o = 3                                   # wpos
+    o_prev = o if has_prev else -1
+    o += 3 if has_prev else 0
+    o_nrm = o
+    o += 3
+    o_tan = o if has_tan else -1
+    o += 4 if has_tan else 0
+    o_uv = o
+    o += 2
+    c_stride = o
+    base = 9 + 3 * c_stride + MREC_SIZE     # screen(6) + inv_w(3) + corners + mrec
+    rec_size = (base + 7) // 8 * 8
+    return RecLayout(has_prev, has_tan, c_stride, rec_size,
+                     o_prev, o_nrm, o_tan, o_uv)
 
 # Material record lanes
 M_BASEF, M_EMIF, M_METAL, M_ROUGH = 0, 4, 7, 8
@@ -65,64 +122,77 @@ M_DSIDED, M_CC, M_CCR, M_SSS, M_CUTOFF, M_BLEND = 9, 10, 11, 12, 13, 14
 M_TEXMETA = 15  # + mattex.META_LANES = 32
 
 
-def build_vertex_world(scene, positions, normals, tangents) -> jax.Array:
-    """Per-vertex packed WORLD-space pool (V, 16):
-    [wpos3, prev_wpos3, wnrm3, wtan3, tanw, uv2, pad].
+def build_vertex_world(scene, positions, normals, tangents,
+                       layout: RecLayout | None = None) -> jax.Array:
+    """Per-vertex packed WORLD-space pool (V, c_stride):
+    [wpos3, (prev_wpos3), wnrm3, (wtan3, tanw), uv2] per ``layout``
+    (full 16-lane layout + pad when None).
 
     One instance-matrix row gather per vertex (the per-instance matrices are
     packed into a single (D, 33) table first — elementwise), then pure
     einsum. This replaces the reference-style per-PIXEL matrix gathers."""
+    if layout is None:
+        layout = record_layout()
     d = scene.world.shape[0]
-    m_pack = jnp.concatenate(
-        [
-            scene.world[:, :3, :].reshape(d, 12),
-            scene.prev_world[:, :3, :].reshape(d, 12),
-            scene.normal_mat.reshape(d, 9),
-        ],
-        axis=-1,
-    )  # (D, 33)
-    m = m_pack[scene.vertex_instance]  # (V, 33) — ONE row gather at V lanes
+    parts_m = [scene.world[:, :3, :].reshape(d, 12)]
+    if layout.has_prev:
+        parts_m.append(scene.prev_world[:, :3, :].reshape(d, 12))
+    parts_m.append(scene.normal_mat.reshape(d, 9))
+    m_pack = jnp.concatenate(parts_m, axis=-1)
+    m = m_pack[scene.vertex_instance]  # (V, ...) — ONE row gather at V lanes
     w_rot = m[:, 0:12].reshape(-1, 3, 4)
-    p_rot = m[:, 12:24].reshape(-1, 3, 4)
-    n_rot = m[:, 24:33].reshape(-1, 3, 3)
+    off = 12
+    if layout.has_prev:
+        p_rot = m[:, off:off + 12].reshape(-1, 3, 4)
+        off += 12
+    n_rot = m[:, off:off + 9].reshape(-1, 3, 3)
     wpos = jnp.einsum("vij,vj->vi", w_rot[:, :, :3], positions) + w_rot[:, :, 3]
-    ppos = jnp.einsum("vij,vj->vi", p_rot[:, :, :3], positions) + p_rot[:, :, 3]
     wnrm = mx.normalize(jnp.einsum("vij,vj->vi", n_rot, normals))
-    wtan = mx.normalize(jnp.einsum("vij,vj->vi", w_rot[:, :, :3], tangents[:, :3]))
-    return jnp.concatenate(
-        [
-            wpos, ppos, wnrm, wtan, tangents[:, 3:4], scene.uvs,
-            jnp.zeros((wpos.shape[0], 1), jnp.float32),
-        ],
-        axis=-1,
-    )  # (V, 16)
+    parts = [wpos]
+    if layout.has_prev:
+        ppos = jnp.einsum("vij,vj->vi", p_rot[:, :, :3], positions) + p_rot[:, :, 3]
+        parts.append(ppos)
+    parts.append(wnrm)
+    if layout.has_tan:
+        wtan = mx.normalize(
+            jnp.einsum("vij,vj->vi", w_rot[:, :, :3], tangents[:, :3])
+        )
+        parts.append(wtan)
+        parts.append(tangents[:, 3:4])
+    parts.append(scene.uvs)
+    return jnp.concatenate(parts, axis=-1)   # (V, layout.c_stride)
 
 
 def build_records(
     setup: TriSetup,
-    vtx_world: jax.Array,    # (V, 16)
+    vtx_world: jax.Array,    # (V, c_stride)
     indices: jax.Array,      # (Tmax, 3)
     tri_material: jax.Array, # (Tmax,) i32
     mat_records: jax.Array,  # (M, 32)
+    layout: RecLayout | None = None,
 ) -> jax.Array:
-    """(T', REC_SIZE) shading records, one per raster setup row.
+    """(T', layout.rec_size) shading records, one per raster setup row.
 
     Gather chain (at triangle lanes — 30x cheaper than pixel lanes):
     indices[orig] -> vtx_world[corners]; tri_material[orig] ->
     mat_records[mat]. corner_bary is folded in here so the record's corners
     ARE the clipped sub-triangle's corners."""
+    if layout is None:
+        layout = record_layout()
+    cs = vtx_world.shape[-1]
     t = setup.orig_tri.shape[0]
     corners = indices[setup.orig_tri]            # (T', 3)
-    vtx = vtx_world[corners]                     # (T', 3, 16)
+    vtx = vtx_world[corners]                     # (T', 3, cs)
     sub = jnp.einsum("tkj,tjc->tkc", setup.corner_bary, vtx)  # fold clipping
     mrec = mat_records[tri_material[setup.orig_tri]]          # (T', 32)
+    base = 9 + 3 * cs + MREC_SIZE
     rec = jnp.concatenate(
         [
             setup.screen_xy.reshape(t, 6),
             setup.inv_w,
-            sub.reshape(t, 48),
+            sub.reshape(t, 3 * cs),
             mrec,
-            jnp.zeros((t, REC_SIZE - 89), jnp.float32),
+            jnp.zeros((t, layout.rec_size - base), jnp.float32),
         ],
         axis=-1,
     )
@@ -134,7 +204,7 @@ def shade_packed(
     cam,
     vis_flat: jax.Array,     # (N,) setup-row ids (VIS_NONE background)
     depth_flat: jax.Array,   # (N,)
-    records: jax.Array,      # (T', REC_SIZE)
+    records: jax.Array,      # (T', layout.rec_size)
     px: jax.Array,
     py: jax.Array,
     width: int,
@@ -151,17 +221,21 @@ def shade_packed(
     shadow_filter: str = "bilinear",       # | "stochastic" (1 tap + TAA)
     frame_index: jax.Array | None = None,  # for stochastic filtering noise
     mip_bias: float = 0.0,                 # DLSS-style bias when upscaling
+    layout: RecLayout | None = None,
 ) -> GBuffer:
+    if layout is None:
+        layout = record_layout()
+    cs = layout.c_stride
     valid = vis_flat >= 0
     row = jnp.maximum(vis_flat, 0)
-    rec = records[row]                 # (N, 96) — THE per-pixel gather
+    rec = records[row]         # (N, rec_size) — THE per-pixel gather
     n = px.shape[0]
     exposure = cam.exposure
 
     sxy = rec[:, 0:6].reshape(n, 3, 2)
     inv_w = rec[:, 6:9]
-    c = rec[:, 9:57].reshape(n, 3, 16)
-    mrec = rec[:, MREC_BASE : MREC_BASE + MREC_SIZE]
+    c = rec[:, 9 : 9 + 3 * cs].reshape(n, 3, cs)
+    mrec = rec[:, 9 + 3 * cs : 9 + 3 * cs + MREC_SIZE]
 
     bary = _persp_bary(sxy, inv_w, px, py)
     bary_dx = _persp_bary(sxy, inv_w, px + 1.0, py)
@@ -171,14 +245,21 @@ def shade_packed(
     attr_dx = jnp.einsum("nk,nkc->nc", bary_dx, c)
     attr_dy = jnp.einsum("nk,nkc->nc", bary_dy, c)
 
-    world_pos = attr[:, C_WPOS : C_WPOS + 3]
-    prev_world_pos = attr[:, C_PREV : C_PREV + 3]
-    world_nrm = mx.normalize(attr[:, C_WNRM : C_WNRM + 3])
-    world_tan = mx.normalize(attr[:, C_WTAN : C_WTAN + 3])
-    tanw = attr[:, C_TANW : C_TANW + 1]
-    uv = attr[:, C_UV : C_UV + 2]
-    duv_dx = attr_dx[:, C_UV : C_UV + 2] - uv
-    duv_dy = attr_dy[:, C_UV : C_UV + 2] - uv
+    world_pos = attr[:, 0:3]
+    prev_world_pos = (
+        attr[:, layout.o_prev : layout.o_prev + 3]
+        if layout.has_prev else world_pos   # static scene: nothing moved
+    )
+    world_nrm = mx.normalize(attr[:, layout.o_nrm : layout.o_nrm + 3])
+    if layout.has_tan:
+        world_tan = mx.normalize(attr[:, layout.o_tan : layout.o_tan + 3])
+        tanw = attr[:, layout.o_tan + 3 : layout.o_tan + 4]
+    else:
+        world_tan = world_nrm   # unused (no normal mapping without tangents)
+        tanw = jnp.ones((n, 1))
+    uv = attr[:, layout.o_uv : layout.o_uv + 2]
+    duv_dx = attr_dx[:, layout.o_uv : layout.o_uv + 2] - uv
+    duv_dy = attr_dy[:, layout.o_uv : layout.o_uv + 2] - uv
 
     base_factor = mrec[:, M_BASEF : M_BASEF + 4]
     emissive_factor = mrec[:, M_EMIF : M_EMIF + 3]
@@ -225,11 +306,15 @@ def shade_packed(
         metallic = jnp.clip(ms.rough_metal[:, 1:2] * metallic_f, 0.0, 1.0)
         emissive = ms.emissive * emissive_factor
         occlusion = ms.occlusion[:, None]
-        n_ts = ms.normal_ts
-        bitan = jnp.cross(world_nrm, world_tan) * tanw
-        shading_nrm = mx.normalize(
-            n_ts[:, 0:1] * world_tan + n_ts[:, 1:2] * bitan + n_ts[:, 2:3] * world_nrm
-        )
+        if layout.has_tan:
+            n_ts = ms.normal_ts
+            bitan = jnp.cross(world_nrm, world_tan) * tanw
+            shading_nrm = mx.normalize(
+                n_ts[:, 0:1] * world_tan + n_ts[:, 1:2] * bitan
+                + n_ts[:, 2:3] * world_nrm
+            )
+        else:
+            shading_nrm = world_nrm
     else:
         base_color = base_factor[:, :3]
         roughness = jnp.clip(roughness_f, 0.0, 1.0)

@@ -150,11 +150,15 @@ class GeometryPass(RenderPass):
                 "vis.overflow": bins.overflow,
             }
             if packed:
-                from arkoserenderer_tpu.ops.packed_shading import build_records
+                from arkoserenderer_tpu.ops.packed_shading import (
+                    build_records,
+                    record_layout_for,
+                )
 
                 out["vis.records"] = build_records(
                     setup, state["geom.vtx_world"], ctx.scene.indices,
                     ctx.scene.tri_material, ctx.scene.mat_records,
+                    layout=record_layout_for(cfg.scene),
                 )
             return out
 

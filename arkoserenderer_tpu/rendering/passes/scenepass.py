@@ -32,6 +32,9 @@ class ScenePass(RenderPass):
         if packed:
             # World-space packed vertex pool for the record-based shading
             # path (ops/packed_shading.build_vertex_world).
+            from arkoserenderer_tpu.ops.packed_shading import record_layout_for
+
+            layout = record_layout_for(cfg.scene)
             reg.publish("geom.vtx_world")
         has_skin = cfg.scene.has_skin
         has_hair = cfg.scene.has_hair
@@ -79,7 +82,9 @@ class ScenePass(RenderPass):
             if packed:
                 from arkoserenderer_tpu.ops.packed_shading import build_vertex_world
 
-                out["geom.vtx_world"] = build_vertex_world(ctx.scene, p, n, t)
+                out["geom.vtx_world"] = build_vertex_world(
+                    ctx.scene, p, n, t, layout=layout
+                )
             return out
 
         return execute

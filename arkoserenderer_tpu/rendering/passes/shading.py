@@ -71,7 +71,10 @@ class VisibilityShadingPass(RenderPass):
             depth_flat = state["SceneDepth"].reshape(-1)
             py_global = py + ctx.row_offset.astype(py.dtype)
             if packed:
-                from arkoserenderer_tpu.ops.packed_shading import shade_packed
+                from arkoserenderer_tpu.ops.packed_shading import (
+                    record_layout_for,
+                    shade_packed,
+                )
 
                 gb = shade_packed(
                     ctx.scene, ctx.camera, vis_flat, depth_flat,
@@ -100,6 +103,7 @@ class VisibilityShadingPass(RenderPass):
                     ),
                     frame_index=ctx.frame_index,
                     mip_bias=cfg.mip_bias,
+                    layout=record_layout_for(cfg.scene),
                 )
                 return {
                     "SceneColor": gb.color.reshape(h, w, 3),

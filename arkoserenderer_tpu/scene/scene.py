@@ -70,6 +70,9 @@ class SceneStatic:
     # Morph targets (one morphed block per scene for now)
     has_morphs: bool = False
     morph_vertex_base: int = 0
+    # Host moves instance transforms per frame (physics/editor/animation):
+    # the shading record keeps prev-position lanes for exact velocity.
+    dynamic: bool = False
 
 
 @dataclasses.dataclass

@@ -5,67 +5,139 @@ Baseline = the reference's implied 16.667 ms/frame (60 FPS) budget at 1080p
 (arkose/rendering/RenderPipeline.cpp:82 per BASELINE.md); ``vs_baseline`` is
 budget / measured, so > 1.0 means faster than the reference's budget.
 
+Extra modes (BASELINE.md configs 2-5; each prints its own JSON line):
+  --config full_post   TAA + bloom + SSAO + fog + motion blur + DoF @1080p
+  --config stress      4,096 animated instances (ShowcaseApp stress scene)
+  --config rt          RT sun shadows + RT reflections + denoiser @1080p
+  --config ddgi        DDGI probe GI + SSSS @1080p
+  --all                run every config
+  --timings            also print the per-pass ms table (RenderPipeline's
+                       per-node GPU timing display)
+
 Runs on whatever JAX platform the environment provides (the real TPU chip
 under the driver; XLA:CPU elsewhere — pass --small for CI-sized frames).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 import time
 
 BUDGET_MS = 16.667
 
 
-def main() -> None:
-    small = "--small" in sys.argv
-
-    import jax
-
-    from arkoserenderer_tpu.assets.procedural import build_test_scene
+def _cfg(small: bool, shadow: int = 2048):
     from arkoserenderer_tpu.core.types import RasterConfig
-    from arkoserenderer_tpu.models.standard import Renderer
     from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
 
     if small:
-        cfg = PipelineConfig(
+        return PipelineConfig(
             width=256, height=256,
-            raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256, bin_chunk=512),
+            raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256,
+                                bin_chunk=512),
             shadow_map_size=256,
         )
-    else:
-        cfg = PipelineConfig(
-            width=1920, height=1080,
-            raster=RasterConfig(tile_h=8, tile_w=128, max_tris_per_tile=256, bin_chunk=2048),
-            shadow_map_size=2048,
+    return PipelineConfig(
+        width=1920, height=1080,
+        raster=RasterConfig(tile_h=8, tile_w=128, max_tris_per_tile=256,
+                            bin_chunk=2048),
+        shadow_map_size=shadow,
+    )
+
+
+CONFIGS = {
+    # name -> (scene kind, pipeline kwargs, metric description)
+    "forward": ("test", {}, "forward(visbuf raster+shadow+PBR+TAA+bloom+tonemap)"),
+    "full_post": (
+        "test",
+        dict(ssao=True, fog=True, motion_blur=True, depth_of_field=True),
+        "full post (TAA+bloom+SSAO+fog+MB+DoF)",
+    ),
+    "stress": ("stress", {}, "4096 animated instances (culling stress)"),
+    "rt": (
+        "test",
+        dict(rt_shadows=True, rt_reflections=True),
+        "RT shadows + RT reflections + FFX-style denoise",
+    ),
+    "ddgi": (
+        "test",
+        dict(ddgi=True, ssss=True),
+        "DDGI probe GI + SSSS",
+    ),
+}
+
+
+def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
+    import jax
+
+    from arkoserenderer_tpu.models.standard import Renderer
+
+    kind, kw, desc = CONFIGS[name]
+    cfg = _cfg(small)
+    if kind == "stress":
+        from arkoserenderer_tpu.assets.procedural import (
+            animate_stress_scene,
+            build_stress_scene,
         )
 
-    scene, camera = build_test_scene(viewport=(cfg.width, cfg.height))
-    renderer = Renderer(scene, camera, cfg)
+        n_inst = 256 if small else 4096
+        scene, camera = build_stress_scene(
+            n_instances=n_inst, viewport=(cfg.width, cfg.height)
+        )
+        renderer = Renderer(scene, camera, cfg, dynamic_transforms=True, **kw)
 
-    # Warmup (compile) then steady state.
-    for _ in range(2):
-        jax.block_until_ready(renderer.render_frame())
-    iters = 5
+        def frame(i):
+            animate_stress_scene(scene, i / 60.0)
+            return renderer.render_frame()
+    else:
+        from arkoserenderer_tpu.assets.procedural import build_test_scene
+
+        scene, camera = build_test_scene(viewport=(cfg.width, cfg.height))
+        renderer = Renderer(scene, camera, cfg, **kw)
+
+        def frame(i):
+            return renderer.render_frame()
+
+    for i in range(2):
+        jax.block_until_ready(frame(i))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = renderer.render_frame()
+    for i in range(iters):
+        out = frame(2 + i)
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
 
     res = f"{cfg.width}x{cfg.height}"
-    print(
-        json.dumps(
-            {
-                "metric": f"ms/frame {res} forward(visbuf raster+shadow+PBR+TAA+bloom+tonemap), "
-                          f"procedural scene, single chip",
-                "value": round(ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(BUDGET_MS / ms, 4),
-            }
+    line = {
+        "metric": f"ms/frame {res} {desc}, procedural scene, single chip",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BUDGET_MS / ms, 4),
+    }
+    print(json.dumps(line), flush=True)
+    if timings:
+        from arkoserenderer_tpu.utils.timing import format_timings, time_passes
+
+        t = time_passes(
+            renderer.pipeline, renderer.state, renderer.scene_arrays,
+            camera.state(renderer.frame_index), iters=3,
         )
-    )
+        print(format_timings(t), flush=True)
+    return line
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--config", choices=list(CONFIGS), default="forward")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--timings", action="store_true")
+    args = ap.parse_args()
+
+    names = list(CONFIGS) if args.all else [args.config]
+    for name in names:
+        run_config(name, args.small, args.iters, args.timings)
 
 
 if __name__ == "__main__":

@@ -333,3 +333,59 @@ def test_renderer_reconstruct_preserves_history():
     np.testing.assert_array_equal(hist_before, hist_after)
     img = np.array(r.render_frame())               # keeps rendering
     assert np.isfinite(img).all()
+
+
+def test_asset_cooker_dependency_tracking(tmp_path):
+    """AssetCooker analogue (tools/bin/rules.toml:1-60 semantics): rules
+    expand input globs to bake tools; outputs rebuild ONLY when an input's
+    content changes (hash-tracked in a cook database)."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    try:
+        import cooker as cook_mod
+    finally:
+        sys.path.pop(0)
+
+    from arkoserenderer_tpu.utils.imageio import save_png
+
+    (tmp_path / "src").mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a", "b"):
+        save_png(str(tmp_path / "src" / f"{name}.png"),
+                 rng.integers(0, 255, (16, 16, 3), np.uint8))
+    (tmp_path / "rules.toml").write_text(
+        '[[rule]]\n'
+        'name = "mips"\n'
+        'tool = "image"\n'
+        'input = "src/*.png"\n'
+        'output = "baked/{stem}.mips.npz"\n'
+        '\n'
+        '[[rule]]\n'
+        'name = "bc7"\n'
+        'tool = "bc7"\n'
+        'input = "src/*.png"\n'
+        'output = "baked/{stem}.dds"\n'
+    )
+
+    c = cook_mod.Cooker(tmp_path / "rules.toml")
+    res = c.cook()
+    assert len(res["built"]) == 4 and not res["skipped"]
+    assert (tmp_path / "baked" / "a.mips.npz").exists()
+    assert (tmp_path / "baked" / "a.dds").read_bytes()[:4] == b"DDS "
+
+    # Second run: everything up to date.
+    c2 = cook_mod.Cooker(tmp_path / "rules.toml")
+    res2 = c2.cook()
+    assert not res2["built"] and len(res2["skipped"]) == 4
+
+    # Change ONE input -> exactly its two outputs rebuild.
+    save_png(str(tmp_path / "src" / "a.png"),
+             rng.integers(0, 255, (16, 16, 3), np.uint8))
+    c3 = cook_mod.Cooker(tmp_path / "rules.toml")
+    res3 = c3.cook()
+    assert sorted(Path(b).name for b in res3["built"]) == ["a.dds", "a.mips.npz"]
+    assert len(res3["skipped"]) == 2
