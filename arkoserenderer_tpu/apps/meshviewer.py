@@ -1,12 +1,21 @@
-"""Mesh viewer: asset inspection + turntable rendering.
+"""Mesh viewer: asset inspection, editing, and turntable / debug rendering.
 
 Role-equivalent to MeshViewerApp (arkose/application/apps/MeshViewerApp.cpp
-— asset inspection/editing with LOD/segment UI): prints the asset's
-structure (segments, materials, skeletons, animations, meshlet statistics)
-and renders a turntable strip around it.
+— the 893-LoC asset inspector/editor with LOD/segment UI): prints the
+asset's structure (segments, materials, skeletons, animations, meshlet
+statistics), inspects individual segments (bounds, UV coverage, meshlet
+histogram), renders turntable strips in the lit pipeline OR any G-buffer
+debug channel (normals / ids / depth / roughness...), supports simple
+MATERIAL EDITS saved back to the baked format (the editing half of the
+reference app), and can serve an interactive orbit view over HTTP.
 
 Usage:
   python -m arkoserenderer_tpu.apps.meshviewer model.gltf --frames 8
+  python -m arkoserenderer_tpu.apps.meshviewer a.npz --inspect-segment 0
+  python -m arkoserenderer_tpu.apps.meshviewer a.npz --view normal
+  python -m arkoserenderer_tpu.apps.meshviewer a.npz \
+      --set-material 1 roughness_factor=0.2 metallic_factor=1 --save b.npz
+  python -m arkoserenderer_tpu.apps.meshviewer a.npz --interactive --port 8667
 """
 
 from __future__ import annotations
@@ -49,6 +58,59 @@ def describe(scene) -> str:
     return "\n".join(lines)
 
 
+def inspect_segment(scene, idx: int) -> str:
+    """Per-segment drill-down (the reference's segment UI panel)."""
+    from arkoserenderer_tpu.assets.meshopt import build_meshlets
+
+    seg = scene.segments[idx]
+    lines = [f"segment [{idx}]"]
+    lo = seg.positions.min(0)
+    hi = seg.positions.max(0)
+    lines.append(f"  bounds min {np.round(lo, 3).tolist()}")
+    lines.append(f"  bounds max {np.round(hi, 3).tolist()}")
+    lines.append(f"  verts {len(seg.positions)}  tris {seg.num_triangles}"
+                 f"  material {seg.material}  skeleton {seg.skeleton}")
+    uv = seg.uvs
+    lines.append(f"  uv range [{uv.min():.3f}, {uv.max():.3f}]"
+                 f"  tangents {'yes' if seg.tangents is not None else 'no'}"
+                 f"  morphs {0 if seg.morph_pos is None else len(seg.morph_pos)}")
+    ml = build_meshlets(seg.positions, seg.indices)
+    if ml.count:
+        counts = np.asarray(ml.tri_count[: ml.count])
+        lines.append(f"  meshlets {ml.count} (tris/meshlet min {counts.min()}"
+                     f" avg {counts.mean():.1f} max {counts.max()})")
+    # Which instances reference this segment (LOD band view).
+    users = [
+        (i, band) for i, (sid, w, pw, clip, band) in enumerate(scene.instances)
+        if sid == idx
+    ]
+    for i, band in users:
+        far = "inf" if band[1] > 1e30 else f"{band[1]:.1f}"
+        lines.append(f"  instance {i}: lod band [{band[0]:.1f}, {far})")
+    return "\n".join(lines)
+
+
+def apply_material_edits(scene, edits: list) -> None:
+    """--set-material IDX key=value...: the editing half of MeshViewerApp."""
+    idx = int(edits[0])
+    m = scene.materials[idx]
+    for kv in edits[1:]:
+        key, _, val = kv.partition("=")
+        assert hasattr(m, key), f"material has no field {key!r}"
+        cur = getattr(m, key)
+        if isinstance(cur, np.ndarray):
+            vals = np.asarray([float(x) for x in val.split(",")], np.float32)
+            assert vals.shape == cur.shape, f"{key} needs {cur.shape}"
+            setattr(m, key, vals)
+        elif isinstance(cur, bool):
+            setattr(m, key, val.lower() in ("1", "true", "yes"))
+        elif isinstance(cur, int):
+            setattr(m, key, int(val))
+        else:
+            setattr(m, key, float(val))
+    print(f"edited material {idx}")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("asset", help="glTF/GLB or baked .arkscene.npz")
@@ -57,6 +119,17 @@ def main(argv=None) -> None:
     ap.add_argument("--out", type=str, default="/tmp/meshviewer_{frame}.png")
     ap.add_argument("--meshlets", action="store_true")
     ap.add_argument("--no-render", action="store_true")
+    ap.add_argument("--inspect-segment", type=int, default=None)
+    ap.add_argument("--view", type=str, default=None,
+                    help="debug channel render (normal/depth/instance/...)")
+    ap.add_argument("--set-material", nargs="+", default=None,
+                    metavar="IDX KEY=VAL",
+                    help="edit material fields (e.g. 1 roughness_factor=0.3)")
+    ap.add_argument("--save", type=str, default=None,
+                    help="write the (possibly edited) scene as baked .npz")
+    ap.add_argument("--interactive", action="store_true",
+                    help="serve an orbit view over HTTP (web viewer)")
+    ap.add_argument("--port", type=int, default=8667)
     args = ap.parse_args(argv)
 
     from arkoserenderer_tpu.assets.procedural import gradient_env_map
@@ -77,6 +150,15 @@ def main(argv=None) -> None:
         load_gltf(scene, args.asset, max_texture_size=256)
 
     print(describe(scene))
+    if args.inspect_segment is not None:
+        print(inspect_segment(scene, args.inspect_segment))
+    if args.set_material:
+        apply_material_edits(scene, args.set_material)
+    if args.save:
+        from arkoserenderer_tpu.assets.baked import save_baked
+
+        save_baked(scene, args.save)
+        print(f"saved {args.save}")
     if args.meshlets:
         from arkoserenderer_tpu.assets.meshopt import build_meshlets
 
@@ -108,6 +190,40 @@ def main(argv=None) -> None:
     )
     cam.look_at(center + np.array([radius * 2.0, radius * 0.7, 0.0]), center)
     r = Renderer(scene, cam, cfg, taa=False)
+    if args.view:
+        from arkoserenderer_tpu.rendering.passes.debugviz import DebugVisualizePass
+
+        r.pipeline.passes.append(DebugVisualizePass(args.view))
+        r.pipeline.construct_all()
+        r.state = r.pipeline.initial_state()
+    if args.interactive:
+        import time
+
+        from arkoserenderer_tpu.system.webviewer import WebSystem
+
+        sysb = WebSystem(port=args.port)
+        sysb.create_window(args.size, args.size, "meshviewer")
+        print(f"meshviewer: http://127.0.0.1:{sysb.port}/  (Ctrl-C to stop)")
+        t0 = time.perf_counter()
+        n = 0
+        try:
+            while sysb.new_frame():
+                angle = 0.4 * (time.perf_counter() - t0)
+                eye = center + radius * 2.0 * np.array(
+                    [np.cos(angle), 0.35, np.sin(angle)], np.float32
+                )
+                cam.look_at(eye, center)
+                ts = time.perf_counter()
+                sysb.present(np.asarray(r.render_frame()))
+                sysb.publish_stats(frame=n, ms=(time.perf_counter() - ts) * 1e3)
+                n += 1
+                if args.frames and n >= args.frames:
+                    break
+        except KeyboardInterrupt:
+            pass
+        finally:
+            sysb.stop()
+        return
     for f in range(args.frames):
         angle = 2 * np.pi * f / args.frames
         eye = center + radius * 2.0 * np.array(

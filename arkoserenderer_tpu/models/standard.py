@@ -164,6 +164,18 @@ class Renderer:
     analogue, minus windowing): owns the pipeline, persistent frame state,
     and camera prev-frame bookkeeping."""
 
+    @property
+    def scene_arrays(self):
+        return self._scene_arrays
+
+    @scene_arrays.setter
+    def scene_arrays(self, value):
+        # Any scene-data swap (streaming, transform updates, physics
+        # commits) bumps the version scalar that invalidates cached
+        # frame-spanning resources (the static sun shadow map).
+        self._scene_arrays = value
+        self._scene_version = getattr(self, "_scene_version", -1) + 1
+
     def __init__(
         self, scene: Scene, camera: Camera, cfg: PipelineConfig,
         debug_draw: bool = False, auto_exposure: bool = False,
@@ -231,6 +243,8 @@ class Renderer:
         # frame output for inspection/tests.
         persistent = self.pipeline.registry.persistent_names
         inputs = {k: self.state[k] for k in persistent if k in self.state}
+        if "scene.version" in persistent:
+            inputs["scene.version"] = jnp.asarray(self._scene_version, jnp.int32)
         if self.debug is not None:
             inputs["debug.lines"] = self.debug.arrays()
         cam_state = self.camera.state(self.frame_index)

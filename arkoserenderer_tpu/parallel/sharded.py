@@ -91,35 +91,59 @@ class ShardedRenderer:
             keep["LDR"] = out["LDR"]
             return keep
 
-        shard = P(AXIS)   # row-sharded screen tensors
-        repl = P()        # replicated everything else
+        # Per-resource partition specs: screen tensors (leading dim == the
+        # band height) are row-sharded; everything else that persists —
+        # scalars (scene/shadow version counters) and full-size shared maps
+        # (the cached sun shadow map is all_gather-ed, so every device holds
+        # an identical copy) — is replicated.
+        band_h = self.band_cfg.height
+
+        def spec_of(desc):
+            if len(desc.shape) >= 1 and desc.shape[0] == band_h:
+                return P(AXIS)
+            return P()
+
+        state_specs = {
+            name: spec_of(pipe.registry._resources[name])
+            for name in self.persistent
+        }
+        out_specs = dict(state_specs)
+        out_specs["LDR"] = P(AXIS)
+        repl = P()
         self._step = jax.jit(
             jax.shard_map(
                 step,
                 mesh=self.mesh,
-                in_specs=(shard, repl, repl, repl, repl),
-                out_specs=shard,
+                in_specs=(state_specs, repl, repl, repl, repl),
+                out_specs=out_specs,
                 check_vma=False,
             ),
             donate_argnums=(0,),
         )
 
-        # Band-sharded initial persistent state: full-frame clears sharded
-        # over rows via device_put.
-        full_reg_state = {}
+        # Initial persistent state: full-frame clears sharded over rows for
+        # screen tensors, replicated placement for the rest.
+        self.state = {}
         for name in self.persistent:
             desc = pipe.registry._resources[name]
-            full_shape = (cfg.height,) + tuple(desc.shape[1:])
-            full_reg_state[name] = np.full(full_shape, desc.clear, desc.dtype)
-        self.state = jax.device_put(
-            full_reg_state,
-            jax.sharding.NamedSharding(self.mesh, P(AXIS)),
-        )
+            if state_specs[name] == P(AXIS):
+                full_shape = (cfg.height,) + tuple(desc.shape[1:])
+            else:
+                full_shape = tuple(desc.shape)
+            host = np.full(full_shape, desc.clear, desc.dtype)
+            self.state[name] = jax.device_put(
+                host, jax.sharding.NamedSharding(self.mesh, state_specs[name])
+            )
         self.frame_index = 0
         self._ldr = None
 
     def render_frame(self):
         cam_state = self.camera.state(self.frame_index)
+        if "scene.version" in self.persistent:
+            self.state["scene.version"] = jax.device_put(
+                jnp.asarray(getattr(self, "_scene_version", 0), jnp.int32),
+                jax.sharding.NamedSharding(self.mesh, P()),
+            )
         out = self._step(
             self.state,
             self.scene_arrays,

@@ -35,8 +35,30 @@ class SunShadowPass(RenderPass):
             reg.get("geom.vtx_world")
             # Prefiltered VSM moments for the single-tap shadow sample
             # (ops/shadow.shadow_moments; reduce_window prefilter is ~free).
-            reg.create("ShadowMoments.sun", (s, s, 2), jnp.float32)
-        reg.create("ShadowMap.sun", (s, s), jnp.float32, clear=mx.DEPTH_FAR)
+            reg.create(
+                "ShadowMoments.sun", (s // 2, s // 2, 2), jnp.float32,
+                persistent=not (
+                    getattr(cfg.scene, "dynamic", False)
+                    or cfg.scene.has_skin or cfg.scene.has_morphs
+                    or cfg.scene.has_hair
+                ),
+            )
+        # Cached shadow maps: when nothing that casts shadows can move
+        # (no skinning / morphs / hair / host-driven transforms), the sun
+        # map is identical every frame — render it once and reuse until the
+        # host bumps the scene version (streaming, edits, physics). The
+        # classic static-shadow-cache optimization; the reference re-draws
+        # per frame because its scenes are assumed dynamic.
+        persist = not (
+            getattr(cfg.scene, "dynamic", False)
+            or cfg.scene.has_skin or cfg.scene.has_morphs or cfg.scene.has_hair
+        )
+        reg.create("ShadowMap.sun", (s, s), jnp.float32, clear=mx.DEPTH_FAR,
+                   persistent=persist)
+        if persist:
+            reg.create("scene.version", (), jnp.int32, clear=-1, persistent=True)
+            reg.create("SunShadow.version", (), jnp.int32, clear=-2,
+                       persistent=True)
         rcfg = cfg.raster
         shard_axis = cfg.shard_axis
         n_shards = cfg.shard_count
@@ -45,56 +67,86 @@ class SunShadowPass(RenderPass):
             "shadow map size must tile evenly across shards"
         )
 
+        cacheable = not (
+            getattr(cfg.scene, "dynamic", False)
+            or cfg.scene.has_skin or cfg.scene.has_morphs or cfg.scene.has_hair
+        )
+
         def execute(state: dict, ctx: FrameContext) -> dict:
-            if packed:
-                from arkoserenderer_tpu.rendering.passes.geometry import world_to_clip
+            def _render(_):
+                if packed:
+                    from arkoserenderer_tpu.rendering.passes.geometry import world_to_clip
 
-                clip = world_to_clip(
-                    ctx.scene.lights.sun_view_proj, state["geom.vtx_world"][:, 0:3]
+                    clip = world_to_clip(
+                        ctx.scene.lights.sun_view_proj,
+                        state["geom.vtx_world"][:, 0:3],
+                    )
+                else:
+                    clip = transform_vertices_clip(
+                        ctx.scene, ctx.scene.lights.sun_view_proj,
+                        state["geom.positions"],
+                    )
+                tri_valid = ctx.scene.tri_valid
+                # Light-frustum culling (DirectionalShadowDrawNode's culling).
+                planes = mx.frustum_planes_from_matrix(ctx.scene.lights.sun_view_proj)
+                inst_vis = mx.frustum_test_spheres(
+                    planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
+                ) & ctx.scene.inst_valid & lod_instance_mask(ctx.scene, ctx.camera.position)
+                tri_valid = tri_valid & inst_vis[ctx.scene.tri_instance]
+                if cfg.scene.has_translucent:
+                    # Translucent surfaces don't occlude the sun (no colored
+                    # shadow support yet).
+                    from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT
+
+                    mat_of_tri = ctx.scene.inst_material[ctx.scene.tri_instance]
+                    tri_valid = tri_valid & (
+                        ctx.scene.materials.blend_mode[mat_of_tri] != BLEND_TRANSLUCENT
+                    )
+                setup = raster.setup_triangles(
+                    clip, ctx.scene.indices, tri_valid, s, s,
+                    cull_backfaces=False,  # avoid peter-panning on single-sided geo
                 )
+                if shard_axis is None:
+                    bins = raster.bin_triangles(setup, s, s, rcfg)
+                    _, depth = raster.rasterize_tiles(
+                        setup, bins, s, s, rcfg, depth_only=True
+                    )
+                else:
+                    y0 = jax.lax.axis_index(shard_axis) * band
+                    bins = raster.bin_triangles(setup, s, band, rcfg, y_offset=y0)
+                    _, band_depth = raster.rasterize_tiles(
+                        setup, bins, s, band, rcfg, depth_only=True, y_offset=y0
+                    )
+                    depth = jax.lax.all_gather(
+                        band_depth, shard_axis, axis=0, tiled=True
+                    )  # (S, S) on every device — rides ICI
+                if packed:
+                    from arkoserenderer_tpu.ops.shadow import shadow_moments
+
+                    return depth, shadow_moments(depth)
+                return (depth,)
+
+            if not cacheable:
+                res = _render(None)
             else:
-                clip = transform_vertices_clip(
-                    ctx.scene, ctx.scene.lights.sun_view_proj, state["geom.positions"]
-                )
-            tri_valid = ctx.scene.tri_valid
-            # Light-frustum culling (DirectionalShadowDrawNode's culling).
-            planes = mx.frustum_planes_from_matrix(ctx.scene.lights.sun_view_proj)
-            inst_vis = mx.frustum_test_spheres(
-                planes, ctx.scene.inst_sphere[:, :3], ctx.scene.inst_sphere[:, 3]
-            ) & ctx.scene.inst_valid & lod_instance_mask(ctx.scene, ctx.camera.position)
-            tri_valid = tri_valid & inst_vis[ctx.scene.tri_instance]
-            if cfg.scene.has_translucent:
-                # Translucent surfaces don't occlude the sun (no colored
-                # shadow support yet).
-                from arkoserenderer_tpu.scene.scene import BLEND_TRANSLUCENT
+                # Static scene: reuse the cached map until the host bumps
+                # the scene version (streaming / edits / physics commits).
+                def _reuse(_):
+                    if packed:
+                        return state["ShadowMap.sun"], state["ShadowMoments.sun"]
+                    return (state["ShadowMap.sun"],)
 
-                mat_of_tri = ctx.scene.inst_material[ctx.scene.tri_instance]
-                tri_valid = tri_valid & (
-                    ctx.scene.materials.blend_mode[mat_of_tri] != BLEND_TRANSLUCENT
+                dirty = (ctx.frame_index == 0) | (
+                    state["scene.version"] != state["SunShadow.version"]
                 )
-            setup = raster.setup_triangles(
-                clip, ctx.scene.indices, tri_valid, s, s,
-                cull_backfaces=False,  # avoid peter-panning on single-sided geo
-            )
-            if shard_axis is None:
-                bins = raster.bin_triangles(setup, s, s, rcfg)
-                _, depth = raster.rasterize_tiles(
-                    setup, bins, s, s, rcfg, depth_only=True
-                )
-            else:
-                y0 = jax.lax.axis_index(shard_axis) * band
-                bins = raster.bin_triangles(setup, s, band, rcfg, y_offset=y0)
-                _, band_depth = raster.rasterize_tiles(
-                    setup, bins, s, band, rcfg, depth_only=True, y_offset=y0
-                )
-                depth = jax.lax.all_gather(
-                    band_depth, shard_axis, axis=0, tiled=True
-                )  # (S, S) on every device — rides ICI
-            out = {"ShadowMap.sun": depth}
+                res = jax.lax.cond(dirty, _render, _reuse, None)
+
+            out = {"ShadowMap.sun": res[0]}
             if packed:
-                from arkoserenderer_tpu.ops.shadow import shadow_moments
-
-                out["ShadowMoments.sun"] = shadow_moments(depth)
+                out["ShadowMoments.sun"] = res[1]
+            if cacheable:
+                out["SunShadow.version"] = state["scene.version"]
+                out["scene.version"] = state["scene.version"]
             return out
 
         return execute

@@ -187,8 +187,11 @@ class StreamingManager:
         rows = u.rows[u.done : u.done + n]
         staging = np.zeros((chunk,) + u.rows.shape[1:], u.rows.dtype)
         staging[:n] = rows
+        # jnp.array (copy=True): jnp.asarray may ZERO-COPY alias the numpy
+        # buffer on CPU, and this staging array is reused/freed while the
+        # async upload still reads it — a nondeterministic corruption.
         new_pool = _upload_chunk(
-            pool, jnp.asarray(staging), jnp.asarray(u.offset + u.done, jnp.int32),
+            pool, jnp.array(staging), jnp.asarray(u.offset + u.done, jnp.int32),
             jnp.asarray(n, jnp.int32), chunk,
         )
         u.done += n

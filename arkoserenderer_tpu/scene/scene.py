@@ -528,22 +528,27 @@ class Scene:
             ambient_lx=self.ambient_lx,
         )
 
+        # jnp.array (copy=True) for every pool that is ALSO retained in the
+        # host streaming mirror: jnp.asarray may zero-copy alias the numpy
+        # buffer on the CPU backend, and stage_instance mutates the mirrors
+        # later — an alias would leak staged (not yet budget-uploaded) data
+        # into the live device scene nondeterministically.
         return SceneArrays(
-            positions=jnp.asarray(positions),
-            normals=jnp.asarray(normals),
-            uvs=jnp.asarray(uvs),
-            tangents=jnp.asarray(tangents),
-            vertex_instance=jnp.asarray(vertex_instance),
-            indices=jnp.asarray(indices),
-            tri_instance=jnp.asarray(tri_instance),
-            tri_valid=jnp.asarray(tri_valid),
-            world=jnp.asarray(world),
-            prev_world=jnp.asarray(prev_world),
-            normal_mat=jnp.asarray(normal_mat),
-            inst_material=jnp.asarray(inst_material),
-            inst_sphere=jnp.asarray(inst_sphere),
-            inst_valid=jnp.asarray(inst_valid),
-            inst_lod_band=jnp.asarray(inst_lod_band),
+            positions=jnp.array(positions),
+            normals=jnp.array(normals),
+            uvs=jnp.array(uvs),
+            tangents=jnp.array(tangents),
+            vertex_instance=jnp.array(vertex_instance),
+            indices=jnp.array(indices),
+            tri_instance=jnp.array(tri_instance),
+            tri_valid=jnp.array(tri_valid),
+            world=jnp.array(world),
+            prev_world=jnp.array(prev_world),
+            normal_mat=jnp.array(normal_mat),
+            inst_material=jnp.array(inst_material),
+            inst_sphere=jnp.array(inst_sphere),
+            inst_valid=jnp.array(inst_valid),
+            inst_lod_band=jnp.array(inst_lod_band),
             materials=mat,
             textures=self.texture_builder.finalize(),
             tri_material=jnp.asarray(tri_material),

@@ -203,3 +203,37 @@ def test_live_viewer_http_roundtrip():
     assert stats["ms"] > 0
     th.join(timeout=240)
     assert result.get("rc") == 0
+
+
+def test_meshviewer_inspect_edit_save(tmp_path):
+    """MeshViewer inspector/editor half (MeshViewerApp.cpp): per-segment
+    drill-down, material edits, save back to the baked format, debug-view
+    rendering."""
+    import numpy as np
+
+    from arkoserenderer_tpu.apps import meshviewer
+    from arkoserenderer_tpu.assets.baked import load_baked, save_baked
+    from arkoserenderer_tpu.assets.procedural import build_test_scene
+
+    scene, _ = build_test_scene(viewport=(64, 64))
+    src = str(tmp_path / "scene.npz")
+    save_baked(scene, src)
+
+    out = str(tmp_path / "edited.npz")
+    meshviewer.main([
+        src, "--no-render", "--inspect-segment", "0",
+        "--set-material", "1", "roughness_factor=0.25", "metallic_factor=1",
+        "--save", out,
+    ])
+    edited = load_baked(out, limits=scene.limits)
+    assert abs(edited.materials[1].roughness_factor - 0.25) < 1e-6
+    assert abs(edited.materials[1].metallic_factor - 1.0) < 1e-6
+
+    # Debug-channel turntable render.
+    png = str(tmp_path / "view_{frame}.png")
+    meshviewer.main([src, "--frames", "1", "--size", "64",
+                     "--view", "normal", "--out", png])
+    from arkoserenderer_tpu.utils.imageio import load_image_rgba
+
+    img = load_image_rgba(png.format(frame=0))
+    assert np.isfinite(img).all() and img[..., :3].std() > 1.0

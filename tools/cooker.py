@@ -65,7 +65,7 @@ def _tool_gltf(inp: Path, out: Path, rule: dict) -> list[Path]:
         max_materials=1024, max_textures=512, texture_pool_texels=1 << 24,
     ))
     load_gltf(scene, str(inp), max_texture_size=int(rule.get("max_texture", 512)))
-    save_baked(str(out), scene)
+    save_baked(scene, str(out))
     # Sidecar dependencies: .bin buffers + referenced images in the folder.
     deps = sorted(inp.parent.glob("*.bin"))
     for ext in ("*.png", "*.jpg", "*.jpeg"):
