@@ -241,3 +241,29 @@ def resize_bilinear_rational(img: jax.Array, out_h: int, out_w: int) -> jax.Arra
 
 def luminance(rgb: jax.Array) -> jax.Array:
     return jnp.sum(rgb * jnp.array([0.2126, 0.7152, 0.0722]), axis=-1, keepdims=True)
+
+
+def bilinear_sample_small_offset(img: jax.Array, ox: jax.Array, oy: jax.Array) -> jax.Array:
+    """Bilinear resample of (H, W, C) at per-pixel offsets (x + ox, y + oy)
+    with |ox|, |oy| <= 1 — GATHER-FREE: nine weighted static shifts (pure
+    elementwise data movement), each weighted by the separable triangle
+    kernel evaluated at the per-pixel offset. The TAA/denoiser reprojection
+    fast path: with a near-static camera the motion field is sub-pixel, so
+    the history fetch never needs the gather unit (METRICS.md round 2:
+    in-frame gathers are the dominant post-chain cost).
+
+    ``ox``/``oy``: (H, W) pixel offsets (sample position relative to each
+    pixel's own center). Edge-clamped like bilinear_sample.
+    """
+    from arkoserenderer_tpu.ops.postprocess import shift_img
+
+    out = jnp.zeros_like(img)
+    axo = ox[..., None]
+    ayo = oy[..., None]
+    for sy in (-1, 0, 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ayo))
+        for sx in (-1, 0, 1):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - axo))
+            w = wx * wy
+            out = out + shift_img(img, sy, sx) * w
+    return out

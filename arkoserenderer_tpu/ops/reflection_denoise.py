@@ -31,7 +31,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from arkoserenderer_tpu.ops.image import bilinear_sample, luminance
+from arkoserenderer_tpu.ops.image import (
+    bilinear_sample,
+    bilinear_sample_small_offset,
+    luminance,
+)
 from arkoserenderer_tpu.ops.postprocess import shift_img
 
 
@@ -50,9 +54,25 @@ def reproject(
     vel = velocity.reshape(-1, 2)
     prev_x = px - vel[:, 0]
     prev_y = py - vel[:, 1]
-    hist = bilinear_sample(history, prev_x, prev_y).reshape(h, w, 3)
-    mom = bilinear_sample(moments_hist, prev_x, prev_y).reshape(h, w, 3)
-    d_prev = bilinear_sample(prev_depth[..., None], prev_x, prev_y).reshape(h, w)
+    # All three history planes sample at the same coordinates: fetch them
+    # as one 7-channel resample. Sub-pixel motion uses the gather-free
+    # nine-shift path (ops/image.bilinear_sample_small_offset); fast motion
+    # falls back to the gather path via lax.cond.
+    packed = jnp.concatenate([history, moments_hist, prev_depth[..., None]], -1)
+    max_v = jnp.max(jnp.abs(velocity))
+
+    def _fast(_):
+        return bilinear_sample_small_offset(
+            packed, -velocity[..., 0], -velocity[..., 1]
+        )
+
+    def _slow(_):
+        return bilinear_sample(packed, prev_x, prev_y).reshape(h, w, 7)
+
+    fetched = jax.lax.cond(max_v <= 1.0, _fast, _slow, None)
+    hist = fetched[..., 0:3]
+    mom = fetched[..., 3:6]
+    d_prev = fetched[..., 6]
 
     on_screen = (
         (prev_x >= 0.0) & (prev_x < w) & (prev_y >= 0.0) & (prev_y < h)

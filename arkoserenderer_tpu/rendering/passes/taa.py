@@ -13,7 +13,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from arkoserenderer_tpu.ops.image import bilinear_sample, neighborhood_min_max, sample_catmull_rom
+import jax
+
+from arkoserenderer_tpu.ops.image import (
+    bilinear_sample,
+    bilinear_sample_small_offset,
+    neighborhood_min_max,
+    sample_catmull_rom,
+)
 from arkoserenderer_tpu.rendering.pipeline import FrameContext, PipelineConfig, RenderPass
 from arkoserenderer_tpu.rendering.registry import Registry
 
@@ -53,10 +60,24 @@ class TAAPass(RenderPass):
             prev_x = px - velocity[:, 0]
             prev_y = py - velocity[:, 1]
             if catmull:
-                hist = sample_catmull_rom(history, prev_x, prev_y)
+                hist = sample_catmull_rom(history, prev_x, prev_y).reshape(h, w, 3)
             else:
-                hist = bilinear_sample(history, prev_x, prev_y)
-            hist = hist.reshape(h, w, 3)
+                # Sub-pixel motion (static/slow camera — the common case):
+                # the history resample is NINE WEIGHTED STATIC SHIFTS, no
+                # gathers at all; fast motion falls back to the gather path.
+                # lax.cond executes only the taken branch per frame.
+                vel_img = state["SceneVelocity"]
+                max_v = jnp.max(jnp.abs(vel_img))
+
+                def _fast(_):
+                    return bilinear_sample_small_offset(
+                        history, -vel_img[..., 0], -vel_img[..., 1]
+                    )
+
+                def _slow(_):
+                    return bilinear_sample(history, prev_x, prev_y).reshape(h, w, 3)
+
+                hist = jax.lax.cond(max_v <= 1.0, _fast, _slow, None)
 
             lo, hi = neighborhood_min_max(color)
             hist = jnp.clip(hist, lo, hi)
