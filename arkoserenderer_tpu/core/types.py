@@ -36,11 +36,11 @@ class SceneLimits:
     holds alongside the framebuffers.
     """
 
-    max_vertices: int = 1 << 20        # reference: 12M; start at 1M
-    max_indices: int = 3 << 20         # reference: 48M
-    max_drawables: int = 4096          # reference: 65,536
-    max_materials: int = 1024          # reference: 10,000
-    max_textures: int = 512            # reference: 4,096 bindless textures
+    max_vertices: int = 12 << 20       # 12M — reference parity (VertexManager.h:89)
+    max_indices: int = 48 << 20        # 48M — reference parity
+    max_drawables: int = 65536         # reference parity (GpuScene.h:241)
+    max_materials: int = 10000         # reference parity (GpuScene.h:259)
+    max_textures: int = 4096           # reference parity (GpuScene.h:274)
     max_dir_lights: int = 1
     max_spot_lights: int = 16          # local lights (shadow atlas consumers)
     max_point_lights: int = 16

@@ -68,3 +68,37 @@ def test_stress_scene_frustum_culls():
     vis = np.asarray(r.state["Visibility"])
     covered = (vis >= 0).mean()
     assert covered > 0.2   # plenty of geometry on screen
+
+
+def test_reference_capacity_pools_allocate():
+    """Reference-parity capacities (VertexManager.h:89-99 / GpuScene.h:241-
+    284): the SceneLimits DEFAULTS now match the reference (12M vertices /
+    48M indices / 65,536 drawables / 10,000 materials / 4,096 textures) and
+    a scene builds its fixed-shape pools at that scale. (The full render at
+    these pool sizes runs in the slow marker / on TPU via bench --stress —
+    per-triangle masks over a 16M-row pool take minutes on XLA:CPU.)"""
+    from arkoserenderer_tpu.core.types import SceneLimits
+
+    lim = SceneLimits()
+    assert lim.max_vertices == 12 << 20
+    assert lim.max_indices == 48 << 20
+    assert lim.max_drawables == 65536
+    assert lim.max_materials == 10000
+    assert lim.max_textures == 4096
+
+    from arkoserenderer_tpu.assets.procedural import build_stress_scene
+
+    scene, cam = build_stress_scene(
+        n_instances=512, viewport=(96, 96),
+        limits=SceneLimits(
+            max_materials=64, max_textures=32, texture_pool_texels=1 << 19,
+        ),
+    )
+    assert scene.limits.max_vertices == 12 << 20
+    arrays = scene.build()
+    assert arrays.positions.shape == (12 << 20, 3)
+    assert arrays.indices.shape == ((48 << 20) // 3, 3)
+    assert arrays.world.shape[0] == 65536
+    import numpy as np
+
+    assert int(np.asarray(arrays.inst_valid).sum()) == 513  # floor + 512
