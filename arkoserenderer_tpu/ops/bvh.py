@@ -242,17 +242,25 @@ def build_two_level(
         inst_id = np.arange(n_inst, dtype=np.int32)
 
     # ---- per-BLAS median-split builds (object space) ------------------------
+    # blas_geo entries: (verts, tris) or (verts, tris, tri_ids) where
+    # tri_ids maps each row of ``tris`` back to the segment's ORIGINAL
+    # triangle index (used when build-time filtering — e.g. the opacity-
+    # micromap transparent-triangle cull — removed rows).
     blas_nodes = []      # list of per-BLAS node tuples
     blas_slots = []      # (local tri order, v0, e1, e2, owner)
-    for b, (verts, tris) in enumerate(blas_geo):
+    for b, geo in enumerate(blas_geo):
+        verts, tris = geo[0], geo[1]
+        tri_ids = geo[2] if len(geo) > 2 else None
         v = verts[tris]                              # (t, 3, 3)
         lo = v.min(axis=1)
         hi = v.max(axis=1)
         nodes = _median_build(lo, hi, LEAF_SIZE)
         order = nodes[-1].astype(np.int32)
         tv = v[order]
+        local_ids = order if tri_ids is None else np.asarray(tri_ids, np.int32)[order]
         blas_nodes.append(nodes[:-1])
-        blas_slots.append((order, tv[:, 0], tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0],
+        blas_slots.append((local_ids, tv[:, 0], tv[:, 1] - tv[:, 0],
+                           tv[:, 2] - tv[:, 0],
                            np.full((len(order),), blas_owner[b], np.int32)))
 
     # ---- TLAS over instance world AABBs (leaf size 1) -----------------------

@@ -617,6 +617,7 @@ class Scene:
         from arkoserenderer_tpu.ops.bvh import build_two_level
 
         hair_sid = self._hair[3] if self._hair else -1
+        omm_cache: dict[int, np.ndarray] = {}
 
         blas_geo: list[tuple[np.ndarray, np.ndarray]] = []
         blas_owner: list[int] = []
@@ -632,6 +633,19 @@ class Scene:
             if lod_band[0] != 0.0:
                 continue
             tris = seg.indices.reshape(t, 3).astype(np.int32)
+            # Opacity-micromap analogue (MeshAsset omm fields + the
+            # opacity-micromap-ext backend): for MASKED materials, classify
+            # each triangle's alpha coverage at build time and drop the
+            # FULLY TRANSPARENT ones from the BLAS — rays skip the empty
+            # parts of foliage/decal cards without any-hit texture taps.
+            # (Opaque and mixed triangles stay; mixed is conservative.)
+            if sid not in omm_cache:
+                omm_cache[sid] = self._masked_tri_opacity(seg)
+            keep = omm_cache[sid]
+            tri_ids = None
+            if keep is not None:
+                tri_ids = np.nonzero(keep)[0].astype(np.int32)
+                tris = tris[keep]
             deform = (
                 seg.skeleton >= 0 or seg.morph_pos is not None or sid == hair_sid
             )
@@ -639,14 +653,16 @@ class Scene:
             if deform:
                 wm = np.asarray(w, np.float32)
                 wp = seg.positions @ wm[:3, :3].T + wm[:3, 3]
-                blas_geo.append((wp.astype(np.float32), tris))
+                blas_geo.append((wp.astype(np.float32), tris, tri_ids))
                 blas_owner.append(slot)
                 b = len(blas_geo) - 1
                 inst_o2w.append(np.eye(4, dtype=np.float32))
             else:
                 if sid not in seg_blas:
                     seg_blas[sid] = len(blas_geo)
-                    blas_geo.append((seg.positions.astype(np.float32), tris))
+                    blas_geo.append(
+                        (seg.positions.astype(np.float32), tris, tri_ids)
+                    )
                     blas_owner.append(-1)
                 b = seg_blas[sid]
                 inst_o2w.append(np.asarray(w, np.float32))
@@ -663,6 +679,47 @@ class Scene:
             if blas_owner else None,
             inst_id=np.asarray(inst_ids, np.int32),
         )
+
+    def _masked_tri_opacity(self, seg) -> np.ndarray | None:
+        """(T,) bool keep-mask for a segment with a MASKED material, or None
+        when every triangle is kept (non-masked, or no alpha texture).
+
+        Samples the base-color texture's ALPHA over each triangle (corner +
+        edge-midpoint + centroid barycentrics): a triangle whose every
+        sample falls below the cutoff is fully transparent and excluded
+        from ray tracing — the TPU-side role of the reference's opacity
+        micromaps (arkcore/asset/MeshAsset.h omm data +
+        backend/vulkan/extensions/opacity-micromap-ext/).
+        """
+        mat = self.materials[seg.material]
+        if mat.blend_mode != BLEND_MASKED:
+            return None
+        images = getattr(self.texture_builder, "images", [])
+        tid = int(mat.base_color_tex)
+        if not (0 <= tid < len(images)) or tid in (0, 1, 2, 3):
+            return None
+        img = images[tid][0]
+        h, w = img.shape[:2]
+        if img.shape[-1] < 4:
+            return None
+        alpha = img[..., 3].astype(np.float32) / 255.0
+        tris = seg.indices.reshape(-1, 3)
+        uv = seg.uvs[tris]                        # (T, 3, 2)
+        bary = np.array([
+            [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+            [1 / 3, 1 / 3, 1 / 3],
+        ], np.float32)                            # (7, 3)
+        pts = np.einsum("kj,tjc->tkc", bary, uv)  # (T, 7, 2)
+        xi = np.clip((np.mod(pts[..., 0], 1.0) * w).astype(np.int64), 0, w - 1)
+        yi = np.clip((np.mod(pts[..., 1], 1.0) * h).astype(np.int64), 0, h - 1)
+        a = alpha[yi, xi]                         # (T, 7)
+        keep = (a >= mat.alpha_cutoff).any(axis=1)
+        if keep.all():
+            return None
+        if not keep.any():
+            keep[0] = True   # degenerate guard: keep one triangle
+        return keep
 
     def stage_instance(self, segment_id: int, world: np.ndarray,
                        lod_band=(0.0, LOD_FAR)) -> dict:

@@ -210,3 +210,47 @@ def test_mirror_reflections_match_path_tracer_energy():
     diffuse_ratio = color[(~mirror) & (vis > 0)].mean() / pt[(~mirror) & (vis > 0)].mean()
     assert 0.70 < mirror_ratio < 1.30, f"mirror energy ratio {mirror_ratio}"
     assert 0.80 < diffuse_ratio < 1.20, f"diffuse energy ratio {diffuse_ratio}"
+
+
+def test_masked_transparent_triangles_excluded_from_rt():
+    """Opacity-micromap analogue (MeshAsset omm + opacity-micromap-ext):
+    fully transparent triangles of a MASKED material are culled from the
+    BLAS at build time — shadow rays pass through the empty half of an
+    alpha-tested card but are blocked by the opaque half."""
+    import jax.numpy as jnp
+
+    from arkoserenderer_tpu.ops.bvh import trace_rays
+    from arkoserenderer_tpu.scene.scene import BLEND_MASKED, Material, Scene
+    from arkoserenderer_tpu.core.types import SceneLimits
+
+    scene = Scene(limits=SceneLimits(
+        max_vertices=1 << 12, max_indices=3 << 12, max_drawables=16,
+        max_materials=8, max_textures=8, texture_pool_texels=1 << 16,
+    ))
+    # Alpha texture: left half transparent, right half opaque.
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[..., :3] = 200
+    tex[:, 4:, 3] = 255
+    tid = scene.add_texture(tex, srgb=True)
+    mat = scene.add_material(Material(
+        base_color_tex=tid, blend_mode=BLEND_MASKED, alpha_cutoff=0.5,
+    ))
+    # Subdivided card (8x8 grid): the diagonal 2-triangle plane would leave
+    # every triangle "mixed"; a grid gives fully-transparent triangles on
+    # the empty half.
+    from arkoserenderer_tpu.apps.geodata import terrain_segment
+
+    card = terrain_segment(np.zeros((9, 9), np.float32), extent=2.0,
+                           height_scale=0.0)
+    card.material = mat
+    sid = scene.add_segment(card)
+    scene.add_instance(sid, np.eye(4, dtype=np.float32))
+    arrays = scene.build(with_bvh=True)
+
+    # Rays straight down through each half.
+    origins = np.array([[-0.5, 1.0, 0.0], [0.5, 1.0, 0.0]], np.float32)
+    dirs = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (2, 1))
+    hit = trace_rays(arrays.bvh, jnp.asarray(origins), jnp.asarray(dirs))
+    hits = np.asarray(hit.hit)
+    # uv mapping: one half transparent -> exactly one of the two rays hits.
+    assert hits.sum() == 1, hits
