@@ -242,17 +242,25 @@ def animate_stress_scene(scene: Scene, t: float) -> None:
     """Per-frame host animation of the stress grid (bobbing + spin), like
     the reference's animated helmets; follow with
     ``renderer.scene_arrays = scene.update_instance_transforms(...)`` or
-    construct the Renderer with ``dynamic_transforms=True``."""
+    construct the Renderer with ``dynamic_transforms=True``.
+
+    Vectorized: all N instances' matrices come from batched numpy trig (one
+    pass), not N python iterations — at 4,096 instances the loop itself was
+    frame-time-relevant (the host half of ParallelForBatched)."""
     sid, side, spacing, phases = scene._stress
-    ci, si = np.cos(t), np.sin(t)
-    for idx, (seg, w, pw, clip, band) in enumerate(scene.instances):
-        if seg != sid:
-            continue
-        k = idx - 1  # instance 0 is the floor
-        p = phases[k % len(phases)]
-        nw = np.array(w)
-        c, s = np.cos(t + p), np.sin(t + p)
-        nw[0, 0], nw[0, 2] = c * 1.0, s * 1.0
-        nw[2, 0], nw[2, 2] = -s * 1.0, c * 1.0
-        nw[1, 3] = 0.8 + 0.35 * np.sin(2.0 * t + p)
-        scene.instances[idx] = (seg, nw, w, clip, band)
+    idxs = [i for i, it in enumerate(scene.instances) if it[0] == sid]
+    n = len(idxs)
+    ph = phases[np.arange(n) % len(phases)]
+    c = np.cos(t + ph)
+    s = np.sin(t + ph)
+    bob = 0.8 + 0.35 * np.sin(2.0 * t + ph)
+    old_ws = [scene.instances[i][1] for i in idxs]
+    W = np.stack(old_ws).astype(np.float32)
+    W[:, 0, 0] = c
+    W[:, 0, 2] = s
+    W[:, 2, 0] = -s
+    W[:, 2, 2] = c
+    W[:, 1, 3] = bob
+    for k, i in enumerate(idxs):
+        seg, w, pw, clip, band = scene.instances[i]
+        scene.instances[i] = (seg, W[k], w, clip, band)

@@ -488,13 +488,34 @@ def trace_rays(
     t_eps: float = 1e-4,
     any_hit: bool = False,
     max_steps: int = 512,
+    chunk_size: int | None = None,
 ) -> Hit:
     """Batched closest-hit (or any-hit) traversal.
 
     All rays advance one BVH node per step in lockstep over the batch; each
     ray owns a fixed-depth stack. ``any_hit=True`` terminates a ray on its
     first accepted intersection (shadow/occlusion rays).
+
+    ``chunk_size``: trace in sequential chunks via lax.map — the per-ray
+    traversal stacks are R x STACK_DEPTH i32 (400 MB at 2M rays), and a
+    frame tracing several full-screen ray batches can exhaust HBM; chunking
+    bounds the live stack to one chunk at a time.
     """
+    r_total = origins.shape[0]
+    if chunk_size is not None and r_total > chunk_size:
+        pad = (-r_total) % chunk_size
+        o = jnp.concatenate([origins, jnp.ones((pad, 3), origins.dtype)])
+        d = jnp.concatenate([directions, jnp.ones((pad, 3), directions.dtype)])
+        k = o.shape[0] // chunk_size
+        o = o.reshape(k, chunk_size, 3)
+        d = d.reshape(k, chunk_size, 3)
+
+        def one(args):
+            return trace_rays(bvh, args[0], args[1], t_max=t_max, t_eps=t_eps,
+                              any_hit=any_hit, max_steps=max_steps)
+
+        hit = jax.lax.map(one, (o, d))
+        return Hit(*(x.reshape(-1)[:r_total] for x in hit))
     if isinstance(bvh, TwoLevelBVH):
         return _trace_two_level(bvh, origins, directions, t_max, t_eps,
                                 any_hit, max_steps)

@@ -53,6 +53,33 @@ def apply_fog(
 # Motion blur (McGuire)
 
 
+def _nearest_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Single-gather nearest fetch at pixel-center coords (clamped). With a
+    per-pixel uniform jitter in [-0.5, 0.5) added to the coords, its
+    EXPECTATION equals the bilinear fetch — the stochastic-tap primitive
+    shared by the motion-blur / DoF fast paths (TAA converges the noise)."""
+    h, w = img.shape[0], img.shape[1]
+    xi = jnp.clip((x - 0.5).round().astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((y - 0.5).round().astype(jnp.int32), 0, h - 1)
+    return img.reshape(-1, img.shape[-1])[yi * w + xi]
+
+
+def _pixel_noise(px, py, frame_index, salt: int) -> jax.Array:
+    fi = frame_index if frame_index is not None else 0
+    seed = (
+        px.astype(jnp.uint32)
+        + py.astype(jnp.uint32) * jnp.uint32(19349663)
+        + jnp.asarray(fi).astype(jnp.uint32) * jnp.uint32(83492791)
+        + jnp.uint32((salt * 374761393) & 0xFFFFFFFF)
+    )
+    seed = seed ^ (seed >> 16)
+    seed = seed * jnp.uint32(0x7FEB352D)
+    seed = seed ^ (seed >> 15)
+    seed = seed * jnp.uint32(0x846CA68B)
+    seed = seed ^ (seed >> 16)
+    return (seed >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
 def motion_blur(
     color: jax.Array,     # (H, W, 3)
     velocity: jax.Array,  # (H, W, 2) pixels/frame
@@ -61,6 +88,8 @@ def motion_blur(
     tile: int = 16,
     num_taps: int = 8,
     max_blur_px: float = 24.0,
+    stochastic: bool = False,   # jittered nearest taps (2 is plenty) + TAA
+    frame_index: jax.Array | None = None,
 ) -> jax.Array:
     h, w = color.shape[0], color.shape[1]
     vel = velocity * shutter_scale
@@ -103,13 +132,32 @@ def motion_blur(
 
     acc = color.reshape(-1, 3)
     wsum = jnp.ones((acc.shape[0], 1))
+    # Fetch color+velocity as ONE 5-channel image per tap (one gather op
+    # instead of two on the stochastic path).
+    cv = jnp.concatenate([color, vel], axis=-1)
     for i in range(num_taps):
-        t = (i + 1) / (num_taps + 1) - 0.5  # [-0.5, 0.5)
-        sx = px + nv[:, 0] * t
-        sy = py + nv[:, 1] * t
-        c = bilinear_sample(color, sx, sy)
-        sample_vel = bilinear_sample(vel, sx, sy)
+        if stochastic:
+            # Stratified jittered shutter position + sub-texel jitter: the
+            # per-tap expectation equals the dense bilinear tap ladder.
+            u = _pixel_noise(px, py, frame_index, 11 + i)
+            t = (i + u) / num_taps - 0.5
+            jx = _pixel_noise(px, py, frame_index, 21 + i) - 0.5
+            jy = _pixel_noise(px, py, frame_index, 31 + i) - 0.5
+            both = _nearest_sample(cv, px + nv[:, 0] * t + jx,
+                                   py + nv[:, 1] * t + jy)
+            c, sample_vel = both[:, :3], both[:, 3:5]
+        else:
+            t = (i + 1) / (num_taps + 1) - 0.5  # [-0.5, 0.5)
+            sx = px + nv[:, 0] * t
+            sy = py + nv[:, 1] * t
+            c = bilinear_sample(color, sx, sy)
+            sample_vel = bilinear_sample(vel, sx, sy)
         wgt = jnp.minimum(jnp.linalg.norm(sample_vel, axis=-1, keepdims=True), 1.0)
+        if stochastic:
+            # Keep the center-vs-taps weight ratio of the dense 8-tap
+            # ladder: each of the M jittered taps stands for 8/M dense taps
+            # (otherwise fewer taps over-weight the unblurred center).
+            wgt = wgt * (8.0 / num_taps)
         acc = acc + c * wgt
         wsum = wsum + wgt
     return (acc / wsum).reshape(h, w, 3)
@@ -142,11 +190,17 @@ def depth_of_field(
     color: jax.Array,   # (H, W, 3)
     coc: jax.Array,     # (H, W) signed pixels
     num_taps: int = 24,
+    stochastic_taps: int | None = None,  # jittered disc subset + TAA
+    frame_index: jax.Array | None = None,
 ) -> jax.Array:
     """Scatter-as-gather bokeh blur: disc taps scaled by |CoC|, each tap
-    weighted by whether ITS own CoC reaches back to the center pixel."""
+    weighted by whether ITS own CoC reaches back to the center pixel.
+
+    ``stochastic_taps``: evaluate M per-pixel-rotated disc taps instead of
+    the full fibonacci fan (each tap = ONE gather of a color+CoC packed
+    image); the rotation re-randomizes per frame so TAA converges to the
+    dense bokeh (24 -> 4 taps is ~12x fewer gather ops)."""
     h, w = color.shape[0], color.shape[1]
-    taps = jnp.asarray(fibonacci_disc(num_taps))
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5
     pxg, pyg = jnp.meshgrid(xs, ys)
@@ -156,6 +210,31 @@ def depth_of_field(
 
     acc = color.reshape(-1, 3)
     wsum = jnp.ones((acc.shape[0], 1))
+    if stochastic_taps:
+        cc = jnp.concatenate([color, jnp.abs(coc)[..., None]], axis=-1)
+        base = jnp.asarray(fibonacci_disc(stochastic_taps))
+        ang = _pixel_noise(px, py, frame_index, 41) * (2.0 * jnp.pi)
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        for i in range(stochastic_taps):
+            # Per-pixel rotated tap + radius jitter (area-preserving).
+            u = _pixel_noise(px, py, frame_index, 51 + i)
+            rad = r * jnp.sqrt(
+                jnp.clip(base[i, 0] ** 2 + base[i, 1] ** 2 + (u - 0.5) * (2.0 / stochastic_taps), 0.0, 1.0)
+            )
+            phi = jnp.arctan2(base[i, 1], base[i, 0])
+            dx = rad * (jnp.cos(phi) * ca - jnp.sin(phi) * sa)
+            dy = rad * (jnp.sin(phi) * ca + jnp.cos(phi) * sa)
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            both = _nearest_sample(cc, px + dx, py + dy)
+            c, tap_coc = both[:, :3], both[:, 3]
+            # Each jittered tap stands for num_taps/M dense disc taps
+            # (keeps the center pixel's relative weight unchanged).
+            wgt = jnp.clip(tap_coc - dist + 1.0, 0.0, 1.0)[:, None]
+            wgt = wgt * (num_taps / stochastic_taps)
+            acc = acc + c * wgt
+            wsum = wsum + wgt
+        return (acc / wsum).reshape(h, w, 3)
+    taps = jnp.asarray(fibonacci_disc(num_taps))
     for i in range(num_taps):
         dx = taps[i, 0] * r
         dy = taps[i, 1] * r

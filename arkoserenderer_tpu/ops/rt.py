@@ -94,6 +94,7 @@ def shade_hits(
     exposure: jax.Array,
     cone_spread: float = 2e-3,   # ray-cone half-angle (rad) ~ pixel footprint
     ddgi_sample=None,
+    chunk_size: int | None = None,
 ) -> jax.Array:
     """(R, 3) HONEST hit shading for reflection rays: textured material
     (packed-pool sample at ray-cone LOD), Filament BRDF for the sun with an
@@ -133,6 +134,7 @@ def shade_hits(
     occl = trace_rays(
         scene.bvh, world_pos + nrm * 1e-2,
         jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
+        chunk_size=chunk_size,
     )
     view = -mx.normalize(ray_dirs)
     # brdf.evaluate returns f(l, v) * <n.l> — multiply by illuminance only.
@@ -171,6 +173,7 @@ def trace_shadow_mask(
     valid: jax.Array,        # (N,) geometry coverage
     t_max: float | jax.Array = 1e4,
     bias: float = 3e-2,
+    chunk_size: int | None = None,
 ) -> jax.Array:
     """(N,) visibility mask via any-hit rays (rt-shadow raygen analogue).
 
@@ -178,5 +181,6 @@ def trace_shadow_mask(
     — the pass can run straight off the depth buffer before shading."""
     dirs = jnp.broadcast_to(light_dir, world_pos.shape)
     origins = world_pos + dirs * bias
-    occl = trace_rays(scene.bvh, origins, dirs, t_max=t_max, any_hit=True)
+    occl = trace_rays(scene.bvh, origins, dirs, t_max=t_max, any_hit=True,
+                      chunk_size=chunk_size)
     return jnp.where(valid, (~occl.hit).astype(jnp.float32), 1.0)

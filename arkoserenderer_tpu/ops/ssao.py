@@ -58,8 +58,17 @@ def ssao(
     radius: float = 0.5,
     bias: float = 0.02,   # meters
     intensity: float = 1.0,
+    samples_per_frame: int | None = None,  # stochastic subset under TAA
+    frame_index: jax.Array | None = None,
 ) -> jax.Array:
-    """Returns (N,) ambient visibility in [0,1] (1 = unoccluded)."""
+    """Returns (N,) ambient visibility in [0,1] (1 = unoccluded).
+
+    ``samples_per_frame``: evaluate only M randomly-chosen kernel samples
+    per pixel per frame (expectation = the full N-sample estimate; TAA
+    accumulates toward it — temporal SSAO). Each sample is a serialized
+    2M-lane depth gather, the whole cost of this pass (METRICS.md), so
+    16 -> 2 samples is ~8x.
+    """
     depth_flat = depth.reshape(-1)
     inv_vp = jnp.linalg.inv(cam_view_proj)
     world = reconstruct_world_pos(depth_flat, px, py, inv_vp, width, height)
@@ -83,13 +92,32 @@ def ssao(
     n_samples = kern.shape[0]
     depth_img = depth
 
+    stochastic = (
+        samples_per_frame is not None and samples_per_frame < n_samples
+    )
+    if stochastic:
+        # Per-pixel per-frame kernel-index hash; the 16-row kernel lookup
+        # is a where-chain (VPU), not a gather.
+        fi = frame_index if frame_index is not None else 0
+        base_seed = (
+            px.astype(jnp.int32) * 7
+            + py.astype(jnp.int32) * 73856093
+            + fi * 19349663
+        ).astype(jnp.uint32)
+
     def linearize(d):
         # Reverse-Z (infinite-far family): view distance = near / depth.
         return cam_near / jnp.maximum(d, 1e-8)
 
-    def sample_occlusion(i, acc):
-        k = kern[i]
-        sample = world + (t * k[0] + b * k[1] + n * k[2]) * radius
+    def kernel_row(idx):
+        """(N,) int -> (N, 3) via a 16-way select chain (no gather unit)."""
+        out = jnp.broadcast_to(kern[0], (idx.shape[0], 3))
+        for j in range(1, n_samples):
+            out = jnp.where((idx == j)[:, None], kern[j], out)
+        return out
+
+    def occlusion_at(k3, acc):
+        sample = world + (t * k3[:, 0:1] + b * k3[:, 1:2] + n * k3[:, 2:3]) * radius
         clip = mx.transform_points_h(cam_view_proj, sample)
         w_c = jnp.maximum(clip[:, 3], 1e-6)
         sx = (clip[:, 0] / w_c * 0.5 + 0.5) * width
@@ -105,6 +133,23 @@ def ssao(
         range_w = jnp.clip(1.0 - jnp.abs(scene_z - sample_z) / radius, 0.0, 1.0)
         return acc + occluded.astype(jnp.float32) * range_w
 
-    occ = jax.lax.fori_loop(0, n_samples, sample_occlusion, jnp.zeros(world.shape[0]))
-    ao = 1.0 - intensity * occ / n_samples
+    if stochastic:
+        occ = jnp.zeros(world.shape[0])
+        for j in range(samples_per_frame):
+            h_ = (base_seed + np.uint32(j * 374761393)) * jnp.uint32(0x9E3779B1)
+            h_ = (h_ ^ (h_ >> 16)) * jnp.uint32(0x85EBCA6B)
+            idx = ((h_ >> 8) % n_samples).astype(jnp.int32)
+            occ = occlusion_at(kernel_row(idx), occ)
+        occ = occ * (n_samples / samples_per_frame)
+        n_eff = n_samples
+    else:
+        occ = jax.lax.fori_loop(
+            0, n_samples,
+            lambda i, acc: occlusion_at(
+                jnp.broadcast_to(kern[i], (world.shape[0], 3)), acc
+            ),
+            jnp.zeros(world.shape[0]),
+        )
+        n_eff = n_samples
+    ao = 1.0 - intensity * occ / n_eff
     return jnp.where(valid_flat, jnp.clip(ao, 0.0, 1.0), 1.0)

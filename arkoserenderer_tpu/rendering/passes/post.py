@@ -24,10 +24,16 @@ from arkoserenderer_tpu.rendering.registry import Registry
 class SSAOPass(RenderPass):
     name = "SSAO"
 
-    def __init__(self, num_samples: int = 16, radius: float = 0.5, intensity: float = 1.0):
+    def __init__(self, num_samples: int = 16, radius: float = 0.5,
+                 intensity: float = 1.0, temporal: bool | None = None,
+                 samples_per_frame: int = 2):
         self.kernel = ssao_ops.make_ssao_kernel(num_samples)
         self.radius = radius
         self.intensity = intensity
+        # None = auto: stochastic 2-sample estimator when TAA runs after us
+        # (it converges the variance); full kernel otherwise.
+        self.temporal = temporal
+        self.samples_per_frame = samples_per_frame
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         h, w = cfg.height, cfg.width
@@ -38,6 +44,10 @@ class SSAOPass(RenderPass):
         px, py = pixel_centers(cfg)
         full_h = cfg.frame_height
         kernel, radius, intensity = self.kernel, self.radius, self.intensity
+        temporal = self.temporal
+        if temporal is None:
+            temporal = cfg.texture_quality in ("stochastic", "stochastic1")
+        spf = self.samples_per_frame if temporal else None
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             py_global = py + ctx.row_offset.astype(py.dtype)
@@ -50,6 +60,7 @@ class SSAOPass(RenderPass):
                 ctx.camera.near,
                 w, full_h,
                 kernel, radius=radius, intensity=intensity,
+                samples_per_frame=spf, frame_index=ctx.frame_index,
             )
             # NOTE under pixel-band sharding the depth fetches clamp to the
             # band (TODO: halo rows via ppermute); error is bounded by radius.
@@ -183,21 +194,29 @@ class FogPass(RenderPass):
 class MotionBlurPass(RenderPass):
     name = "MotionBlur"
 
-    def __init__(self, num_taps: int = 8, shutter_scale: float = 0.5):
+    def __init__(self, num_taps: int = 8, shutter_scale: float = 0.5,
+                 temporal: bool | None = None, stochastic_taps: int = 2):
         self.num_taps = num_taps
         self.shutter_scale = shutter_scale
+        self.temporal = temporal       # None = auto: stochastic under TAA
+        self.stochastic_taps = stochastic_taps
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         reg.get("SceneColor")
         reg.get("SceneVelocity")
         reg.get("SceneDepth")
-        taps, shutter = self.num_taps, self.shutter_scale
+        shutter = self.shutter_scale
         tile = 16 if cfg.height % 16 == 0 and cfg.width % 16 == 0 else 8
+        temporal = self.temporal
+        if temporal is None:
+            temporal = cfg.texture_quality in ("stochastic", "stochastic1")
+        taps = self.stochastic_taps if temporal else self.num_taps
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             out = pp.motion_blur(
                 state["SceneColor"], state["SceneVelocity"], state["SceneDepth"],
                 shutter_scale=shutter, num_taps=taps, tile=tile,
+                stochastic=temporal, frame_index=ctx.frame_index,
             )
             return {"SceneColor": out}
 
@@ -207,9 +226,12 @@ class MotionBlurPass(RenderPass):
 class DepthOfFieldPass(RenderPass):
     name = "DepthOfField"
 
-    def __init__(self, num_taps: int = 24, max_coc: float = 16.0):
+    def __init__(self, num_taps: int = 24, max_coc: float = 16.0,
+                 temporal: bool | None = None, stochastic_taps: int = 4):
         self.num_taps = num_taps
         self.max_coc = max_coc
+        self.temporal = temporal       # None = auto: stochastic under TAA
+        self.stochastic_taps = stochastic_taps
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         h, w = cfg.height, cfg.width
@@ -218,6 +240,10 @@ class DepthOfFieldPass(RenderPass):
         reg.get("SceneCoverage")
         reg.create("SceneCoC", (h, w), jnp.float32)
         taps, max_coc = self.num_taps, self.max_coc
+        temporal = self.temporal
+        if temporal is None:
+            temporal = cfg.texture_quality in ("stochastic", "stochastic1")
+        sto = self.stochastic_taps if temporal else None
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             coc = pp.compute_coc(
@@ -225,7 +251,10 @@ class DepthOfFieldPass(RenderPass):
                 ctx.camera.near, ctx.camera.focus_depth, ctx.camera.aperture_px,
                 max_coc=max_coc,
             )
-            out = pp.depth_of_field(state["SceneColor"], coc, num_taps=taps)
+            out = pp.depth_of_field(
+                state["SceneColor"], coc, num_taps=taps,
+                stochastic_taps=sto, frame_index=ctx.frame_index,
+            )
             return {"SceneColor": out, "SceneCoC": coc}
 
         return execute

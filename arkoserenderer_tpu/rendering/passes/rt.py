@@ -95,6 +95,7 @@ class RTShadowPass(RenderPass):
                 scene_with_live_bvh(state, ctx), world,
                 -ctx.scene.lights.sun_direction,
                 covered,
+                chunk_size=1 << 19 if h * w > (1 << 20) else None,
             )
             return {"ShadowMask.sun": mask.reshape(h, w)}
 
@@ -182,7 +183,9 @@ class RTReflectionsPass(RenderPass):
 
             live = scene_with_live_bvh(state, ctx)
             origins = world + nrm * 2e-2
-            hit = trace_rays(live.bvh, origins, r_dir, t_max=1e4)
+            chunk = 1 << 19 if h * w > (1 << 20) else None
+            hit = trace_rays(live.bvh, origins, r_dir, t_max=1e4,
+                             chunk_size=chunk)
             ddgi_sample = None
             if use_ddgi:
                 from arkoserenderer_tpu.ops import ddgi as ddgi_ops
@@ -199,6 +202,7 @@ class RTReflectionsPass(RenderPass):
             radiance = shade_hits(
                 live, hit, origins, r_dir, ctx.camera.exposure,
                 cone_spread=cone_spread, ddgi_sample=ddgi_sample,
+                chunk_size=chunk,
             )
 
             f0 = brdf_ops.base_f0(base, metal)

@@ -167,7 +167,12 @@ class RenderPipeline:
         )
         state = dict(state)
         for _name, execute in self._executes:
-            updates = execute(state, ctx)
+            # named_scope: pass boundaries stay visible inside the FUSED
+            # frame in jax.profiler / XLA HLO dumps (the per-node GPU
+            # timestamp-label analogue) — utils/timing's per-pass jit is an
+            # upper bound; profiles attribute the real fused cost.
+            with jax.named_scope(_name):
+                updates = execute(state, ctx)
             if updates:
                 state.update(updates)
         return state
@@ -199,3 +204,41 @@ def pixel_centers(cfg: PipelineConfig):
     ys = (np.arange(cfg.height, dtype=np.float32) + 0.5)
     px, py = np.meshgrid(xs, ys)
     return jnp.asarray(px.ravel()), jnp.asarray(py.ravel())
+
+
+def validate_frame(pipeline: "RenderPipeline", state, scene, camera_state,
+                   frame_index: int = 0, delta_time: float = 1 / 60) -> list:
+    """Per-pass numerical validation — the Vulkan-validation-layer analogue
+    (SURVEY §5.2): run the frame ONE PASS AT A TIME (eagerly jitted per
+    pass) and report every non-finite value a pass writes, attributed to
+    the pass and resource that produced it. A debugging harness, not a hot
+    path; returns a list of findings (empty = clean frame).
+    """
+    import numpy as np
+
+    assert pipeline._executes is not None, "call construct_all() first"
+    ctx = FrameContext(
+        scene=scene,
+        camera=camera_state,
+        frame_index=jnp.asarray(frame_index, jnp.int32),
+        delta_time=jnp.asarray(delta_time, jnp.float32),
+        row_offset=jnp.zeros((), jnp.int32),
+    )
+    findings = []
+    state = dict(state)
+    for name, execute in pipeline._executes:
+        updates = jax.jit(execute)(state, ctx) or {}
+        for key, value in updates.items():
+            # A resource may be a pytree (raster setup records, the BVH):
+            # validate every floating leaf.
+            for path, leaf in jax.tree_util.tree_flatten_with_path(value)[0]:
+                arr = np.asarray(leaf)
+                if np.issubdtype(arr.dtype, np.floating) and not np.isfinite(arr).all():
+                    sub = "".join(str(k) for k in path)
+                    findings.append({
+                        "pass": name, "resource": key + sub,
+                        "non_finite": int((~np.isfinite(arr)).sum()),
+                        "shape": tuple(arr.shape),
+                    })
+        state.update(updates)
+    return findings

@@ -871,29 +871,49 @@ class Scene:
         dynamic rigid motion costs a few KB of host->device traffic, not a
         rebuild."""
         dmax = self.limits.max_drawables
+        n = min(len(self.instances), dmax)
         world = np.asarray(arrays.world).copy()
         prev_world = np.asarray(arrays.prev_world).copy()
         normal_mat = np.asarray(arrays.normal_mat).copy()
         inst_sphere = np.asarray(arrays.inst_sphere).copy()
         inst_lod_band = np.asarray(arrays.inst_lod_band).copy()
-        for inst_id, (sid, w, pw, clip, lod_band) in enumerate(self.instances):
-            if inst_id >= dmax:
-                break
-            seg = self.segments[sid]
-            world[inst_id] = w
-            prev_world[inst_id] = pw if pw is not None else w
-            normal_mat[inst_id] = np.linalg.inv(w[:3, :3]).T
-            if self._hair is not None and sid == self._hair[3]:
-                hp, _, hr, _ = self._hair
-                center_obj = 0.5 * (hp.min(0) + hp.max(0))
-                r_obj = np.linalg.norm(hp - center_obj, axis=-1).max() + hr.max()
-            else:
-                center_obj = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
-                r_obj = np.linalg.norm(seg.positions - center_obj, axis=-1).max()
-            scale = np.linalg.norm(w[:3, :3], axis=0).max()
-            center_w = w[:3, :3] @ center_obj + w[:3, 3]
-            inst_sphere[inst_id] = (*center_w, r_obj * scale)
-            inst_lod_band[inst_id] = lod_band
+
+        # Per-SEGMENT object bounds are static: compute once, cache.
+        cache = getattr(self, "_seg_bounds", None)
+        if cache is None or len(cache) != len(self.segments):
+            cache = {}
+            for sid, seg in enumerate(self.segments):
+                if self._hair is not None and sid == self._hair[3]:
+                    hp, _, hr, _ = self._hair
+                    c = 0.5 * (hp.min(0) + hp.max(0))
+                    r = float(np.linalg.norm(hp - c, axis=-1).max() + hr.max())
+                else:
+                    c = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
+                    r = float(np.linalg.norm(seg.positions - c, axis=-1).max())
+                cache[sid] = (c.astype(np.float32), r)
+            self._seg_bounds = cache
+
+        # Batched update (vectorized: a 4,096-instance animated scene costs
+        # one batched 3x3 inverse + einsums, not 4,096 python iterations —
+        # the ParallelForBatched drawable update, GpuScene.cpp:713-788).
+        sids = [it[0] for it in self.instances[:n]]
+        W = np.stack([np.asarray(it[1], np.float32) for it in self.instances[:n]])
+        PW = np.stack([
+            np.asarray(it[2], np.float32) if it[2] is not None
+            else np.asarray(it[1], np.float32)
+            for it in self.instances[:n]
+        ])
+        bands = np.array([it[4] for it in self.instances[:n]], np.float32)
+        world[:n] = W
+        prev_world[:n] = PW
+        normal_mat[:n] = np.transpose(np.linalg.inv(W[:, :3, :3]), (0, 2, 1))
+        centers = np.stack([cache[sid][0] for sid in sids])
+        radii = np.array([cache[sid][1] for sid in sids], np.float32)
+        scale = np.linalg.norm(W[:, :3, :3], axis=1).max(axis=-1)
+        cw = np.einsum("nij,nj->ni", W[:, :3, :3], centers) + W[:, :3, 3]
+        inst_sphere[:n, :3] = cw
+        inst_sphere[:n, 3] = radii * scale
+        inst_lod_band[:n] = bands
         return arrays._replace(
             world=jnp.asarray(world),
             prev_world=jnp.asarray(prev_world),

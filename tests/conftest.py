@@ -35,3 +35,11 @@ def rng():
 def _check_cpu_devices():
     assert jax.devices()[0].platform == "cpu", "tests must run on XLA:CPU"
     assert len(jax.devices()) == 8, "tests expect an 8-device virtual mesh"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: long-running end-to-end tests (deselect with -m 'not heavy' "
+        "for a fast iteration loop)",
+    )

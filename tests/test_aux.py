@@ -389,3 +389,42 @@ def test_asset_cooker_dependency_tracking(tmp_path):
     res3 = c3.cook()
     assert sorted(Path(b).name for b in res3["built"]) == ["a.dds", "a.mips.npz"]
     assert len(res3["skipped"]) == 2
+
+
+def test_validate_frame_clean_and_detects_nans():
+    """Per-pass numerical validation harness (the Vulkan validation-layer
+    slot, SURVEY §5.2): a healthy frame reports nothing; an injected NaN
+    is attributed to the pass + resource that produced it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arkoserenderer_tpu.assets.procedural import build_test_scene
+    from arkoserenderer_tpu.core.types import RasterConfig
+    from arkoserenderer_tpu.models.standard import Renderer
+    from arkoserenderer_tpu.rendering.pipeline import PipelineConfig, validate_frame
+
+    scene, cam = build_test_scene(viewport=(64, 64))
+    cfg = PipelineConfig(
+        width=64, height=64,
+        raster=RasterConfig(tile_h=8, tile_w=16, max_tris_per_tile=256),
+        shadow_map_size=128,
+    )
+    r = Renderer(scene, cam, cfg, taa=False, bloom=False)
+    r.render_frame()
+    persistent = r.pipeline.registry.persistent_names
+    inputs = {k: r.state[k] for k in persistent if k in r.state}
+    if "scene.version" in persistent:
+        inputs["scene.version"] = jnp.asarray(1, jnp.int32)
+    assert validate_frame(
+        r.pipeline, inputs, r.scene_arrays, cam.state(1), frame_index=1
+    ) == []
+
+    # Poison the env map: the sky pass must get the blame.
+    bad_scene = r.scene_arrays._replace(
+        env_map=r.scene_arrays.env_map.at[0, 0, 0].set(jnp.nan)
+    )
+    findings = validate_frame(
+        r.pipeline, inputs, bad_scene, cam.state(1), frame_index=1
+    )
+    assert findings, "NaN injection must be detected"
+    assert any(f["pass"] in ("SkyView", "LightingCompose") for f in findings)

@@ -57,6 +57,7 @@ def test_indirect_light_present():
     assert img.mean() > 1e-3  # sky lighting reaches surfaces
 
 
+@pytest.mark.heavy
 def test_matches_raster_rough_energy():
     # The raster pipeline's direct+ambient approximation and the path tracer
     # should agree on overall image brightness within ~3x (sanity check that

@@ -106,6 +106,7 @@ def test_ddgi_probe_debug_overlay():
     assert np.abs(img_dbg - img).max() > 0.02
 
 
+@pytest.mark.heavy
 def test_rt_shadows_track_morphing_geometry_via_refit():
     """A morph target inflates the sphere; with per-frame BVH refit (enabled
     automatically for morphing scenes) the RT shadow footprint must grow.
@@ -136,6 +137,7 @@ def test_rt_shadows_track_morphing_geometry_via_refit():
     assert (px1 - px0) > 3 * abs(s1 - s0)
 
 
+@pytest.mark.heavy
 def test_rt_reflections_temporal_accumulation_converges():
     """The FFX-style temporal stage: with a static camera, the resolved
     output is temporally more stable than the raw per-frame reflections
@@ -175,6 +177,7 @@ def test_rt_reflections_temporal_accumulation_converges():
     assert n.max() >= 7.0
 
 
+@pytest.mark.heavy
 def test_mirror_reflections_match_path_tracer_energy():
     """VERDICT round-2 criterion: reflection energy vs the path-traced
     reference under a TIGHT tolerance (round 1 was 3x). Mirror pixels carry

@@ -18,6 +18,7 @@ CFG = PipelineConfig(
 )
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_sharded_matches_single_device(n_devices):
     # Bloom ON: the pyramid exchanges one halo row per level over the mesh
