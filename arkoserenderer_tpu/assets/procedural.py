@@ -189,9 +189,9 @@ def build_stress_scene(
     spacing = 2.0
     extent = side * spacing
     lim = limits or SceneLimits(
-        max_vertices=max(1 << 15, 128 * n_instances + 4096),
-        max_indices=max(3 << 15, 3 * (192 * n_instances + 4096)),
-        max_drawables=max(64, n_instances + 8),
+        max_vertices=max(1 << 15, 160 * n_instances + 4096),
+        max_indices=max(3 << 15, 3 * (240 * n_instances + 4096)),
+        max_drawables=max(64, 2 * n_instances + 8),
         max_materials=32, max_textures=32, texture_pool_texels=1 << 19,
     )
     scene = Scene(limits=lim)
@@ -212,6 +212,13 @@ def build_stress_scene(
     body = make_uv_sphere(0.55, rings=8, sectors=12)   # ~100 verts / ~176 tris
     body.material = body_mat
     sid = scene.add_segment(body)
+    # Far LOD: the reference's stress helmets carry mesh LODs (MeshAsset
+    # LODs); distant grid cells render a 48-tri sphere via the in-jit
+    # distance-band selection.
+    body_far = make_uv_sphere(0.55, rings=4, sectors=6)
+    body_far.material = body_mat
+    sid_far = scene.add_segment(body_far)
+    lod_switch = 14.0 * spacing / 2.0
 
     rng = np.random.default_rng(1234)
     phases = rng.uniform(0, 2 * np.pi, n_instances).astype(np.float32)
@@ -223,8 +230,8 @@ def build_stress_scene(
             0.8,
             (gz - side / 2 + 0.5) * spacing,
         )
-        scene.add_instance(sid, w)
-    scene._stress = (sid, side, spacing, phases)  # for animate_stress_scene
+        scene.add_instance_lods([sid, sid_far], w, distances=[lod_switch])
+    scene._stress = ((sid, sid_far), side, spacing, phases)
 
     scene.sun = DirectionalLight(
         direction=np.array([0.4, -1.0, -0.3], np.float32),
@@ -247,10 +254,14 @@ def animate_stress_scene(scene: Scene, t: float) -> None:
     Vectorized: all N instances' matrices come from batched numpy trig (one
     pass), not N python iterations — at 4,096 instances the loop itself was
     frame-time-relevant (the host half of ParallelForBatched)."""
-    sid, side, spacing, phases = scene._stress
-    idxs = [i for i, it in enumerate(scene.instances) if it[0] == sid]
+    sids, side, spacing, phases = scene._stress
+    if not isinstance(sids, tuple):
+        sids = (sids,)
+    idxs = [i for i, it in enumerate(scene.instances) if it[0] in sids]
     n = len(idxs)
-    ph = phases[np.arange(n) % len(phases)]
+    # LOD chains share the grid cell's phase: instances come in per-cell
+    # groups of len(sids).
+    ph = phases[(np.arange(n) // max(len(sids), 1)) % len(phases)]
     c = np.cos(t + ph)
     s = np.sin(t + ph)
     bob = 0.8 + 0.35 * np.sin(2.0 * t + ph)

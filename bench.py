@@ -65,6 +65,9 @@ CONFIGS = {
         dict(ddgi=True, ssss=True),
         "DDGI probe GI + SSSS",
     ),
+    # DLSS-slot workflow: render at 2/3 scale, spatial-upscale to 1080p
+    # (the reference ships DLSS for exactly this; upscale quality preset).
+    "forward_upscaled": ("test_upscaled", {}, "forward @ 2/3 scale + upscale to 1080p"),
 }
 
 
@@ -75,7 +78,22 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
 
     kind, kw, desc = CONFIGS[name]
     cfg = _cfg(small)
-    if kind == "stress":
+    if kind == "test_upscaled":
+        import dataclasses
+
+        from arkoserenderer_tpu.assets.procedural import build_test_scene
+        from arkoserenderer_tpu.ops.upscale import ideal_render_resolution
+
+        out_w, out_h = (cfg.width, cfg.height)
+        rw, rh = ideal_render_resolution(out_w, out_h, "quality")
+        cfg = dataclasses.replace(cfg, width=rw, height=rh)
+        scene, camera = build_test_scene(viewport=(rw, rh))
+        renderer = Renderer(scene, camera, cfg, upscale_to=(out_w, out_h))
+        desc = f"{desc} (render {rw}x{rh})"
+
+        def frame(i):
+            return renderer.render_frame()
+    elif kind == "stress":
         from arkoserenderer_tpu.assets.procedural import (
             animate_stress_scene,
             build_stress_scene,
@@ -107,7 +125,7 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
 
-    res = f"{cfg.width}x{cfg.height}"
+    res = f"{cfg.width}x{cfg.height}" if kind != "test_upscaled" else "1920x1080"
     line = {
         "metric": f"ms/frame {res} {desc}, procedural scene, single chip",
         "value": round(ms, 3),

@@ -101,4 +101,5 @@ def test_reference_capacity_pools_allocate():
     assert arrays.world.shape[0] == 65536
     import numpy as np
 
-    assert int(np.asarray(arrays.inst_valid).sum()) == 513  # floor + 512
+    # floor + 512 grid cells x 2 LOD levels per cell
+    assert int(np.asarray(arrays.inst_valid).sum()) == 1025
