@@ -57,8 +57,16 @@ class Hit(NamedTuple):
     hit: jax.Array       # (R,) bool
 
 
-def _median_build(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
-    """Host-side median-split tree over primitive AABBs (lo/hi: (n, 3)).
+def _median_build(lo: np.ndarray, hi: np.ndarray, leaf_size: int,
+                  method: str = "sah", sah_bins: int = 16):
+    """Host-side top-down tree build over primitive AABBs (lo/hi: (n, 3)).
+
+    ``method="sah"`` (default): binned surface-area-heuristic splits (the
+    quality the reference gets from the Vulkan driver's BLAS builders) —
+    traversal visits FAR fewer nodes than centroid-median splits on scenes
+    mixing huge and small triangles (the median tree's children overlap
+    heavily there, and every visited node is a serialized gather step on
+    this machine). Falls back to the median split when SAH can't separate.
 
     Returns numpy arrays (node_min, node_max, left, right, count,
     node_start, node_end) truncated to the node count, plus ``order`` — the
@@ -77,6 +85,10 @@ def _median_build(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
     node_start = np.zeros((max_nodes,), np.int32)
     node_end = np.zeros((max_nodes,), np.int32)
 
+    def half_area(bmin, bmax):
+        d = np.maximum(bmax - bmin, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
     order = np.arange(n)
     n_nodes = 1
     # (node index, slice into `order`)
@@ -92,11 +104,47 @@ def _median_build(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
             left[node] = s
             count[node] = e - s
             continue
+
         c = centroid[sel]
-        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-        mid = (e - s) // 2
-        part = np.argpartition(c[:, axis], mid)
-        order[s:e] = sel[part]
+        mid = None
+        if method == "sah" and e - s > 2 * leaf_size:
+            c_lo = c.min(axis=0)
+            c_ext = c.max(axis=0) - c_lo
+            axis = int(np.argmax(c_ext))
+            if c_ext[axis] > 1e-12:
+                # Binned SAH along the widest centroid axis.
+                t = (c[:, axis] - c_lo[axis]) / c_ext[axis]
+                b = np.minimum((t * sah_bins).astype(np.int64), sah_bins - 1)
+                cnt = np.bincount(b, minlength=sah_bins)
+                bin_lo = np.full((sah_bins, 3), np.inf, np.float32)
+                bin_hi = np.full((sah_bins, 3), -np.inf, np.float32)
+                np.minimum.at(bin_lo, b, lo[sel])
+                np.maximum.at(bin_hi, b, hi[sel])
+                # Prefix/suffix bound sweeps.
+                lft_lo = np.minimum.accumulate(bin_lo, axis=0)
+                lft_hi = np.maximum.accumulate(bin_hi, axis=0)
+                rgt_lo = np.minimum.accumulate(bin_lo[::-1], axis=0)[::-1]
+                rgt_hi = np.maximum.accumulate(bin_hi[::-1], axis=0)[::-1]
+                n_l = np.cumsum(cnt)[:-1]
+                n_r = (e - s) - n_l
+                cost = (
+                    half_area(lft_lo[:-1], lft_hi[:-1]) * n_l
+                    + half_area(rgt_lo[1:], rgt_hi[1:]) * n_r
+                )
+                valid_split = (n_l > 0) & (n_r > 0)
+                if valid_split.any():
+                    cost = np.where(valid_split, cost, np.inf)
+                    k = int(np.argmin(cost))
+                    go_left = b <= k
+                    part = np.argsort(~go_left, kind="stable")
+                    order[s:e] = sel[part]
+                    mid = int(go_left.sum())
+        if mid is None:
+            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            mid = (e - s) // 2
+            part = np.argpartition(c[:, axis], mid)
+            order[s:e] = sel[part]
+
         l_idx, r_idx = n_nodes, n_nodes + 1
         n_nodes += 2
         left[node] = l_idx
@@ -192,6 +240,13 @@ class TwoLevelBVH:
     inst_tri_base: jax.Array  # (I,) i32 — global tri id = base + local id
     inst_id: jax.Array      # (I,) i32 SCENE instance id (the bvh may hold a
                             #   filtered subset, e.g. LOD0 drawables only)
+    # -- packed traversal records (derived; rebuilt by refit) -----------------
+    # Children bounds live in the PARENT record and leaf triangles are
+    # 4-aligned quad rows, so a traversal step costs ~4 gathers (transform,
+    # int rec, child bounds, tri quad) instead of ~9-12 narrow ones.
+    node_cbounds: jax.Array = None  # (M, 12) f32 [Llo3, Lhi3, Rlo3, Rhi3]
+    node_int: jax.Array = None      # (M, 4) i32 [left, right, count, redirect]
+    tri_quad: jax.Array = None      # (S/4, 36) f32 4 x [v0, e1, e2] per row
     n_tlas: int = dataclasses.field(metadata={"static": True}, default=1)
 
 
@@ -201,16 +256,83 @@ jax.tree_util.register_dataclass(
         "node_min", "node_max", "left", "right", "count", "node_start",
         "node_end", "tri_order", "tri_v0", "tri_e1", "tri_e2", "slot_inst",
         "inst_order", "inst_w2o", "inst_o2w", "blas_root", "inst_tri_base",
-        "inst_id",
+        "inst_id", "node_cbounds", "node_int", "tri_quad",
     ],
     meta_fields=["n_tlas"],
 )
+
+
+def _derive_packed(node_min, node_max, left, right, count, blas_root,
+                   tri_v0, tri_e1, tri_e2):
+    """Derived traversal records (see TwoLevelBVH packed fields)."""
+    m = node_min.shape[0]
+    cap = m - 1
+    li = jnp.clip(left, 0, cap)
+    ri = jnp.clip(right, 0, cap)
+    cbounds = jnp.concatenate(
+        [node_min[li], node_max[li], node_min[ri], node_max[ri]], axis=-1
+    )
+    redirect = jnp.where(
+        count == -1,
+        blas_root[jnp.clip(left, 0, blas_root.shape[0] - 1)],
+        0,
+    )
+    node_int = jnp.stack(
+        [left, right, count, redirect], axis=-1
+    ).astype(jnp.int32)
+    tri_quad = jnp.concatenate([tri_v0, tri_e1, tri_e2], axis=-1).reshape(-1, 36)
+    return cbounds, node_int, tri_quad
 
 
 def _affine_inverse_np(m: np.ndarray) -> np.ndarray:
     """(4, 4) -> (3, 4) inverse of an affine transform."""
     inv = np.linalg.inv(m.astype(np.float64))
     return inv[:3, :4].astype(np.float32)
+
+
+def _align_leaves_quad(nodes, order):
+    """Re-lay a built tree's triangle slots so every leaf occupies exactly
+    4 slots (leaf k -> [4k, 4k+4)), padding short leaves by DUPLICATING
+    their first primitive (harmless extra hit of the same triangle; keeps
+    range-min/max refit exact). Enables one quad-row gather per leaf step.
+
+    ``nodes`` = (node_min, node_max, left, right, count, node_start,
+    node_end) from _median_build; ``order``: (n,) primitive permutation.
+    Returns (updated node tuple, new_order (4L,), pad source map).
+    """
+    node_min, node_max, left, right, count, node_start, node_end = nodes
+    is_leaf = count > 0
+    leaf_ids = np.nonzero(is_leaf)[0]
+    # Rank leaves by their slot range start (ranges are disjoint, ordered).
+    rank = np.argsort(node_start[leaf_ids], kind="stable")
+    leaf_ids = leaf_ids[rank]
+    n_leaves = len(leaf_ids)
+    starts = node_start[leaf_ids]
+    counts = count[leaf_ids]
+
+    new_order = np.zeros((4 * n_leaves,), order.dtype)
+    for k in range(n_leaves):
+        s0 = starts[k]
+        c = counts[k]
+        seg = order[s0 : s0 + c]
+        new_order[4 * k : 4 * k + c] = seg
+        new_order[4 * k + c : 4 * k + 4] = seg[0]     # dup pad
+
+    # Leaf nodes: left = 4k, ranges cover their padded quad.
+    left = left.copy(); node_start = node_start.copy(); node_end = node_end.copy()
+    left[leaf_ids] = 4 * np.arange(n_leaves)
+    node_start[leaf_ids] = 4 * np.arange(n_leaves)
+    node_end[leaf_ids] = 4 * np.arange(n_leaves) + 4
+    # Internal nodes: old slot ranges -> leaf-rank ranges -> new slots.
+    internal = np.nonzero(~is_leaf)[0]
+    if len(internal):
+        first_rank = np.searchsorted(starts, node_start[internal], side="right") - 1
+        # node_start of an internal node coincides with its first leaf start
+        first_rank = np.maximum(first_rank, 0)
+        last_rank = np.searchsorted(starts, node_end[internal] - 1, side="right") - 1
+        node_start[internal] = 4 * first_rank
+        node_end[internal] = 4 * (last_rank + 1)
+    return (node_min, node_max, left, right, count, node_start, node_end), new_order
 
 
 def build_two_level(
@@ -255,10 +377,10 @@ def build_two_level(
         lo = v.min(axis=1)
         hi = v.max(axis=1)
         nodes = _median_build(lo, hi, LEAF_SIZE)
-        order = nodes[-1].astype(np.int32)
+        packed, order = _align_leaves_quad(nodes[:-1], nodes[-1].astype(np.int32))
         tv = v[order]
         local_ids = order if tri_ids is None else np.asarray(tri_ids, np.int32)[order]
-        blas_nodes.append(nodes[:-1])
+        blas_nodes.append(packed)
         blas_slots.append((local_ids, tv[:, 0], tv[:, 1] - tv[:, 0],
                            tv[:, 2] - tv[:, 0],
                            np.full((len(order),), blas_owner[b], np.int32)))
@@ -301,25 +423,38 @@ def build_two_level(
         [np.eye(3, 4, dtype=np.float32)]
         + [_affine_inverse_np(inst_o2w[i]) for i in range(n_inst)]
     )
+    nm = jnp.asarray(node_min.astype(np.float32))
+    nx = jnp.asarray(node_max.astype(np.float32))
+    lf = jnp.asarray(left.astype(np.int32))
+    rt = jnp.asarray(right.astype(np.int32))
+    ct = jnp.asarray(count.astype(np.int32))
+    v0 = jnp.asarray(np.concatenate([s[1] for s in blas_slots]).astype(np.float32))
+    e1 = jnp.asarray(np.concatenate([s[2] for s in blas_slots]).astype(np.float32))
+    e2 = jnp.asarray(np.concatenate([s[3] for s in blas_slots]).astype(np.float32))
+    br = jnp.asarray(roots_by_blas[inst_blas].astype(np.int32))
+    cbounds, node_int, tri_quad = _derive_packed(nm, nx, lf, rt, ct, br, v0, e1, e2)
     return TwoLevelBVH(
-        node_min=jnp.asarray(node_min.astype(np.float32)),
-        node_max=jnp.asarray(node_max.astype(np.float32)),
-        left=jnp.asarray(left.astype(np.int32)),
-        right=jnp.asarray(right.astype(np.int32)),
-        count=jnp.asarray(count.astype(np.int32)),
+        node_min=nm,
+        node_max=nx,
+        left=lf,
+        right=rt,
+        count=ct,
         node_start=jnp.asarray(node_start.astype(np.int32)),
         node_end=jnp.asarray(node_end.astype(np.int32)),
         tri_order=jnp.asarray(np.concatenate([s[0] for s in blas_slots])),
-        tri_v0=jnp.asarray(np.concatenate([s[1] for s in blas_slots]).astype(np.float32)),
-        tri_e1=jnp.asarray(np.concatenate([s[2] for s in blas_slots]).astype(np.float32)),
-        tri_e2=jnp.asarray(np.concatenate([s[3] for s in blas_slots]).astype(np.float32)),
+        tri_v0=v0,
+        tri_e1=e1,
+        tri_e2=e2,
         slot_inst=jnp.asarray(np.concatenate([s[4] for s in blas_slots])),
         inst_order=jnp.asarray(t_order.astype(np.int32)),
         inst_w2o=jnp.asarray(w2o),
         inst_o2w=jnp.asarray(inst_o2w[:, :3, :4].astype(np.float32)),
-        blas_root=jnp.asarray(roots_by_blas[inst_blas].astype(np.int32)),
+        blas_root=br,
         inst_tri_base=jnp.asarray(inst_tri_base.astype(np.int32)),
         inst_id=jnp.asarray(np.asarray(inst_id, np.int32)),
+        node_cbounds=cbounds,
+        node_int=node_int,
+        tri_quad=tri_quad,
         n_tlas=n_tlas,
     )
 
@@ -439,12 +574,19 @@ def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
     i_hi = (wc + we)[bvh.inst_order]
     t_min, t_max_ = _rmq_bounds(i_lo, i_hi, bvh.node_start[:nt], bvh.node_end[:nt])
 
+    node_min = jnp.concatenate([t_min, b_min])
+    node_max = jnp.concatenate([t_max_, b_max])
+    cbounds, node_int, tri_quad = _derive_packed(
+        node_min, node_max, bvh.left, bvh.right, bvh.count, bvh.blas_root,
+        v0, e1, e2,
+    )
     return dataclasses.replace(
         bvh,
-        node_min=jnp.concatenate([t_min, b_min]),
-        node_max=jnp.concatenate([t_max_, b_max]),
+        node_min=node_min,
+        node_max=node_max,
         tri_v0=v0, tri_e1=e1, tri_e2=e2,
         inst_o2w=o2w, inst_w2o=w2o,
+        node_cbounds=cbounds, node_int=node_int, tri_quad=tri_quad,
     )
 
 
@@ -615,24 +757,28 @@ def _trace_two_level(
     any_hit: bool,
     max_steps: int,
 ) -> Hit:
-    """Two-level SIMD-over-rays traversal with a SINGLE i32 stack.
+    """Two-level SIMD-over-rays traversal, PACKED-RECORD edition.
 
-    Instead of storing (node, instance) pairs, each ray keeps two registers:
-    ``cur_inst`` (the instance whose BLAS it is inside, -1 = TLAS) and
-    ``base_sp`` (the stack depth at BLAS entry). TLAS -> BLAS transitions
-    never nest — an instance leaf can only be popped from TLAS territory
-    (below ``base_sp``) — so popping below ``base_sp`` exactly identifies
-    the return to the TLAS. This halves traversal stack memory vs paired
-    stacks (matters at 2M rays x depth 48).
+    Per step, each ray fetches: its current instance transform (one 3x4
+    row; row 0 = identity for the TLAS), the popped node's int record
+    [left, right, count, redirect], and EITHER the node's packed children
+    bounds (internal: both kids' AABBs live in the parent record, so no
+    child gathers) OR its 4-aligned quad triangle row (leaf: one 36-lane
+    row holds all four [v0,e1,e2] triangles). ~4 gathers/step versus ~9-12
+    in the naive layout — the traversal loop is serialized gather steps, so
+    this is the dominant constant (METRICS.md round 2).
 
-    Rays are transformed into the current node's space per step (one 3x4
-    gather from ``inst_w2o``; row 0 = identity for the TLAS). Directions are
-    NOT renormalized, so ``t`` is world-metric in both levels and hit
-    ordering across instances is correct.
+    Instead of storing (node, instance) stack pairs, each ray keeps two
+    registers: ``cur_inst`` (the instance whose BLAS it is inside, -1 =
+    TLAS) and ``base_sp`` (the stack depth at BLAS entry); popping below
+    ``base_sp`` exactly identifies the return to the TLAS (transitions
+    never nest). Directions are NOT renormalized by the instance transform,
+    so ``t`` is world-metric in both levels and hit ordering across
+    instances is correct.
     """
     r = origins.shape[0]
     rows = jnp.arange(r)
-    t_cap = bvh.tri_v0.shape[0] - 1
+    q_cap = bvh.tri_quad.shape[0] - 1
 
     stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
     sp = jnp.ones((r,), jnp.int32)              # TLAS root pre-pushed
@@ -667,49 +813,49 @@ def _trace_two_level(
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                 jnp.where(d < 0, -1e-12, 1e-12), d)
 
-        hit_box, _ = _aabb_hit(bvh.node_min[node], bvh.node_max[node], o, inv_d, best_t)
-        hit_box = hit_box & active
-
-        cnt = bvh.count[node]
+        ints = bvh.node_int[node]                        # (r, 4)
+        n_left = ints[:, 0]
+        n_right = ints[:, 1]
+        cnt = ints[:, 2]
+        redirect = ints[:, 3]
         is_tri_leaf = cnt > 0
         is_inst_leaf = cnt < 0
+        is_internal = active & (cnt == 0)
 
-        # -- triangle leaf (BLAS): object-space Moller-Trumbore ---------------
-        first = bvh.left[node]
-        do_leaf = hit_box & is_tri_leaf
+        # -- internal: children bounds live in THIS record --------------------
+        cb = bvh.node_cbounds[node]                      # (r, 12)
+        hit_l, near_l = _aabb_hit(cb[:, 0:3], cb[:, 3:6], o, inv_d, best_t)
+        hit_r, near_r = _aabb_hit(cb[:, 6:9], cb[:, 9:12], o, inv_d, best_t)
+        hit_l = hit_l & is_internal
+        hit_r = hit_r & is_internal
+
+        # -- triangle leaf: ONE quad row = all 4 [v0, e1, e2] ------------------
+        do_leaf = active & is_tri_leaf
+        quad = bvh.tri_quad[jnp.clip(n_left >> 2, 0, q_cap)]   # (r, 36)
         bt, btri, bu, bv = best_t, best_tri, best_u, best_v
         g_base = bvh.inst_tri_base[jnp.maximum(inst, 0)]
-        for k in range(LEAF_SIZE):
-            slot = jnp.clip(first + k, 0, t_cap)
-            ok, t, u, v = _tri_hit(
-                bvh.tri_v0[slot], bvh.tri_e1[slot], bvh.tri_e2[slot],
-                o, d, t_eps,
-            )
+        for k in range(4):
+            v0 = quad[:, 9 * k + 0 : 9 * k + 3]
+            e1 = quad[:, 9 * k + 3 : 9 * k + 6]
+            e2 = quad[:, 9 * k + 6 : 9 * k + 9]
+            ok, t, u, v = _tri_hit(v0, e1, e2, o, d, t_eps)
             take = do_leaf & (k < cnt) & ok & (t < bt)
             bt = jnp.where(take, t, bt)
+            slot = jnp.clip(n_left + k, 0, bvh.tri_order.shape[0] - 1)
             btri = jnp.where(take, g_base + bvh.tri_order[slot], btri)
             bu = jnp.where(take, u, bu)
             bv = jnp.where(take, v, bv)
 
-        # -- internal: push children, near child last (popped first) ----------
-        do_int = hit_box & (cnt == 0)
-        l_child = bvh.left[node]
-        r_child = bvh.right[node]
-        hit_l, near_l = _aabb_hit(bvh.node_min[l_child], bvh.node_max[l_child], o, inv_d, bt)
-        hit_r, near_r = _aabb_hit(bvh.node_min[r_child], bvh.node_max[r_child], o, inv_d, bt)
-        hit_l = hit_l & do_int
-        hit_r = hit_r & do_int
+        # -- pushes ------------------------------------------------------------
         l_first = near_l <= near_r
-        far_child = jnp.where(l_first, r_child, l_child)
-        near_child = jnp.where(l_first, l_child, r_child)
+        far_child = jnp.where(l_first, n_right, n_left)
+        near_child = jnp.where(l_first, n_left, n_right)
         far_ok = jnp.where(l_first, hit_r, hit_l)
         near_ok = jnp.where(l_first, hit_l, hit_r)
 
-        # -- instance leaf (TLAS): redirect into the BLAS ----------------------
-        do_inst = hit_box & is_inst_leaf
-        leaf_inst = bvh.left[node]
+        do_inst = active & is_inst_leaf
         push2_ok = near_ok | do_inst
-        push2_val = jnp.where(do_inst, bvh.blas_root[jnp.maximum(leaf_inst, 0)], near_child)
+        push2_val = jnp.where(do_inst, redirect, near_child)
 
         new_sp = sp_pop
         slot1 = jnp.minimum(new_sp, STACK_DEPTH - 1)
@@ -723,7 +869,7 @@ def _trace_two_level(
         )
         # Entering a BLAS: remember the instance and the entry depth (the
         # pushed root's slot) so popping below it restores the TLAS.
-        cur_inst = jnp.where(do_inst, leaf_inst, cur_inst)
+        cur_inst = jnp.where(do_inst, n_left, cur_inst)
         base_sp = jnp.where(do_inst, new_sp, base_sp)
         new_sp = jnp.where(push2_ok, jnp.minimum(new_sp + 1, STACK_DEPTH - 1), new_sp)
 

@@ -267,3 +267,31 @@ def bilinear_sample_small_offset(img: jax.Array, ox: jax.Array, oy: jax.Array) -
             w = wx * wy
             out = out + shift_img(img, sy, sx) * w
     return out
+
+
+def upsample_nearest_depth(half_img: jax.Array, half_depth: jax.Array,
+                           full_depth: jax.Array) -> jax.Array:
+    """(H/2, W/2, C) half-res values -> (H, W, C) guided by depth: each full
+    pixel picks, from a 2x2 window of half-res cells, the one whose depth is
+    closest to its own (nearest-depth upsampling — the standard half-res
+    RT/AO reconstruction; avoids leaking values across silhouettes).
+    All candidates come from static shifts + repeats: gather-free."""
+    from arkoserenderer_tpu.ops.postprocess import shift_img
+
+    def up(a):
+        return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+    cands = []
+    depths = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cands.append(up(shift_img(half_img, dy, dx)))
+            depths.append(up(shift_img(half_depth[..., None], dy, dx))[..., 0])
+    best = cands[0]
+    best_err = jnp.abs(depths[0] - full_depth)
+    for c, d in zip(cands[1:], depths[1:]):
+        err = jnp.abs(d - full_depth)
+        take = err < best_err
+        best = jnp.where(take[..., None], c, best)
+        best_err = jnp.minimum(best_err, err)
+    return best

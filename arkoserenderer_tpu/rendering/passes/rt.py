@@ -80,23 +80,49 @@ class RTShadowPass(RenderPass):
         if reg.has("scene.bvh"):
             reg.get("scene.bvh")
         reg.create("ShadowMask.sun", (h, w), jnp.float32, clear=1.0)
-        px, py = pixel_centers(cfg)
+        # Half-res tracing (rt_scale=2): ray count / 4, nearest-depth
+        # reconstruction to full res (no half-res under band sharding).
+        scale = cfg.rt_scale if (cfg.shard_axis is None and h % 2 == 0
+                                 and w % 2 == 0) else 1
+        hs, ws = h // scale, w // scale
+        import numpy as _np
+
+        xs = (_np.arange(ws, dtype=_np.float32) * scale + 0.5)
+        ys = (_np.arange(hs, dtype=_np.float32) * scale + 0.5)
+        pxg, pyg = _np.meshgrid(xs, ys)
+        px = jnp.asarray(pxg.ravel())
+        py = jnp.asarray(pyg.ravel())
         full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:
+            depth = state["SceneDepth"]
+            depth_s = depth[::scale, ::scale] if scale > 1 else depth
+            vis_s = (state["Visibility"][::scale, ::scale]
+                     if scale > 1 else state["Visibility"])
             py_g = py + ctx.row_offset.astype(py.dtype)
             inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
             world = reconstruct_world_pos(
-                state["SceneDepth"].reshape(-1), px, py_g, inv_vp, w, full_h
+                depth_s.reshape(-1), px, py_g, inv_vp, w, full_h
             )
-            covered = state["Visibility"].reshape(-1) >= 0
-            world = jnp.where(covered[:, None], world, 0.0)
+            covered = vis_s.reshape(-1) >= 0
+            # Park uncovered (sky) rays far below the scene: their root-AABB
+            # test misses in ONE traversal step, so coherent chunks full of
+            # sky terminate almost immediately (the loop runs to the worst
+            # ray of each chunk).
+            world = jnp.where(covered[:, None], world, -1e7)
             mask = trace_shadow_mask(
                 scene_with_live_bvh(state, ctx), world,
                 -ctx.scene.lights.sun_direction,
                 covered,
-                chunk_size=1 << 19 if h * w > (1 << 20) else None,
+                chunk_size=1 << 15 if hs * ws >= (1 << 17) else None,
             )
+            if scale > 1:
+                from arkoserenderer_tpu.ops.image import upsample_nearest_depth
+
+                mask = upsample_nearest_depth(
+                    mask.reshape(hs, ws, 1), depth_s, depth
+                )[..., 0]
+                return {"ShadowMask.sun": mask}
             return {"ShadowMask.sun": mask.reshape(h, w)}
 
         return execute
@@ -145,12 +171,23 @@ class RTReflectionsPass(RenderPass):
             reg.get("DDGI.offsets")
             reg.get("DDGI.visibility")
         reg.create("SceneReflections", (h, w, 3), jnp.float32)
-        px, py = pixel_centers(cfg)
+        # Half-res tracing (rt_scale=2): trace + shade at 1/4 the rays,
+        # nearest-depth reconstruct, then denoise at FULL res.
+        scale = cfg.rt_scale if (cfg.shard_axis is None and h % 2 == 0
+                                 and w % 2 == 0) else 1
+        hs, ws = h // scale, w // scale
+        import numpy as _np
+
+        xs = (_np.arange(ws, dtype=_np.float32) * scale + 0.5)
+        ys = (_np.arange(hs, dtype=_np.float32) * scale + 0.5)
+        pxg, pyg = _np.meshgrid(xs, ys)
+        px = jnp.asarray(pxg.ravel())
+        py = jnp.asarray(pyg.ravel())
         full_h = cfg.frame_height
         max_rough = self.max_roughness
         temporal = self.temporal
         # Ray-cone spread ~ one pixel of the vertical FOV.
-        cone_spread = 1.0 / max(full_h, 1)
+        cone_spread = scale / max(full_h, 1)
         if temporal:
             reg.get("SceneVelocity")
             reg.create("RTRefl.history", (h, w, 3), jnp.float32, persistent=True)
@@ -164,16 +201,22 @@ class RTReflectionsPass(RenderPass):
             py_g = py + ctx.row_offset.astype(py.dtype)
             inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
             depth = state["SceneDepth"]
+            depth_s = depth[::scale, ::scale] if scale > 1 else depth
+
+            def sub(img):
+                return img[::scale, ::scale] if scale > 1 else img
+
             world = reconstruct_world_pos(
-                depth.reshape(-1), px, py_g, inv_vp, w, full_h
+                depth_s.reshape(-1), px, py_g, inv_vp, w, full_h
             )
-            valid0 = state["SceneCoverage"].reshape(-1)
-            # Sky pixels reconstruct to infinity (reverse-Z depth 0): zero
-            # them so no NaN enters the ray math (results are masked anyway).
-            world = jnp.where(valid0[:, None], world, 0.0)
-            nrm = state["SceneNormal"].reshape(-1, 3)
-            mat = state["SceneMaterial"].reshape(-1, 4)
-            base = state["SceneBaseColor"].reshape(-1, 3)
+            valid0 = sub(state["SceneCoverage"]).reshape(-1)
+            # Sky pixels reconstruct to infinity (reverse-Z depth 0): park
+            # them far outside the scene so no NaN enters the ray math AND
+            # their traversal exits on the first step (results are masked).
+            world = jnp.where(valid0[:, None], world, -1e7)
+            nrm = sub(state["SceneNormal"]).reshape(-1, 3)
+            mat = sub(state["SceneMaterial"]).reshape(-1, 4)
+            base = sub(state["SceneBaseColor"]).reshape(-1, 3)
             rough = mat[:, 0:1]
             metal = mat[:, 1:2]
 
@@ -183,7 +226,7 @@ class RTReflectionsPass(RenderPass):
 
             live = scene_with_live_bvh(state, ctx)
             origins = world + nrm * 2e-2
-            chunk = 1 << 19 if h * w > (1 << 20) else None
+            chunk = 1 << 15 if hs * ws >= (1 << 17) else None
             hit = trace_rays(live.bvh, origins, r_dir, t_max=1e4,
                              chunk_size=chunk)
             ddgi_sample = None
@@ -212,9 +255,18 @@ class RTReflectionsPass(RenderPass):
             # full energy); diffuse GI takes over past the cutoff.
             fade = jnp.clip((max_rough - rough) / (0.25 * max_rough), 0.0, 1.0)
             refl = jnp.where(active[:, None], radiance * fresnel * fade, 0.0)
-            refl_img = refl.reshape(h, w, 3)
-            rr = rough.reshape(h, w, 1)
-            nrm_img = nrm.reshape(h, w, 3)
+            if scale > 1:
+                from arkoserenderer_tpu.ops.image import upsample_nearest_depth
+
+                refl_img = upsample_nearest_depth(
+                    refl.reshape(hs, ws, 3), depth_s, depth
+                )
+                rr = state["SceneMaterial"][..., 0:1]
+                nrm_img = state["SceneNormal"]
+            else:
+                refl_img = refl.reshape(h, w, 3)
+                rr = rough.reshape(h, w, 1)
+                nrm_img = nrm.reshape(h, w, 3)
 
             # -- prefilter (edge-aware, roughness-scaled) ----------------------
             filtered = dn.prefilter(refl_img, rr, nrm_img, depth)

@@ -79,6 +79,10 @@ class PipelineConfig:
     # Sky env-map fetch at 1/k resolution then bilinear-upsampled (the env
     # fetch is 4 per-pixel gathers; sky is low-frequency). 1 = full res.
     sky_fetch_scale: int = 4
+    # RT passes (sun shadow mask / reflections) trace at 1/rt_scale res and
+    # reconstruct with nearest-depth upsampling (half-res RT, the standard
+    # real-time reconstruction; traversal cost scales with ray count).
+    rt_scale: int = 1
     # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the
     # pipeline renders a HORIZONTAL BAND of a taller frame — ``height`` is
     # the band height, ``full_height`` the whole frame, and each device's

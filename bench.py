@@ -27,7 +27,7 @@ import time
 BUDGET_MS = 16.667
 
 
-def _cfg(small: bool, shadow: int = 2048):
+def _cfg(small: bool, shadow: int = 2048, rt_scale: int = 1):
     from arkoserenderer_tpu.core.types import RasterConfig
     from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
 
@@ -43,6 +43,7 @@ def _cfg(small: bool, shadow: int = 2048):
         raster=RasterConfig(tile_h=8, tile_w=128, max_tris_per_tile=256,
                             bin_chunk=2048),
         shadow_map_size=shadow,
+        rt_scale=rt_scale,
     )
 
 
@@ -58,7 +59,7 @@ CONFIGS = {
     "rt": (
         "test",
         dict(rt_shadows=True, rt_reflections=True),
-        "RT shadows + RT reflections + FFX-style denoise",
+        "RT shadows + RT reflections + FFX-style denoise (half-res RT)",
     ),
     "ddgi": (
         "test",
@@ -77,7 +78,7 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
     from arkoserenderer_tpu.models.standard import Renderer
 
     kind, kw, desc = CONFIGS[name]
-    cfg = _cfg(small)
+    cfg = _cfg(small, rt_scale=2 if name == "rt" else 1)
     if kind == "test_upscaled":
         import dataclasses
 
