@@ -69,7 +69,7 @@ def shade_hits_simple(
 
     sun_l = -scene.lights.sun_direction
     occl = trace_rays(
-        scene.bvh, world_pos + nrm * 1e-2,
+        scene.bvh, jnp.where(hit.hit[:, None], world_pos + nrm * 1e-2, -1e7),
         jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
     )
     n_dot_l = jnp.clip(mx.vdot(nrm, sun_l[None, :], keepdims=False), 0.0, 1.0)
@@ -131,8 +131,11 @@ def shade_hits(
     emissive = ms.emissive * mrec[:, M_EMIF : M_EMIF + 3]
 
     sun_l = -scene.lights.sun_direction
+    # Sun-occlusion rays only matter where the primary ray HIT something;
+    # park the misses outside the scene so they exit in one step.
+    occl_org = jnp.where(hit.hit[:, None], world_pos + nrm * 1e-2, -1e7)
     occl = trace_rays(
-        scene.bvh, world_pos + nrm * 1e-2,
+        scene.bvh, occl_org,
         jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
         chunk_size=chunk_size,
     )

@@ -183,6 +183,7 @@ class RTReflectionsPass(RenderPass):
         pxg, pyg = _np.meshgrid(xs, ys)
         px = jnp.asarray(pxg.ravel())
         py = jnp.asarray(pyg.ravel())
+        px_full, py_full = pixel_centers(cfg)   # full res (denoiser stages)
         full_h = cfg.frame_height
         max_rough = self.max_roughness
         temporal = self.temporal
@@ -223,6 +224,10 @@ class RTReflectionsPass(RenderPass):
             view = mx.normalize(ctx.camera.position[None, :] - world)
             r_dir = mx.normalize(mx.reflect(-view, nrm))
             active = valid0 & (rough[:, 0] < max_rough)
+            # Park INACTIVE rays (sky + rough-beyond-cutoff surfaces) far
+            # outside the scene: they exit traversal in one step instead of
+            # bouncing around uselessly (results are masked by `active`).
+            world = jnp.where(active[:, None], world, -1e7)
 
             live = scene_with_live_bvh(state, ctx)
             origins = world + nrm * 2e-2
@@ -277,7 +282,7 @@ class RTReflectionsPass(RenderPass):
             hist, mom, conf = dn.reproject(
                 state["RTRefl.history"], state["RTRefl.moments"],
                 state["RTRefl.depth"], depth,
-                state["SceneVelocity"], px, py,
+                state["SceneVelocity"], px_full, py_full,
             )
             resolved, moments = dn.resolve_temporal(
                 filtered, hist, mom, conf, ctx.frame_index == 0,

@@ -257,3 +257,24 @@ def test_masked_transparent_triangles_excluded_from_rt():
     hits = np.asarray(hit.hit)
     # uv mapping: one half transparent -> exactly one of the two rays hits.
     assert hits.sum() == 1, hits
+
+
+def test_half_res_rt_matches_full_res_roughly():
+    """rt_scale=2: shadows + reflections trace at quarter rays with
+    nearest-depth reconstruction; output must stay close to full-res RT."""
+    import dataclasses
+
+    scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+    r_full = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
+                      taa=False, bloom=False)
+    a = np.array(r_full.render_frame())
+
+    scene2, cam2 = build_test_scene(viewport=(W, H), n_spheres=1)
+    cfg2 = dataclasses.replace(CFG, rt_scale=2)
+    r_half = Renderer(scene2, cam2, cfg2, rt_shadows=True, rt_reflections=True,
+                      taa=False, bloom=False)
+    b = np.array(r_half.render_frame())
+    assert np.isfinite(b).all()
+    # Same image up to reconstruction error at silhouettes.
+    assert np.abs(a - b).mean() < 0.02
+    assert (np.abs(a - b).max(axis=-1) > 0.1).mean() < 0.06
