@@ -70,7 +70,7 @@ def shade_hits_simple(
     sun_l = -scene.lights.sun_direction
     occl = trace_rays(
         scene.bvh, jnp.where(hit.hit[:, None], world_pos + nrm * 1e-2, -1e7),
-        jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
+        jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True, t_max=1e4,
     )
     n_dot_l = jnp.clip(mx.vdot(nrm, sun_l[None, :], keepdims=False), 0.0, 1.0)
     color = (
@@ -134,10 +134,12 @@ def shade_hits(
     # Sun-occlusion rays only matter where the primary ray HIT something;
     # park the misses outside the scene so they exit in one step.
     occl_org = jnp.where(hit.hit[:, None], world_pos + nrm * 1e-2, -1e7)
+    # t_max well under the parking distance: parked rays' slab interval
+    # exceeds t_max, so they miss the root in one step.
     occl = trace_rays(
         scene.bvh, occl_org,
         jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
-        chunk_size=chunk_size,
+        t_max=1e4, chunk_size=chunk_size,
     )
     view = -mx.normalize(ray_dirs)
     # brdf.evaluate returns f(l, v) * <n.l> — multiply by illuminance only.

@@ -114,7 +114,7 @@ class RTShadowPass(RenderPass):
                 scene_with_live_bvh(state, ctx), world,
                 -ctx.scene.lights.sun_direction,
                 covered,
-                chunk_size=1 << 15 if hs * ws >= (1 << 17) else None,
+                chunk_size=1 << 13 if hs * ws >= (1 << 17) else None,
             )
             if scale > 1:
                 from arkoserenderer_tpu.ops.image import upsample_nearest_depth
@@ -231,9 +231,24 @@ class RTReflectionsPass(RenderPass):
 
             live = scene_with_live_bvh(state, ctx)
             origins = world + nrm * 2e-2
-            chunk = 1 << 15 if hs * ws >= (1 << 17) else None
-            hit = trace_rays(live.bvh, origins, r_dir, t_max=1e4,
-                             chunk_size=chunk)
+            chunk = 1 << 13 if hs * ws >= (1 << 17) else None
+            if chunk is not None:
+                # COMPACT the sparse active set to the front (stable sort):
+                # chunks are sequential worst-ray loops, so concentrating
+                # the real rays into the first ceil(n_active/chunk) chunks
+                # makes every parked tail chunk terminate in one step.
+                order = jnp.argsort(~active, stable=True)
+                inv = jnp.argsort(order, stable=True)
+                hit_s = trace_rays(
+                    live.bvh, origins[order], r_dir[order], t_max=1e4,
+                    chunk_size=chunk,
+                )
+                from arkoserenderer_tpu.ops.bvh import Hit as _Hit
+
+                hit = _Hit(*(x[inv] for x in hit_s))
+            else:
+                hit = trace_rays(live.bvh, origins, r_dir, t_max=1e4,
+                                 chunk_size=chunk)
             ddgi_sample = None
             if use_ddgi:
                 from arkoserenderer_tpu.ops import ddgi as ddgi_ops
