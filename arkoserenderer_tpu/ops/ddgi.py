@@ -167,7 +167,10 @@ def update_probes(
 
     origins = jnp.repeat(pos, r, axis=0)                        # (n_up*R, 3)
     ray_dirs = jnp.tile(dirs, (n_up, 1))
-    hit = trace_rays(scene.bvh, origins, ray_dirs, t_max=1e4)
+    n_rays = origins.shape[0]
+    chunk = 1 << 13 if n_rays >= (1 << 15) else None
+    hit = trace_rays(scene.bvh, origins, ray_dirs, t_max=1e4,
+                     chunk_size=chunk)
 
     # -- shade hits (ddgi/raygen.rgen analogue, diffuse-only) -----------------
     tri = jnp.maximum(hit.tri, 0)
@@ -186,9 +189,12 @@ def update_probes(
     albedo = scene.materials.base_color_factor[mat_id][:, :3]
 
     sun_l = -scene.lights.sun_direction
+    # Missed probe rays need no sun-occlusion ray: park them outside the
+    # scene (capped t_max exits their slab test in one step).
     shadow = trace_rays(
-        scene.bvh, world_pos + nrm * 1e-2,
-        jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True,
+        scene.bvh, jnp.where(hit.hit[:, None], world_pos + nrm * 1e-2, -1e7),
+        jnp.broadcast_to(sun_l, world_pos.shape), any_hit=True, t_max=1e4,
+        chunk_size=chunk,
     )
     n_dot_l = jnp.clip(mx.vdot(nrm, sun_l[None, :], keepdims=False), 0.0, 1.0)
     direct = (
