@@ -41,6 +41,8 @@ import numpy as np
 from arkoserenderer_tpu.core.types import VIS_NONE, RasterConfig
 from arkoserenderer_tpu.core.mathx import DEPTH_FAR
 
+TILE_CHUNK = 256   # occupancy-sorted raster tile chunk (see rasterize_tiles)
+
 
 class TriSetup(NamedTuple):
     """Per-raster-triangle screen-space setup data (shapes (T', ...) where
@@ -457,7 +459,40 @@ def rasterize_tiles(
         state = jax.lax.fori_loop(0, count, step_local, (depth0, vis0))
         return jax.lax.fori_loop(0, bins.global_count, step_global, state)
 
-    depth_t, vis_t = jax.vmap(tile_body)(bins.starts, bins.counts, px, py, limit_t)
+    # Occupancy-sorted tile chunking: a plain vmap(fori) lowers to running
+    # EVERY tile to the GLOBAL max triangle count — dense tiles (a stress
+    # scene's center) make empty edge tiles pay the same. Sorting tiles by
+    # count and processing them in lax.map chunks bounds each chunk's loop
+    # at ITS own max: total work ~ sum(counts) instead of ntiles*max(count).
+    ntiles = px.shape[0]
+    chunk = TILE_CHUNK
+    if ntiles > 2 * chunk:
+        pad = (-ntiles) % chunk
+        order = jnp.argsort(bins.counts)
+        inv = jnp.argsort(order)
+
+        def padded(a, fill=0):
+            return jnp.concatenate(
+                [a[order], jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+            ) if pad else a[order]
+
+        k = (ntiles + pad) // chunk
+        st_c = padded(bins.starts).reshape(k, chunk)
+        ct_c = padded(bins.counts).reshape(k, chunk)
+        px_c = padded(px).reshape(k, chunk, -1)
+        py_c = padded(py).reshape(k, chunk, -1)
+        lt_c = padded(limit_t, fill=2.0).reshape(k, chunk, -1)
+
+        def chunk_fn(args):
+            return jax.vmap(tile_body)(*args)
+
+        depth_c, vis_c = jax.lax.map(chunk_fn, (st_c, ct_c, px_c, py_c, lt_c))
+        depth_t = depth_c.reshape(-1, p)[:ntiles][inv]
+        vis_t = vis_c.reshape(-1, p)[:ntiles][inv]
+    else:
+        depth_t, vis_t = jax.vmap(tile_body)(
+            bins.starts, bins.counts, px, py, limit_t
+        )
     depth = tiled_to_image(depth_t, width, height, cfg)
     if depth_only:
         vis = jnp.full((height, width), VIS_NONE, dtype=jnp.int32)

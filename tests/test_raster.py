@@ -177,3 +177,39 @@ def test_near_plane_clipping_floor():
     # far off-screen (TODO: guard-band clip for tighter bounds).
     np.testing.assert_allclose(sx[valid], px.ravel()[valid], atol=0.5)
     np.testing.assert_allclose(sy[valid], py.ravel()[valid], atol=0.5)
+
+
+def test_tile_chunked_raster_matches_plain(monkeypatch):
+    """The occupancy-sorted tile-chunk dispatch (total work ~ sum of tile
+    counts instead of ntiles x max) must be bit-identical to the plain
+    vmap path."""
+    import jax.numpy as jnp
+
+    from arkoserenderer_tpu.assets.procedural import build_test_scene
+    from arkoserenderer_tpu.core.types import RasterConfig
+    from arkoserenderer_tpu.ops import raster as R
+
+    scene, cam = build_test_scene(viewport=(128, 128))
+    arrays = scene.build()
+    cfg = RasterConfig(tile_h=8, tile_w=8, max_tris_per_tile=256, bin_chunk=512)
+    clipm = cam.state(0).view_proj
+    from arkoserenderer_tpu.core import mathx as mx
+
+    w = np.asarray(arrays.world)[np.asarray(arrays.vertex_instance)]
+    wp = np.einsum("vij,vj->vi", w[:, :3, :3], np.asarray(arrays.positions)) + w[:, :3, 3]
+    clip = np.asarray(mx.transform_points_h(np.asarray(clipm), wp))
+    args = (jnp.asarray(clip), arrays.indices, arrays.tri_valid)
+
+    def run():
+        vis, depth, _, _ = R.rasterize(
+            *args, width=128, height=128, cfg=cfg, cull_backfaces=True
+        )
+        return np.asarray(vis), np.asarray(depth)
+
+    # 128/8 * 128/8 = 256 tiles: force BOTH paths via the chunk constant.
+    monkeypatch.setattr(R, "TILE_CHUNK", 64)       # 256 > 2*64 -> chunked
+    vis_c, depth_c = run()
+    monkeypatch.setattr(R, "TILE_CHUNK", 100000)   # plain vmap
+    vis_p, depth_p = run()
+    np.testing.assert_array_equal(vis_c, vis_p)
+    np.testing.assert_array_equal(depth_c, depth_p)
