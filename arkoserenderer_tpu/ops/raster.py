@@ -116,11 +116,21 @@ def _near_clip(tri_clip, tri_valid, w_eps, extra_budget: int):
     out_idx = jnp.argmin(inside, axis=-1)   # first False (any when none)
     in_idx = jnp.argmax(inside, axis=-1)    # first True
     start = jnp.where(n_in == 2, (out_idx + 1) % 3, in_idx)  # (T,)
-    perm = (start[:, None] + jnp.arange(3)[None, :]) % 3     # (T, 3)
-
-    rot = jnp.take_along_axis(tri_clip, perm[..., None], axis=1)  # (T,3,4)
+    # start only takes 3 values, so the rotation is a 3-way SELECT between
+    # static rolls — a data-dependent take_along_axis here is a ~70ms gather
+    # at 1M-triangle pools on TPU; rolls are slices and the selects fuse.
+    s3 = start[:, None, None]
+    rot = jnp.where(
+        s3 == 0, tri_clip,
+        jnp.where(s3 == 1, jnp.roll(tri_clip, -1, axis=1),
+                  jnp.roll(tri_clip, -2, axis=1)))
     ident = jnp.broadcast_to(jnp.eye(3, dtype=tri_clip.dtype), (t_total, 3, 3))
-    rot_bary = jnp.take_along_axis(ident, perm[..., None], axis=1)
+    eye = jnp.eye(3, dtype=tri_clip.dtype)
+    rot_bary = jnp.where(
+        s3 == 0, ident,
+        jnp.where(s3 == 1,
+                  jnp.broadcast_to(jnp.roll(eye, -1, axis=0), (t_total, 3, 3)),
+                  jnp.broadcast_to(jnp.roll(eye, -2, axis=0), (t_total, 3, 3))))
 
     a, b, c = rot[:, 0], rot[:, 1], rot[:, 2]
     ba, bb, bc = rot_bary[:, 0], rot_bary[:, 1], rot_bary[:, 2]
@@ -164,26 +174,36 @@ def _near_clip(tri_clip, tri_valid, w_eps, extra_budget: int):
     extra_tri = jnp.stack([a, i_bc, i_ac], axis=1)
     extra_bary = jnp.stack([ba, by_bc, by_ac], axis=1)
 
-    slot = jnp.cumsum(needs_extra.astype(jnp.int32)) - 1
-    ok = needs_extra & (slot < extra_budget)
-    dest = jnp.where(ok, slot, extra_budget)  # trash slot at the end
+    # Compact the (few) quad-case triangle ids with one i32 sort, then GATHER
+    # their payloads into the E extra slots. The obvious scatter
+    # (.at[dest].set over all T source rows, 4x) costs ~190ms at 1M-triangle
+    # pools on TPU; the sort+gather form is ~10ms and fills the slots in the
+    # same stable submission order (keys are distinct indices).
+    key = jnp.where(needs_extra, jnp.arange(t_total, dtype=jnp.int32), t_total)
+    key_sorted = jax.lax.sort(key)
+    if extra_budget > t_total:
+        key_sorted = jnp.pad(
+            key_sorted, (0, extra_budget - t_total), constant_values=t_total
+        )
+    sel = key_sorted[:extra_budget]           # tri id per extra slot (T = none)
+    ok = sel < t_total
+    src = jnp.where(ok, sel, 0)
+    okf = ok[:, None, None]
+    # Keep unfilled slots at exactly zero (w == 0 padding rows — downstream
+    # guards rely on it; see clip_to_screen).
+    e_clip = jnp.where(okf, extra_tri[src], 0.0)
+    e_bary = jnp.where(okf, extra_bary[src], 0.0)
+    e_orig = jnp.where(ok, sel, 0)
 
-    e_clip = jnp.zeros((extra_budget + 1, 3, 4), tri_clip.dtype)
-    e_bary = jnp.zeros((extra_budget + 1, 3, 3), tri_clip.dtype)
-    e_orig = jnp.zeros((extra_budget + 1,), jnp.int32)
-    e_valid = jnp.zeros((extra_budget + 1,), bool)
-    e_clip = e_clip.at[dest].set(extra_tri, mode="drop")
-    e_bary = e_bary.at[dest].set(extra_bary, mode="drop")
-    e_orig = e_orig.at[dest].set(jnp.arange(t_total, dtype=jnp.int32), mode="drop")
-    e_valid = e_valid.at[dest].set(ok, mode="drop")
-
-    clip_all = jnp.concatenate([prim, e_clip[:extra_budget]], axis=0)
-    bary_all = jnp.concatenate([prim_bary, e_bary[:extra_budget]], axis=0)
+    clip_all = jnp.concatenate([prim, e_clip], axis=0)
+    bary_all = jnp.concatenate([prim_bary, e_bary], axis=0)
     orig_all = jnp.concatenate(
-        [jnp.arange(t_total, dtype=jnp.int32), e_orig[:extra_budget]], axis=0
+        [jnp.arange(t_total, dtype=jnp.int32), e_orig], axis=0
     )
-    valid_all = jnp.concatenate([prim_valid, e_valid[:extra_budget]], axis=0)
-    overflow = jnp.sum(needs_extra & ~ok)
+    valid_all = jnp.concatenate([prim_valid, ok], axis=0)
+    overflow = jnp.maximum(
+        jnp.sum(needs_extra) - jnp.asarray(extra_budget, jnp.int32), 0
+    )
     return clip_all, bary_all, orig_all, valid_all, overflow
 
 
