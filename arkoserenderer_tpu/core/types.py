@@ -67,6 +67,7 @@ class RasterConfig:
     bin_chunk: int = 2048  # triangles binned per scan step (legacy scan path)
     max_tiles_per_tri: int = 16  # pair-emission cap; bigger spans go global
     max_global_tris: int = 256   # capacity of the every-tile "big triangle" list
+    max_mid_tris: int = 0        # span-3..C compaction budget (0 = pool/8)
     use_pallas: bool = False     # Pallas stage-4 raster (single-band only;
                                  # interpret mode is auto-selected on CPU)
 

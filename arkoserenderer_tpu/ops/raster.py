@@ -304,15 +304,24 @@ def bin_triangles(
 ) -> TileBins:
     """Stage 3: build per-tile triangle lists, sort-based.
 
-    Emit up to ``C = max_tiles_per_tri`` (tile, tri) pairs per triangle from
-    its tile-space bbox, sort all pairs by tile id (stable, so lists stay in
-    triangle submission order), and recover per-tile ranges with a
-    searchsorted over the sorted keys. This is the XLA-native equivalent of
-    the reference's ballot/atomic compaction (meshletTaskSetup.comp) that
-    maps well to the TPU: one O(P log P) vectorized sort instead of millions
-    of serialized scatter updates. Triangles spanning more than C tiles
-    (clipped floors, close-ups) go to a small global list that every tile
-    walks with a bbox pre-test.
+    Emit (tile, tri) pairs per triangle from its tile-space bbox, sort all
+    pairs by (tile, tri), and recover per-tile ranges with a searchsorted
+    over the sorted keys. This is the XLA-native equivalent of the
+    reference's ballot/atomic compaction (meshletTaskSetup.comp) that maps
+    well to the TPU: one O(P log P) vectorized sort instead of millions of
+    serialized scatter updates. Triangles spanning more than
+    ``C = max_tiles_per_tri`` tiles (clipped floors, close-ups) go to a
+    small global list that every tile walks with a bbox pre-test.
+
+    Pair emission is TIERED to keep the sort small: in real scenes the
+    overwhelming majority of triangles cover 1-2 tiles (95K of 111K camera
+    tris, 771K of 774K sun-shadow tris on the 4096-instance stress scene),
+    so every triangle gets 2 pair slots and the few spanning 3..C tiles are
+    sort-compacted into a ``max_mid_tris`` side list that gets C slots each.
+    That is ~4x fewer sort keys than C slots for everyone, and the
+    (tile, tri) two-key sort keeps per-tile lists in ascending-triangle
+    order, so results are identical. Mid-list overflow is counted in
+    ``overflow`` (same budget-with-counter contract as the bin caps).
 
     ``height`` is the BAND height when rendering a horizontal window of a
     taller viewport; ``y_offset`` (pixels, may be traced — used by the
@@ -339,20 +348,53 @@ def bin_triangles(
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
     span = span_x * span_y
-    small = valid & (span <= c)
     big = valid & (span > c)
+    overflow_mid = jnp.zeros((), jnp.int32)
 
-    # Pair emission: k-th covered tile of each small triangle.
-    ks = jnp.arange(c, dtype=jnp.int32)[None, :]            # (1, C)
-    kx = ks % span_x[:, None]
-    ky = ks // span_x[:, None]
-    tile = (ty0[:, None] + ky) * ntx + (tx0[:, None] + kx)  # (T', C)
-    pair_ok = small[:, None] & (ks < span[:, None])
-    keys = jnp.where(pair_ok, tile, ntiles).reshape(-1)     # invalid -> end
-    tris = jnp.broadcast_to(
-        jnp.arange(t_total, dtype=jnp.int32)[:, None], (t_total, c)
-    ).reshape(-1)
-    sorted_keys, sorted_tris = jax.lax.sort((keys, tris), num_keys=1)
+    def emit(ids, n_slots, ok_mask, _tx0, _ty0, _sx, _span):
+        """(N,) tri ids -> (N*n_slots,) tile keys + tri values."""
+        ks = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+        kx = ks % _sx[:, None]
+        ky = ks // _sx[:, None]
+        tile = (_ty0[:, None] + ky) * ntx + (_tx0[:, None] + kx)
+        pair_ok = ok_mask[:, None] & (ks < _span[:, None])
+        k = jnp.where(pair_ok, tile, ntiles).reshape(-1)    # invalid -> end
+        v = jnp.broadcast_to(ids[:, None], (ids.shape[0], n_slots)).reshape(-1)
+        return k, v
+
+    c_a = min(2, c)
+    all_ids = jnp.arange(t_total, dtype=jnp.int32)
+    keys_a, tris_a = emit(
+        all_ids, c_a, valid & (span <= c_a), tx0, ty0, span_x, span
+    )
+    if c > c_a:
+        # Mid tier: sort-compact the few span-in-(2, C] triangle ids, then
+        # give each C pair slots. Budget default: 1/8 of the pool (the
+        # measured mid share is ~1.5%), floor 2048.
+        m_cap = cfg.max_mid_tris or max(t_total // 8, 2048)
+        mid = valid & (span > c_a) & (span <= c)
+        mid_key = jnp.where(mid, all_ids, t_total)
+        mid_sorted = jax.lax.sort(mid_key)
+        if m_cap > t_total:
+            mid_sorted = jnp.pad(
+                mid_sorted, (0, m_cap - t_total), constant_values=t_total
+            )
+        sel = mid_sorted[:m_cap]
+        ok = sel < t_total
+        src = jnp.where(ok, sel, 0)
+        keys_b, tris_b = emit(
+            sel, c, ok, tx0[src], ty0[src], span_x[src], span[src]
+        )
+        keys = jnp.concatenate([keys_a, keys_b])
+        tris = jnp.concatenate([tris_a, tris_b])
+        overflow_mid = jnp.maximum(
+            jnp.sum(mid) - jnp.asarray(m_cap, jnp.int32), 0
+        )
+    else:
+        keys, tris = keys_a, tris_a
+    # Two keys (tile, tri): per-tile lists come out in ascending-triangle
+    # order — the same order tri-major emission gave the untiered sort.
+    sorted_keys, sorted_tris = jax.lax.sort((keys, tris), num_keys=2)
 
     starts = jnp.searchsorted(sorted_keys, jnp.arange(ntiles + 1, dtype=jnp.int32))
     raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
@@ -369,7 +411,7 @@ def bin_triangles(
     global_tris = jnp.where(
         jnp.arange(g_cap) < g_count, big_sorted[:g_cap], VIS_NONE
     ).astype(jnp.int32)
-    overflow = overflow + (n_big - g_count)
+    overflow = overflow + (n_big - g_count) + overflow_mid
 
     return TileBins(
         sorted_tris=sorted_tris,
