@@ -247,6 +247,16 @@ class TwoLevelBVH:
     node_cbounds: jax.Array = None  # (M, 12) f32 [Llo3, Lhi3, Rlo3, Rhi3]
     node_int: jax.Array = None      # (M, 4) i32 [left, right, count, redirect]
     tri_quad: jax.Array = None      # (S/4, 36) f32 4 x [v0, e1, e2] per row
+    # -- WIDE (8-ary) traversal records (see _collapse_wide) ------------------
+    # The binary tree collapsed to branching factor 8: a traversal step costs
+    # the SAME ~4 gathers but covers 8 children, so the serialized while-loop
+    # runs ~3x fewer steps — the dominant RT cost on this machine is
+    # (worst-ray steps) x (gather latency per step) (METRICS.md round 2).
+    wide_meta: jax.Array = None     # (W, 8) i32 child descriptors (_wide_desc)
+    wide_src: jax.Array = None      # (W, 8) i32 binary node id per slot (-1
+                                    #   empty) — bounds re-derived on refit
+    wide_cbounds: jax.Array = None  # (W, 48) f32 8 x [lo3, hi3]
+    wide_root_blas: jax.Array = None  # (I,) i32 wide root node per instance
     n_tlas: int = dataclasses.field(metadata={"static": True}, default=1)
 
 
@@ -257,6 +267,7 @@ jax.tree_util.register_dataclass(
         "node_end", "tri_order", "tri_v0", "tri_e1", "tri_e2", "slot_inst",
         "inst_order", "inst_w2o", "inst_o2w", "blas_root", "inst_tri_base",
         "inst_id", "node_cbounds", "node_int", "tri_quad",
+        "wide_meta", "wide_src", "wide_cbounds", "wide_root_blas",
     ],
     meta_fields=["n_tlas"],
 )
@@ -282,6 +293,107 @@ def _derive_packed(node_min, node_max, left, right, count, blas_root,
     ).astype(jnp.int32)
     tri_quad = jnp.concatenate([tri_v0, tri_e1, tri_e2], axis=-1).reshape(-1, 36)
     return cbounds, node_int, tri_quad
+
+
+# ---------------------------------------------------------------------------
+# Wide (8-ary) collapse
+#
+# Child descriptor encoding (i32):
+#   desc >= 0                    -> internal wide node id
+#   desc < 0, e = -desc - 1:
+#     kind = e >> 28             -> 0 = quad triangle leaf, 1 = instance leaf
+#     kind 0: payload = e & 0x0FFFFFFF = (quad_row << 3) | tri_count (1..4)
+#     kind 1: payload = instance slot (TLAS leaf; traversal pushes the
+#             instance's wide BLAS root and switches to object space)
+
+WIDE_WIDTH = 8
+WIDE_STACK_DEPTH = 64
+
+
+def _wide_desc_leaf(left: int, cnt: int) -> int:
+    return -(1 + (((left >> 2) << 3) | cnt))
+
+
+def _wide_desc_inst(inst: int) -> int:
+    return -(1 + ((1 << 28) | inst))
+
+
+def _collapse_wide(node_min, node_max, left, right, count, roots):
+    """Collapse binary trees (shared arrays, one root per tree) to 8-wide.
+
+    Greedy expansion: starting from [root], repeatedly replace the internal
+    child with the largest surface area by its two children until WIDE_WIDTH
+    slots are used — the standard BVH8 collapse heuristic. Leaf children
+    become inline descriptors; internal children become new wide nodes.
+
+    Returns (wide_meta (W, 8) i32, wide_src (W, 8) i32, wide_root_of (dict
+    binary root -> wide id)).
+    """
+    ext = np.maximum(node_max - node_min, 0.0)
+    area = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+            + ext[:, 2] * ext[:, 0])
+    metas: list[list[int]] = []
+    srcs: list[list[int]] = []
+    wide_root_of: dict[int, int] = {}
+    # (wide id, binary subtree root); wide ids assigned on enqueue so
+    # children can reference parents' forward slots deterministically.
+    queue: list[tuple[int, int]] = []
+
+    def enqueue(b: int) -> int:
+        # Wide ids are queue positions: metas are appended in queue order.
+        wid = len(queue)
+        queue.append((wid, b))
+        return wid
+
+    for root in roots:
+        wide_root_of[int(root)] = enqueue(int(root))
+
+    qi = 0
+    while qi < len(queue):
+        _wid, b = queue[qi]
+        qi += 1
+        ch = [b] if count[b] != 0 else [int(left[b]), int(right[b])]
+        while len(ch) < WIDE_WIDTH:
+            best, best_a = -1, -1.0
+            for k, c in enumerate(ch):
+                if count[c] == 0 and area[c] > best_a:
+                    best, best_a = k, float(area[c])
+            if best < 0:
+                break
+            c = ch.pop(best)
+            ch.extend((int(left[c]), int(right[c])))
+        meta_row = []
+        src_row = []
+        for c in ch:
+            if count[c] == 0:
+                meta_row.append(enqueue(c))
+            elif count[c] > 0:
+                meta_row.append(_wide_desc_leaf(int(left[c]), int(count[c])))
+            else:  # instance leaf
+                meta_row.append(_wide_desc_inst(int(left[c])))
+            src_row.append(c)
+        while len(meta_row) < WIDE_WIDTH:
+            meta_row.append(0)
+            src_row.append(-1)
+        metas.append(meta_row)
+        srcs.append(src_row)
+
+    return (np.asarray(metas, np.int32).reshape(-1, WIDE_WIDTH),
+            np.asarray(srcs, np.int32).reshape(-1, WIDE_WIDTH),
+            wide_root_of)
+
+
+def _derive_wide_bounds(node_min, node_max, wide_src):
+    """(W, 48) packed per-child [lo3, hi3] from the binary node bounds —
+    jit-traceable so refit just re-gathers (empty slots get inverted bounds
+    that no slab test can hit)."""
+    src = jnp.maximum(wide_src, 0)
+    lo = node_min[src]                       # (W, 8, 3)
+    hi = node_max[src]
+    empty = (wide_src < 0)[..., None]
+    lo = jnp.where(empty, 3e30, lo)
+    hi = jnp.where(empty, -3e30, hi)
+    return jnp.concatenate([lo, hi], axis=-1).reshape(-1, 6 * WIDE_WIDTH)
 
 
 def _affine_inverse_np(m: np.ndarray) -> np.ndarray:
@@ -433,6 +545,17 @@ def build_two_level(
     e2 = jnp.asarray(np.concatenate([s[3] for s in blas_slots]).astype(np.float32))
     br = jnp.asarray(roots_by_blas[inst_blas].astype(np.int32))
     cbounds, node_int, tri_quad = _derive_packed(nm, nx, lf, rt, ct, br, v0, e1, e2)
+    # ---- 8-wide collapse (TLAS tree root 0 + every BLAS root) --------------
+    w_meta, w_src, w_root_of = _collapse_wide(
+        node_min, node_max, left, right, count,
+        [0] + [int(r) for r in roots_by_blas],
+    )
+    w_meta_j = jnp.asarray(w_meta)
+    w_src_j = jnp.asarray(w_src)
+    w_cb = _derive_wide_bounds(nm, nx, w_src_j)
+    w_root_blas = jnp.asarray(
+        np.asarray([w_root_of[int(r)] for r in roots_by_blas], np.int32)[inst_blas]
+    )
     return TwoLevelBVH(
         node_min=nm,
         node_max=nx,
@@ -455,6 +578,10 @@ def build_two_level(
         node_cbounds=cbounds,
         node_int=node_int,
         tri_quad=tri_quad,
+        wide_meta=w_meta_j,
+        wide_src=w_src_j,
+        wide_cbounds=w_cb,
+        wide_root_blas=w_root_blas,
         n_tlas=n_tlas,
     )
 
@@ -580,6 +707,10 @@ def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
         node_min, node_max, bvh.left, bvh.right, bvh.count, bvh.blas_root,
         v0, e1, e2,
     )
+    wide_cb = (
+        _derive_wide_bounds(node_min, node_max, bvh.wide_src)
+        if bvh.wide_src is not None else None
+    )
     return dataclasses.replace(
         bvh,
         node_min=node_min,
@@ -587,6 +718,7 @@ def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
         tri_v0=v0, tri_e1=e1, tri_e2=e2,
         inst_o2w=o2w, inst_w2o=w2o,
         node_cbounds=cbounds, node_int=node_int, tri_quad=tri_quad,
+        wide_cbounds=wide_cb,
     )
 
 
@@ -659,6 +791,9 @@ def trace_rays(
         hit = jax.lax.map(one, (o, d))
         return Hit(*(x.reshape(-1)[:r_total] for x in hit))
     if isinstance(bvh, TwoLevelBVH):
+        if bvh.wide_meta is not None:
+            return _trace_wide(bvh, origins, directions, t_max, t_eps,
+                               any_hit, max_steps)
         return _trace_two_level(bvh, origins, directions, t_max, t_eps,
                                 any_hit, max_steps)
     r = origins.shape[0]
@@ -748,6 +883,172 @@ def trace_rays(
     )
 
 
+def _trace_wide(
+    bvh: TwoLevelBVH,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_max,
+    t_eps: float,
+    any_hit: bool,
+    max_steps: int,
+) -> Hit:
+    """8-wide two-level SIMD-over-rays traversal.
+
+    The while loop is serialized gather latency × worst-ray step count
+    (METRICS.md round 2), so the step count is what the wide tree buys:
+    each pop covers 8 children with the SAME number of gathers as the
+    binary packed step (~4: transform row, meta row, bounds row, quad row).
+    Stack entries are child DESCRIPTORS (see _collapse_wide): internal
+    wide-node ids push their hit children (far-first via a 19-comparator
+    sorting network on slab distances — pure VPU); quad-leaf descriptors
+    test their 4-aligned triangle row inline; instance-leaf descriptors
+    switch to the instance's object space and push its wide BLAS root
+    (cur_inst/base_sp return protocol identical to _trace_two_level).
+    Replaces the driver-built BVH8-style traversal of the reference's RT
+    backend (arkose/rendering/backend/base/AccelerationStructure.h).
+    """
+    r = origins.shape[0]
+    rows = jnp.arange(r)
+    q_cap = bvh.tri_quad.shape[0] - 1
+    big = jnp.float32(1e30)
+
+    stack = jnp.zeros((r, WIDE_STACK_DEPTH), jnp.int32)
+    sp = jnp.ones((r,), jnp.int32)              # wide TLAS root (id 0) pushed
+    cur_inst = jnp.full((r,), -1, jnp.int32)
+    base_sp = jnp.zeros((r,), jnp.int32)
+    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
+    best_tri = jnp.full((r,), -1, jnp.int32)
+    best_u = jnp.zeros((r,))
+    best_v = jnp.zeros((r,))
+
+    def cond(state):
+        sp = state[1]
+        step = state[-1]
+        return jnp.any(sp > 0) & (step < max_steps)
+
+    def body(state):
+        stack, sp, cur_inst, base_sp, best_t, best_tri, best_u, best_v, step = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        desc = stack[rows, top]
+        left_blas = active & (top < base_sp)
+        cur_inst = jnp.where(left_blas, -1, cur_inst)
+        base_sp = jnp.where(left_blas, 0, base_sp)
+        inst = cur_inst
+        sp_pop = jnp.where(active, sp - 1, sp)
+
+        e = -desc - 1
+        kind = e >> 28
+        payload = e & 0x0FFFFFFF
+        is_node = active & (desc >= 0)
+        is_quad = active & (desc < 0) & (kind == 0)
+        is_inst = active & (desc < 0) & (kind == 1)
+        node = jnp.where(is_node, desc, 0)
+
+        # Ray in the node's space (identity for TLAS rows).
+        m = bvh.inst_w2o[inst + 1]                       # (r, 3, 4)
+        # Elementwise affine transform (a per-ray batched dot makes XLA:TPU
+        # insert full-array layout transposes/copies around the loop state).
+        def _apply34(p, translate):
+            return jnp.stack(
+                [
+                    m[:, a, 0] * p[:, 0] + m[:, a, 1] * p[:, 1]
+                    + m[:, a, 2] * p[:, 2] + (m[:, a, 3] if translate else 0.0)
+                    for a in range(3)
+                ],
+                axis=-1,
+            )
+
+        o = _apply34(origins, True)
+        d = _apply34(directions, False)
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                jnp.where(d < 0, -1e-12, 1e-12), d)
+
+        # -- quad triangle leaf: one 36-lane row, up to 4 triangles -----------
+        qrow = payload >> 3
+        qcount = payload & 7
+        quad = bvh.tri_quad[jnp.clip(qrow, 0, q_cap)]    # (r, 36)
+        bt, btri, bu, bv = best_t, best_tri, best_u, best_v
+        g_base = bvh.inst_tri_base[jnp.maximum(inst, 0)]
+        for k in range(4):
+            v0 = quad[:, 9 * k + 0 : 9 * k + 3]
+            e1 = quad[:, 9 * k + 3 : 9 * k + 6]
+            e2 = quad[:, 9 * k + 6 : 9 * k + 9]
+            ok, t, u, v = _tri_hit(v0, e1, e2, o, d, t_eps)
+            take = is_quad & (k < qcount) & ok & (t < bt)
+            bt = jnp.where(take, t, bt)
+            slot = jnp.clip(qrow * 4 + k, 0, bvh.tri_order.shape[0] - 1)
+            btri = jnp.where(take, g_base + bvh.tri_order[slot], btri)
+            bu = jnp.where(take, u, bu)
+            bv = jnp.where(take, v, bv)
+
+        # -- internal: 8 slab tests from one 48-lane bounds row ---------------
+        cb = bvh.wide_cbounds[node]                      # (r, 48)
+        meta = bvh.wide_meta[node]                       # (r, 8)
+        keys = []
+        descs = []
+        for i in range(WIDE_WIDTH):
+            lo = cb[:, 6 * i : 6 * i + 3]
+            hi = cb[:, 6 * i + 3 : 6 * i + 6]
+            hit_i, near_i = _aabb_hit(lo, hi, o, inv_d, bt)
+            # Empty slots are masked by descriptor, not bounds: the min/max
+            # slab test treats an inverted (lo > hi) box as spanning every
+            # axis, i.e. ALWAYS hit. Wide id 0 is the TLAS root — never a
+            # child — so meta == 0 means "padding".
+            live_i = meta[:, i] != 0
+            keys.append(jnp.where(hit_i & is_node & live_i, near_i, big))
+            descs.append(meta[:, i])
+        if not any_hit:
+            # Far-first push order -> near child popped first (closest-hit
+            # pruning). Batcher 8-sort: 19 compare-exchanges, all VPU.
+            net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                   (5, 7), (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6),
+                   (1, 4), (3, 6), (2, 4), (3, 5), (3, 4)]
+            for a, b in net:
+                swap = keys[a] > keys[b]
+                ka = jnp.where(swap, keys[b], keys[a])
+                kb = jnp.where(swap, keys[a], keys[b])
+                da = jnp.where(swap, descs[b], descs[a])
+                db = jnp.where(swap, descs[a], descs[b])
+                keys[a], keys[b], descs[a], descs[b] = ka, kb, da, db
+
+        # -- pushes: children far-first, then the instance-leaf redirect ------
+        new_sp = sp_pop
+        for i in reversed(range(WIDE_WIDTH)):
+            ok = keys[i] < big
+            slot = jnp.minimum(new_sp, WIDE_STACK_DEPTH - 1)
+            stack = stack.at[rows, slot].set(
+                jnp.where(ok, descs[i], stack[rows, slot])
+            )
+            new_sp = jnp.where(
+                ok, jnp.minimum(new_sp + 1, WIDE_STACK_DEPTH - 1), new_sp
+            )
+
+        redirect = bvh.wide_root_blas[
+            jnp.clip(payload, 0, bvh.wide_root_blas.shape[0] - 1)
+        ]
+        slot = jnp.minimum(new_sp, WIDE_STACK_DEPTH - 1)
+        stack = stack.at[rows, slot].set(
+            jnp.where(is_inst, redirect, stack[rows, slot])
+        )
+        cur_inst = jnp.where(is_inst, payload, cur_inst)
+        base_sp = jnp.where(is_inst, new_sp, base_sp)
+        new_sp = jnp.where(
+            is_inst, jnp.minimum(new_sp + 1, WIDE_STACK_DEPTH - 1), new_sp
+        )
+
+        if any_hit:
+            new_sp = jnp.where(btri >= 0, 0, new_sp)
+
+        return stack, new_sp, cur_inst, base_sp, bt, btri, bu, bv, step + 1
+
+    state = (stack, sp, cur_inst, base_sp, best_t, best_tri, best_u, best_v,
+             jnp.zeros((), jnp.int32))
+    state = jax.lax.while_loop(cond, body, state)
+    best_t, best_tri, best_u, best_v = state[4:8]
+    return Hit(t=best_t, tri=best_tri, u=best_u, v=best_v, hit=best_tri >= 0)
+
+
 def _trace_two_level(
     bvh: TwoLevelBVH,
     origins: jax.Array,
@@ -808,8 +1109,20 @@ def _trace_two_level(
 
         # Ray in the node's space (identity for TLAS rows).
         m = bvh.inst_w2o[inst + 1]                       # (r, 3, 4)
-        o = jnp.einsum("rab,rb->ra", m[:, :, :3], origins) + m[:, :, 3]
-        d = jnp.einsum("rab,rb->ra", m[:, :, :3], directions)
+        # Elementwise affine transform (a per-ray batched dot makes XLA:TPU
+        # insert full-array layout transposes/copies around the loop state).
+        def _apply34(p, translate):
+            return jnp.stack(
+                [
+                    m[:, a, 0] * p[:, 0] + m[:, a, 1] * p[:, 1]
+                    + m[:, a, 2] * p[:, 2] + (m[:, a, 3] if translate else 0.0)
+                    for a in range(3)
+                ],
+                axis=-1,
+            )
+
+        o = _apply34(origins, True)
+        d = _apply34(directions, False)
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                 jnp.where(d < 0, -1e-12, 1e-12), d)
 

@@ -103,14 +103,18 @@ def sh2_irradiance(coeffs: jax.Array, n: jax.Array) -> jax.Array:
     c2 = 1.092548
     c3 = 0.315392
     c4 = 0.546274
-    b = jnp.concatenate([
+    bs = [
         jnp.full_like(x, c0),
         c1 * y, c1 * z, c1 * x,
         c2 * x * y, c2 * y * z,
         c3 * (3.0 * z * z - 1.0),
         c2 * x * z, c4 * (x * x - y * y),
-    ], axis=-1)                                          # (N, 9)
-    return jnp.maximum(b @ coeffs, 0.0)
+    ]                                                    # 9 x (N, 1)
+    # Elementwise accumulation (no per-pixel dot: MXU layout copies).
+    out = bs[0] * coeffs[0][None, :]
+    for i in range(1, 9):
+        out = out + bs[i] * coeffs[i][None, :]
+    return jnp.maximum(out, 0.0)
 
 
 def ambient_of_normal(env: jax.Array, n: jax.Array, brightness=1.0) -> jax.Array:

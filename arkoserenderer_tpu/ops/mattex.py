@@ -211,11 +211,16 @@ def _mip_dim(base: jax.Array, level: jax.Array) -> jax.Array:
 
 def _unpack12(rows: jax.Array) -> jax.Array:
     """(N, 3) u32 -> (N, 12) f32 [0,1], material-channel decoded to linear:
-    base.rgb and emissive.rgb sRGB-decoded; everything else linear."""
-    u = rows[..., :, None]
-    shifts = jnp.array([0, 8, 16, 24], jnp.uint32)
-    b = ((u >> shifts[None, None, :]) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
-    b = b.reshape(b.shape[0], 12)
+    base.rgb and emissive.rgb sRGB-decoded; everything else linear.
+
+    Flat-lane unpack (no (N, 3, 4) intermediate: 3-D reshapes are physical
+    copies under tiled TPU layouts — see ops/packed_shading)."""
+    lanes = [
+        ((rows[:, c] >> s) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        for c in range(3)
+        for s in (0, 8, 16, 24)
+    ]
+    b = jnp.stack(lanes, axis=-1)
     srgb_mask = jnp.array([1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 0], bool)
     lin = _srgb_to_linear(b)
     return jnp.where(srgb_mask[None, :], lin, b)

@@ -146,17 +146,29 @@ def build_vertex_world(scene, positions, normals, tangents,
         p_rot = m[:, off:off + 12].reshape(-1, 3, 4)
         off += 12
     n_rot = m[:, off:off + 9].reshape(-1, 3, 3)
-    wpos = jnp.einsum("vij,vj->vi", w_rot[:, :, :3], positions) + w_rot[:, :, 3]
-    wnrm = mx.normalize(jnp.einsum("vij,vj->vi", n_rot, normals))
+
+    def apply34(rot, p, translate=True):
+        # Broadcast mul-adds over the V axis (a batched einsum here lowers
+        # to an MXU dot whose layout demands wrap the pool in transposes).
+        return jnp.stack(
+            [
+                rot[:, r, 0] * p[:, 0] + rot[:, r, 1] * p[:, 1]
+                + rot[:, r, 2] * p[:, 2]
+                + (rot[:, r, 3] if translate else 0.0)
+                for r in range(3)
+            ],
+            axis=-1,
+        )
+
+    wpos = apply34(w_rot, positions)
+    wnrm = mx.normalize(apply34(n_rot, normals, translate=False))
     parts = [wpos]
     if layout.has_prev:
-        ppos = jnp.einsum("vij,vj->vi", p_rot[:, :, :3], positions) + p_rot[:, :, 3]
+        ppos = apply34(p_rot, positions)
         parts.append(ppos)
     parts.append(wnrm)
     if layout.has_tan:
-        wtan = mx.normalize(
-            jnp.einsum("vij,vj->vi", w_rot[:, :, :3], tangents[:, :3])
-        )
+        wtan = mx.normalize(apply34(w_rot, tangents[:, :3], translate=False))
         parts.append(wtan)
         parts.append(tangents[:, 3:4])
     parts.append(scene.uvs)
@@ -183,7 +195,12 @@ def build_records(
     t = setup.orig_tri.shape[0]
     corners = indices[setup.orig_tri]            # (T', 3)
     vtx = vtx_world[corners]                     # (T', 3, cs)
-    sub = jnp.einsum("tkj,tjc->tkc", setup.corner_bary, vtx)  # fold clipping
+    cb = setup.corner_bary                       # (T', 3, 3)
+    sub = (                                      # fold clipping, elementwise
+        cb[:, :, 0:1] * vtx[:, None, 0, :]
+        + cb[:, :, 1:2] * vtx[:, None, 1, :]
+        + cb[:, :, 2:3] * vtx[:, None, 2, :]
+    )
     mrec = mat_records[tri_material[setup.orig_tri]]          # (T', 32)
     base = 9 + 3 * cs + MREC_SIZE
     rec = jnp.concatenate(
@@ -232,34 +249,87 @@ def shade_packed(
     n = px.shape[0]
     exposure = cam.exposure
 
-    sxy = rec[:, 0:6].reshape(n, 3, 2)
-    inv_w = rec[:, 6:9]
-    c = rec[:, 9 : 9 + 3 * cs].reshape(n, 3, cs)
-    mrec = rec[:, 9 + 3 * cs : 9 + 3 * cs + MREC_SIZE]
+    # FLAT-LANE front-end: everything below slices the gathered rows 2-D
+    # only, with broadcast mul-adds — no einsum/dot (MXU layouts) and no
+    # (n, 3, k) reshapes (tiled TPU layouts make 3-D reshapes PHYSICAL
+    # copies: two full 597 MB copies of the record array measured in the
+    # optimized 1080p HLO before this). The whole shading front-end now
+    # fuses into one pass over the gather output.
+    ax, ay = rec[:, 0], rec[:, 1]
+    bx, by = rec[:, 2], rec[:, 3]
+    cx, cy = rec[:, 4], rec[:, 5]
+    iw0, iw1, iw2 = rec[:, 6], rec[:, 7], rec[:, 8]
 
-    bary = _persp_bary(sxy, inv_w, px, py)
-    bary_dx = _persp_bary(sxy, inv_w, px + 1.0, py)
-    bary_dy = _persp_bary(sxy, inv_w, px, py + 1.0)
+    def edge(px_, py_, ox, oy, ex_, ey_):
+        return (ey_ - oy) * (px_ - ox) - (ex_ - ox) * (py_ - oy)
 
-    attr = jnp.einsum("nk,nkc->nc", bary, c)       # every attribute at once
-    attr_dx = jnp.einsum("nk,nkc->nc", bary_dx, c)
-    attr_dy = jnp.einsum("nk,nkc->nc", bary_dy, c)
+    e0 = edge(px, py, bx, by, cx, cy)
+    e1 = edge(px, py, cx, cy, ax, ay)
+    e2 = edge(px, py, ax, ay, bx, by)
+    # Edge functions are affine in (px, py): +1px deltas are per-triangle
+    # constants, so the derivative barycentrics cost 6 adds, not 6 edges.
+    d0x, d0y = cy - by, -(cx - bx)
+    d1x, d1y = ay - cy, -(ax - cx)
+    d2x, d2y = by - ay, -(bx - ax)
 
-    world_pos = attr[:, 0:3]
+    def bary_of(f0, f1, f2):
+        p0, p1, p2 = f0 * iw0, f1 * iw1, f2 * iw2
+        den = p0 + p1 + p2
+        inv = jnp.where(
+            jnp.abs(den) > 1e-20, 1.0 / jnp.where(den == 0, 1.0, den), 0.0
+        )
+        return p0 * inv, p1 * inv, p2 * inv
+
+    b0, b1, b2 = bary_of(e0, e1, e2)
+    bx0, bx1, bx2 = bary_of(e0 + d0x, e1 + d1x, e2 + d2x)
+    by0, by1, by2 = bary_of(e0 + d0y, e1 + d1y, e2 + d2y)
+
+    def lane(j):  # interpolated attribute lane j (corner stride cs)
+        return (
+            b0 * rec[:, 9 + j] + b1 * rec[:, 9 + cs + j]
+            + b2 * rec[:, 9 + 2 * cs + j]
+        )
+
+    def lanes3(j):
+        return jnp.stack([lane(j), lane(j + 1), lane(j + 2)], axis=-1)
+
+    mo = 9 + 3 * cs
+    mrec = rec[:, mo : mo + MREC_SIZE]
+
+    world_pos = lanes3(0)
     prev_world_pos = (
-        attr[:, layout.o_prev : layout.o_prev + 3]
-        if layout.has_prev else world_pos   # static scene: nothing moved
+        lanes3(layout.o_prev) if layout.has_prev
+        else world_pos   # static scene: nothing moved
     )
-    world_nrm = mx.normalize(attr[:, layout.o_nrm : layout.o_nrm + 3])
+    world_nrm = mx.normalize(lanes3(layout.o_nrm))
     if layout.has_tan:
-        world_tan = mx.normalize(attr[:, layout.o_tan : layout.o_tan + 3])
-        tanw = attr[:, layout.o_tan + 3 : layout.o_tan + 4]
+        world_tan = mx.normalize(lanes3(layout.o_tan))
+        tanw = lane(layout.o_tan + 3)[:, None]
     else:
         world_tan = world_nrm   # unused (no normal mapping without tangents)
         tanw = jnp.ones((n, 1))
-    uv = attr[:, layout.o_uv : layout.o_uv + 2]
-    duv_dx = attr_dx[:, layout.o_uv : layout.o_uv + 2] - uv
-    duv_dy = attr_dy[:, layout.o_uv : layout.o_uv + 2] - uv
+    ju = layout.o_uv
+    u_c0, u_c1, u_c2 = rec[:, 9 + ju], rec[:, 9 + cs + ju], rec[:, 9 + 2 * cs + ju]
+    v_c0, v_c1, v_c2 = (
+        rec[:, 9 + ju + 1], rec[:, 9 + cs + ju + 1], rec[:, 9 + 2 * cs + ju + 1]
+    )
+    uv_u = b0 * u_c0 + b1 * u_c1 + b2 * u_c2
+    uv_v = b0 * v_c0 + b1 * v_c1 + b2 * v_c2
+    uv = jnp.stack([uv_u, uv_v], axis=-1)
+    duv_dx = jnp.stack(
+        [
+            (bx0 - b0) * u_c0 + (bx1 - b1) * u_c1 + (bx2 - b2) * u_c2,
+            (bx0 - b0) * v_c0 + (bx1 - b1) * v_c1 + (bx2 - b2) * v_c2,
+        ],
+        axis=-1,
+    )
+    duv_dy = jnp.stack(
+        [
+            (by0 - b0) * u_c0 + (by1 - b1) * u_c1 + (by2 - b2) * u_c2,
+            (by0 - b0) * v_c0 + (by1 - b1) * v_c1 + (by2 - b2) * v_c2,
+        ],
+        axis=-1,
+    )
 
     base_factor = mrec[:, M_BASEF : M_BASEF + 4]
     emissive_factor = mrec[:, M_EMIF : M_EMIF + 3]
@@ -394,11 +464,11 @@ def shade_packed(
 
     # -- velocity ---------------------------------------------------------------
     def to_screen(vp, p):
-        clip = mx.transform_points_h(vp, p)
-        w_c = clip[:, 3]
+        # Elementwise transform, z row skipped (see transform_point_lanes).
+        cx, cy, w_c = mx.transform_point_lanes(vp, p, rows=(0, 1, 3))
         inv = jnp.where(jnp.abs(w_c) > 1e-8, 1.0 / jnp.where(w_c == 0, 1.0, w_c), 0.0)
-        sx = (clip[:, 0] * inv * 0.5 + 0.5) * width
-        sy = (0.5 - clip[:, 1] * inv * 0.5) * height
+        sx = (cx * inv * 0.5 + 0.5) * width
+        sy = (0.5 - cy * inv * 0.5) * height
         return jnp.stack([sx, sy], axis=-1)
 
     cur_s = to_screen(cam.unjittered_view_proj, world_pos)

@@ -14,17 +14,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from arkoserenderer_tpu.core.halton import fibonacci_disc
-from arkoserenderer_tpu.core.mathx import transform_points_h
+from arkoserenderer_tpu.core.mathx import transform_point_lanes
 
 
 def project_to_shadow_uv(shadow_vp: jax.Array, world_pos: jax.Array):
-    """(4,4) light view-proj + (N,3) world pos -> uv (N,2) in [0,1], depth (N,)."""
-    clip = transform_points_h(shadow_vp, world_pos)
-    w = clip[:, 3]
+    """(4,4) light view-proj + (N,3) world pos -> uv (N,2) in [0,1], depth (N,).
+
+    Elementwise transform (no per-pixel dot — see transform_point_lanes)."""
+    cx, cy, cz, w = transform_point_lanes(shadow_vp, world_pos)
     inv_w = jnp.where(jnp.abs(w) > 1e-12, 1.0 / jnp.where(w == 0, 1.0, w), 0.0)
-    ndc = clip[:, :3] * inv_w[:, None]
-    uv = jnp.stack([ndc[:, 0] * 0.5 + 0.5, 0.5 - ndc[:, 1] * 0.5], axis=-1)
-    return uv, ndc[:, 2]
+    uv = jnp.stack(
+        [cx * inv_w * 0.5 + 0.5, 0.5 - cy * inv_w * 0.5], axis=-1
+    )
+    return uv, cz * inv_w
 
 
 def _fetch_shadow_depth(shadow_map: jax.Array, uv: jax.Array):

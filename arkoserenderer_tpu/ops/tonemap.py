@@ -64,12 +64,25 @@ _ACES_OUT = np.array(
 )
 
 
+def _mat3_ew(m, c):
+    """(3,3) constant matrix applied to (..., 3) — broadcast mul-adds, not a
+    dot: per-pixel dots force MXU layouts + full-image transposes/copies on
+    TPU; the elementwise form fuses into the tonemap chain."""
+    return jnp.stack(
+        [
+            c[..., 0] * m[r][0] + c[..., 1] * m[r][1] + c[..., 2] * m[r][2]
+            for r in range(3)
+        ],
+        axis=-1,
+    )
+
+
 def tonemap_aces(c):
-    v = c @ _ACES_IN.T
+    v = _mat3_ew(_ACES_IN, c)
     a = v * (v + 0.0245786) - 0.000090537
     b = v * (0.983729 * v + 0.4329510) + 0.238081
     v = a / b
-    return jnp.clip(v @ _ACES_OUT.T, 0.0, 1.0)
+    return jnp.clip(_mat3_ew(_ACES_OUT, v), 0.0, 1.0)
 
 
 # -- AgX ---------------------------------------------------------------------
@@ -110,7 +123,7 @@ def _agx_default_contrast(x):
 
 
 def tonemap_agx(c, look: str | None = None):
-    v = c @ _AGX_IN.T
+    v = _mat3_ew(_AGX_IN, c)
     v = jnp.clip(jnp.log2(jnp.maximum(v, 1e-10)), _AGX_MIN_EV, _AGX_MAX_EV)
     v = (v - _AGX_MIN_EV) / (_AGX_MAX_EV - _AGX_MIN_EV)
     v = _agx_default_contrast(v)
@@ -118,7 +131,7 @@ def tonemap_agx(c, look: str | None = None):
         luma = jnp.sum(v * jnp.array([0.2126, 0.7152, 0.0722]), -1, keepdims=True)
         v = luma + 1.35 * (v - luma)  # saturation
         v = jnp.power(jnp.maximum(v, 0.0), 1.35)
-    v = jnp.clip(v @ _AGX_OUT.T, 0.0, 1.0)
+    v = jnp.clip(_mat3_ew(_AGX_OUT, v), 0.0, 1.0)
     # AgX's sigmoid outputs sRGB-encoded-ish values; convert back to linear
     # so the shared output encode stage applies the transfer function once.
     return jnp.power(v, 2.2)

@@ -41,17 +41,22 @@ def transform_vertices_clip(scene, view_proj, positions=None):
     mvp = jnp.einsum("ij,djk->dik", view_proj, scene.world)  # (D, 4, 4)
     m = mvp[scene.vertex_instance]                           # (V, 4, 4)
     p = scene.positions if positions is None else positions
-    xyz = jnp.einsum("vij,vj->vi", m[:, :3, :3], p) + m[:, :3, 3]
-    w = jnp.einsum("vj,vj->v", m[:, 3, :3], p) + m[:, 3, 3]
-    return jnp.concatenate([xyz, w[:, None]], axis=-1)
+    # Broadcast mul-adds, not einsum: a dot batched over the V axis makes
+    # XLA:TPU wrap the pool in layout transposes/copies; the elementwise form
+    # fuses with the gather above and the concat below.
+    lanes = [
+        m[:, r, 0] * p[:, 0] + m[:, r, 1] * p[:, 1]
+        + m[:, r, 2] * p[:, 2] + m[:, r, 3]
+        for r in range(4)
+    ]
+    return jnp.stack(lanes, axis=-1)
 
 
 def world_to_clip(view_proj, wpos):
-    """(4,4) @ (V,3) world positions -> (V,4) clip. Pure elementwise/MXU —
-    used by the packed path where world-space vertices already exist."""
-    xyz = jnp.einsum("ij,vj->vi", view_proj[:3, :3], wpos) + view_proj[:3, 3]
-    w = jnp.einsum("j,vj->v", view_proj[3, :3], wpos) + view_proj[3, 3]
-    return jnp.concatenate([xyz, w[:, None]], axis=-1)
+    """(4,4) @ (V,3) world positions -> (V,4) clip, elementwise (see
+    mathx.transform_point_lanes for why not a dot)."""
+    lanes = mx.transform_point_lanes(view_proj, wpos)
+    return jnp.stack(lanes, axis=-1)
 
 
 class GeometryPass(RenderPass):

@@ -59,7 +59,8 @@ class OutputPass(RenderPass):
             # Average log-luminance metering for auto exposure (the
             # reference's auto mode meters the scene each frame;
             # Camera::updateAutoExposure consumes this host-side).
-            luma = c @ jnp.array([0.2126, 0.7152, 0.0722])
+            # Elementwise (no per-pixel dot; see mathx.transform_point_lanes).
+            luma = 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
             avg_log_lum = jnp.exp(jnp.mean(jnp.log(luma + 1e-4)))
             c = tm.tonemap(c, mode)
             yg = ypx + ctx.row_offset.astype(jnp.float32)

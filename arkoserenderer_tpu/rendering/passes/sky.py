@@ -34,13 +34,16 @@ def _directions(cam, px, py, width, height):
     ndc_x = px / width * 2.0 - 1.0
     ndc_y = (0.5 - py / height) * 2.0
     inv_vp = jnp.linalg.inv(cam.unjittered_view_proj)
-    d_h = jnp.stack(
-        [ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5), jnp.ones_like(ndc_x)], axis=-1
-    )
-    world_h = d_h @ inv_vp.T
-    den = world_h[:, 3:4]
+    # Elementwise homogeneous transform (no per-pixel dot — layout copies).
+    lanes = [
+        ndc_x * inv_vp[r, 0] + ndc_y * inv_vp[r, 1]
+        + 0.5 * inv_vp[r, 2] + inv_vp[r, 3]
+        for r in range(4)
+    ]
+    den = lanes[3]
     inv = jnp.where(jnp.abs(den) > 1e-10, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
-    return mx.normalize(world_h[:, :3] * inv - cam.position[None, :])
+    world = jnp.stack(lanes[:3], axis=-1)
+    return mx.normalize(world * inv[:, None] - cam.position[None, :])
 
 
 class SkyPass(RenderPass):
@@ -85,13 +88,14 @@ class SkyPass(RenderPass):
                 # Velocity (full res, elementwise).
                 dirs_full = _directions(ctx.camera, px, py_global, w, full_h)
                 far_point = ctx.camera.position[None, :] + dirs_full * 1e4
-                prev_clip = mx.transform_points_h(ctx.camera.prev_view_proj, far_point)
-                pw = prev_clip[:, 3]
+                pcx, pcy, pw = mx.transform_point_lanes(
+                    ctx.camera.prev_view_proj, far_point, rows=(0, 1, 3)
+                )
                 inv_pw = jnp.where(
                     jnp.abs(pw) > 1e-8, 1.0 / jnp.where(pw == 0, 1.0, pw), 0.0
                 )
-                prev_sx = (prev_clip[:, 0] * inv_pw * 0.5 + 0.5) * w
-                prev_sy = (0.5 - prev_clip[:, 1] * inv_pw * 0.5) * full_h
+                prev_sx = (pcx * inv_pw * 0.5 + 0.5) * w
+                prev_sy = (0.5 - pcy * inv_pw * 0.5) * full_h
                 sky_vel = jnp.stack([px - prev_sx, py_global - prev_sy], axis=-1)
                 out = jnp.where(valid[:, None], color, sky)
             else:
