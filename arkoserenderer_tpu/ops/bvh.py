@@ -257,6 +257,13 @@ class TwoLevelBVH:
                                     #   empty) — bounds re-derived on refit
     wide_cbounds: jax.Array = None  # (W, 48) f32 8 x [lo3, hi3]
     wide_root_blas: jax.Array = None  # (I,) i32 wide root node per instance
+    # -- single-row-per-gather packed records (see _derive_wide_recs): the
+    # traversal step is serialized gather LATENCY, so each fetch category is
+    # one bitcast-packed i32 row --------------------------------------------
+    wide_rec: jax.Array = None      # (W, 56) i32 [bounds f32x48 | meta x8]
+    quad_rec: jax.Array = None      # (Q, 40) i32 [tri_quad f32x36 | ids x4]
+    inst_rec: jax.Array = None      # (I+1, 14) i32 [w2o f32x12 | tri_base |
+                                    #   wide BLAS root]; row 0 = identity
     n_tlas: int = dataclasses.field(metadata={"static": True}, default=1)
 
 
@@ -268,6 +275,7 @@ jax.tree_util.register_dataclass(
         "inst_order", "inst_w2o", "inst_o2w", "blas_root", "inst_tri_base",
         "inst_id", "node_cbounds", "node_int", "tri_quad",
         "wide_meta", "wide_src", "wide_cbounds", "wide_root_blas",
+        "wide_rec", "quad_rec", "inst_rec",
     ],
     meta_fields=["n_tlas"],
 )
@@ -394,6 +402,30 @@ def _derive_wide_bounds(node_min, node_max, wide_src):
     lo = jnp.where(empty, 3e30, lo)
     hi = jnp.where(empty, -3e30, hi)
     return jnp.concatenate([lo, hi], axis=-1).reshape(-1, 6 * WIDE_WIDTH)
+
+
+def _derive_wide_recs(wide_cbounds, wide_meta, tri_quad, tri_order,
+                      inst_w2o, inst_tri_base, wide_root_blas):
+    """Pack each traversal-step fetch category into ONE i32 row (f32 lanes
+    bitcast): node record (bounds+meta), quad record (verts+global-order
+    ids), instance record (w2o + tri base + wide BLAS root). Jit-traceable
+    so refit just re-derives. The step loop is serialized gather latency;
+    one 56-lane row costs the same as an 8-lane one."""
+    bc = jax.lax.bitcast_convert_type
+    wide_rec = jnp.concatenate([bc(wide_cbounds, jnp.int32), wide_meta], -1)
+    q = tri_quad.shape[0]
+    ids = tri_order[: q * 4].reshape(q, 4).astype(jnp.int32)
+    quad_rec = jnp.concatenate([bc(tri_quad, jnp.int32), ids], -1)
+    n_i = inst_w2o.shape[0]                       # I+1 (row 0 = identity)
+    w2o_flat = bc(inst_w2o.reshape(n_i, 12), jnp.int32)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), inst_tri_base.astype(jnp.int32)]
+    )
+    root = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), wide_root_blas.astype(jnp.int32)]
+    )
+    inst_rec = jnp.concatenate([w2o_flat, base[:, None], root[:, None]], -1)
+    return wide_rec, quad_rec, inst_rec
 
 
 def _affine_inverse_np(m: np.ndarray) -> np.ndarray:
@@ -556,6 +588,12 @@ def build_two_level(
     w_root_blas = jnp.asarray(
         np.asarray([w_root_of[int(r)] for r in roots_by_blas], np.int32)[inst_blas]
     )
+    tri_order_j = jnp.asarray(np.concatenate([s[0] for s in blas_slots]))
+    w2o_j = jnp.asarray(w2o)
+    itb_j = jnp.asarray(inst_tri_base.astype(np.int32))
+    w_rec, q_rec, i_rec = _derive_wide_recs(
+        w_cb, w_meta_j, tri_quad, tri_order_j, w2o_j, itb_j, w_root_blas
+    )
     return TwoLevelBVH(
         node_min=nm,
         node_max=nx,
@@ -564,16 +602,16 @@ def build_two_level(
         count=ct,
         node_start=jnp.asarray(node_start.astype(np.int32)),
         node_end=jnp.asarray(node_end.astype(np.int32)),
-        tri_order=jnp.asarray(np.concatenate([s[0] for s in blas_slots])),
+        tri_order=tri_order_j,
         tri_v0=v0,
         tri_e1=e1,
         tri_e2=e2,
         slot_inst=jnp.asarray(np.concatenate([s[4] for s in blas_slots])),
         inst_order=jnp.asarray(t_order.astype(np.int32)),
-        inst_w2o=jnp.asarray(w2o),
+        inst_w2o=w2o_j,
         inst_o2w=jnp.asarray(inst_o2w[:, :3, :4].astype(np.float32)),
         blas_root=br,
-        inst_tri_base=jnp.asarray(inst_tri_base.astype(np.int32)),
+        inst_tri_base=itb_j,
         inst_id=jnp.asarray(np.asarray(inst_id, np.int32)),
         node_cbounds=cbounds,
         node_int=node_int,
@@ -582,6 +620,9 @@ def build_two_level(
         wide_src=w_src_j,
         wide_cbounds=w_cb,
         wide_root_blas=w_root_blas,
+        wide_rec=w_rec,
+        quad_rec=q_rec,
+        inst_rec=i_rec,
         n_tlas=n_tlas,
     )
 
@@ -707,10 +748,13 @@ def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
         node_min, node_max, bvh.left, bvh.right, bvh.count, bvh.blas_root,
         v0, e1, e2,
     )
-    wide_cb = (
-        _derive_wide_bounds(node_min, node_max, bvh.wide_src)
-        if bvh.wide_src is not None else None
-    )
+    wide_cb = wide_rec = quad_rec = inst_rec = None
+    if bvh.wide_src is not None:
+        wide_cb = _derive_wide_bounds(node_min, node_max, bvh.wide_src)
+        wide_rec, quad_rec, inst_rec = _derive_wide_recs(
+            wide_cb, bvh.wide_meta, tri_quad, bvh.tri_order, w2o,
+            bvh.inst_tri_base, bvh.wide_root_blas,
+        )
     return dataclasses.replace(
         bvh,
         node_min=node_min,
@@ -719,6 +763,7 @@ def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
         inst_o2w=o2w, inst_w2o=w2o,
         node_cbounds=cbounds, node_int=node_int, tri_quad=tri_quad,
         wide_cbounds=wide_cb,
+        wide_rec=wide_rec, quad_rec=quad_rec, inst_rec=inst_rec,
     )
 
 
@@ -895,22 +940,27 @@ def _trace_wide(
     """8-wide two-level SIMD-over-rays traversal.
 
     The while loop is serialized gather latency × worst-ray step count
-    (METRICS.md round 2), so the step count is what the wide tree buys:
-    each pop covers 8 children with the SAME number of gathers as the
-    binary packed step (~4: transform row, meta row, bounds row, quad row).
+    (METRICS.md round 2): the wide tree cuts the step count ~3x vs binary,
+    and the packed records cut the per-step fetch count to THREE row
+    gathers — instance record (w2o + tri base + wide BLAS root), node
+    record (8 child bounds + descriptors), quad record (4 triangles +
+    global ids) — everything else is fused VPU arithmetic.
     Stack entries are child DESCRIPTORS (see _collapse_wide): internal
-    wide-node ids push their hit children (far-first via a 19-comparator
-    sorting network on slab distances — pure VPU); quad-leaf descriptors
-    test their 4-aligned triangle row inline; instance-leaf descriptors
-    switch to the instance's object space and push its wide BLAS root
-    (cur_inst/base_sp return protocol identical to _trace_two_level).
+    wide-node ids push their hit children (near-on-top via a 19-comparator
+    sorting network on slab distances + one masked scatter — pure VPU);
+    quad-leaf descriptors test their 4-aligned triangle row inline;
+    instance-leaf descriptors switch to the instance's object space and
+    process the instance's wide BLAS root IN THE SAME STEP (the root id
+    rides the instance record, so entering an instance costs no extra
+    step and no extra gather).
     Replaces the driver-built BVH8-style traversal of the reference's RT
     backend (arkose/rendering/backend/base/AccelerationStructure.h).
     """
     r = origins.shape[0]
     rows = jnp.arange(r)
-    q_cap = bvh.tri_quad.shape[0] - 1
+    q_cap = bvh.quad_rec.shape[0] - 1
     big = jnp.float32(1e30)
+    bc = jax.lax.bitcast_convert_type
 
     stack = jnp.zeros((r, WIDE_STACK_DEPTH), jnp.int32)
     sp = jnp.ones((r,), jnp.int32)              # wide TLAS root (id 0) pushed
@@ -934,26 +984,35 @@ def _trace_wide(
         left_blas = active & (top < base_sp)
         cur_inst = jnp.where(left_blas, -1, cur_inst)
         base_sp = jnp.where(left_blas, 0, base_sp)
-        inst = cur_inst
         sp_pop = jnp.where(active, sp - 1, sp)
 
         e = -desc - 1
         kind = e >> 28
         payload = e & 0x0FFFFFFF
-        is_node = active & (desc >= 0)
         is_quad = active & (desc < 0) & (kind == 0)
         is_inst = active & (desc < 0) & (kind == 1)
-        node = jnp.where(is_node, desc, 0)
+        is_node = active & ((desc >= 0) | is_inst)
+        # Entering an instance: switch space now; its BLAS root is processed
+        # THIS step (root id comes from the instance record below).
+        inst = jnp.where(is_inst, payload, cur_inst)
+        cur_inst = inst
+        base_sp = jnp.where(is_inst, sp_pop, base_sp)
 
-        # Ray in the node's space (identity for TLAS rows).
-        m = bvh.inst_w2o[inst + 1]                       # (r, 3, 4)
+        # -- fetch 1: instance record (identity row for TLAS space) -----------
+        irow = bvh.inst_rec[inst + 1]                    # (r, 14) i32
+        mm = bc(irow[:, :12], jnp.float32)               # w2o rows
+        g_base = irow[:, 12]
+        node = jnp.where(is_inst, irow[:, 13],
+                         jnp.where(desc >= 0, desc, 0))
+
         # Elementwise affine transform (a per-ray batched dot makes XLA:TPU
         # insert full-array layout transposes/copies around the loop state).
         def _apply34(p, translate):
             return jnp.stack(
                 [
-                    m[:, a, 0] * p[:, 0] + m[:, a, 1] * p[:, 1]
-                    + m[:, a, 2] * p[:, 2] + (m[:, a, 3] if translate else 0.0)
+                    mm[:, 4 * a + 0] * p[:, 0] + mm[:, 4 * a + 1] * p[:, 1]
+                    + mm[:, 4 * a + 2] * p[:, 2]
+                    + (mm[:, 4 * a + 3] if translate else 0.0)
                     for a in range(3)
                 ],
                 axis=-1,
@@ -964,12 +1023,12 @@ def _trace_wide(
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                 jnp.where(d < 0, -1e-12, 1e-12), d)
 
-        # -- quad triangle leaf: one 36-lane row, up to 4 triangles -----------
+        # -- fetch 2: quad leaf record — 4 triangles + their global ids -------
         qrow = payload >> 3
         qcount = payload & 7
-        quad = bvh.tri_quad[jnp.clip(qrow, 0, q_cap)]    # (r, 36)
+        qr = bvh.quad_rec[jnp.clip(qrow, 0, q_cap)]      # (r, 40) i32
+        quad = bc(qr[:, :36], jnp.float32)
         bt, btri, bu, bv = best_t, best_tri, best_u, best_v
-        g_base = bvh.inst_tri_base[jnp.maximum(inst, 0)]
         for k in range(4):
             v0 = quad[:, 9 * k + 0 : 9 * k + 3]
             e1 = quad[:, 9 * k + 3 : 9 * k + 6]
@@ -977,14 +1036,14 @@ def _trace_wide(
             ok, t, u, v = _tri_hit(v0, e1, e2, o, d, t_eps)
             take = is_quad & (k < qcount) & ok & (t < bt)
             bt = jnp.where(take, t, bt)
-            slot = jnp.clip(qrow * 4 + k, 0, bvh.tri_order.shape[0] - 1)
-            btri = jnp.where(take, g_base + bvh.tri_order[slot], btri)
+            btri = jnp.where(take, g_base + qr[:, 36 + k], btri)
             bu = jnp.where(take, u, bu)
             bv = jnp.where(take, v, bv)
 
-        # -- internal: 8 slab tests from one 48-lane bounds row ---------------
-        cb = bvh.wide_cbounds[node]                      # (r, 48)
-        meta = bvh.wide_meta[node]                       # (r, 8)
+        # -- fetch 3: node record — 8 child bounds + descriptors --------------
+        wrec = bvh.wide_rec[node]                        # (r, 56) i32
+        cb = bc(wrec[:, :48], jnp.float32)
+        meta = wrec[:, 48:56]
         keys = []
         descs = []
         for i in range(WIDE_WIDTH):
@@ -1012,30 +1071,30 @@ def _trace_wide(
                 db = jnp.where(swap, descs[a], descs[b])
                 keys[a], keys[b], descs[a], descs[b] = ka, kb, da, db
 
-        # -- pushes: children far-first, then the instance-leaf redirect ------
-        new_sp = sp_pop
-        for i in reversed(range(WIDE_WIDTH)):
-            ok = keys[i] < big
-            slot = jnp.minimum(new_sp, WIDE_STACK_DEPTH - 1)
-            stack = stack.at[rows, slot].set(
-                jnp.where(ok, descs[i], stack[rows, slot])
-            )
-            new_sp = jnp.where(
-                ok, jnp.minimum(new_sp + 1, WIDE_STACK_DEPTH - 1), new_sp
-            )
-
-        redirect = bvh.wide_root_blas[
-            jnp.clip(payload, 0, bvh.wide_root_blas.shape[0] - 1)
-        ]
-        slot = jnp.minimum(new_sp, WIDE_STACK_DEPTH - 1)
-        stack = stack.at[rows, slot].set(
-            jnp.where(is_inst, redirect, stack[rows, slot])
-        )
-        cur_inst = jnp.where(is_inst, payload, cur_inst)
-        base_sp = jnp.where(is_inst, new_sp, base_sp)
-        new_sp = jnp.where(
-            is_inst, jnp.minimum(new_sp + 1, WIDE_STACK_DEPTH - 1), new_sp
-        )
+        # -- pushes: ONE masked scatter for all 8 children --------------------
+        # Invalid lanes are pointed out of bounds and dropped — a single
+        # scatter per step replaces the 8 sequential .at[].set scatters of
+        # the first cut.
+        valid = [k < big for k in keys]
+        # suffix[i] = # valid lanes after i -> desc_i goes to sp + suffix[i]:
+        # packs valid lanes contiguously with lane 0 on top, whether or not
+        # the sort ran (any_hit skips it, so valid lanes aren't a prefix).
+        suffix = [sp_pop * 0]
+        for v in reversed(valid[1:]):
+            suffix.append(suffix[-1] + v.astype(jnp.int32))
+        suffix = suffix[::-1]
+        vcount = suffix[0] + valid[0].astype(jnp.int32)
+        oob = jnp.int32(WIDE_STACK_DEPTH + 8)
+        idx_lanes = []
+        val_lanes = []
+        for i in range(WIDE_WIDTH):
+            pos = sp_pop + suffix[i]
+            idx_lanes.append(jnp.where(valid[i], pos, oob))
+            val_lanes.append(descs[i])
+        idx = jnp.stack(idx_lanes, axis=-1)          # (r, 8)
+        vals = jnp.stack(val_lanes, axis=-1)
+        stack = stack.at[rows[:, None], idx].set(vals, mode="drop")
+        new_sp = jnp.minimum(sp_pop + vcount, WIDE_STACK_DEPTH - 1)
 
         if any_hit:
             new_sp = jnp.where(btri >= 0, 0, new_sp)

@@ -55,6 +55,13 @@ from arkoserenderer_tpu.ops.shadow import sample_shadow_pcf, sample_vsm
 
 MREC_SIZE = 32
 
+# Profiling ablation knobs (perf-attribution scripts only — see METRICS.md):
+# "const_rec"    broadcast record row 0 (kills the per-pixel gather)
+# "uniform_rec"  gather row 0 everywhere (keeps the gather, kills divergence)
+# "no_tex"       skip texture taps
+# "no_shadow"    skip sun-shadow sampling
+_ABLATE: set = set()
+
 # Material record lane constants live below; geometry lanes are described
 # by RecLayout (permutation-dependent).
 
@@ -245,7 +252,14 @@ def shade_packed(
     cs = layout.c_stride
     valid = vis_flat >= 0
     row = jnp.maximum(vis_flat, 0)
-    rec = records[row]         # (N, rec_size) — THE per-pixel gather
+    if "const_rec" in _ABLATE:
+        rec = jnp.broadcast_to(records[0], (vis_flat.shape[0], records.shape[1]))
+    elif "uniform_rec" in _ABLATE:
+        rec = records[row * 0]
+    else:
+        rec = records[row]     # (N, rec_size) — THE per-pixel gather
+    if "no_tex" in _ABLATE:
+        any_tex = False
     n = px.shape[0]
     exposure = cam.exposure
 
