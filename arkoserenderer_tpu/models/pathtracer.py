@@ -47,8 +47,10 @@ class PathTracer:
         xs = np.arange(width, dtype=np.float32) + 0.5
         ys = np.arange(height, dtype=np.float32) + 0.5
         pxg, pyg = np.meshgrid(xs, ys)
-        self._px = jnp.asarray(pxg.ravel())
-        self._py = jnp.asarray(pyg.ravel())
+        # numpy on purpose: the jitted step closes over px/py, and device-
+        # array closures poison dispatch (rendering/pipeline.pixel_centers).
+        self._px = pxg.ravel()
+        self._py = pyg.ravel()
         self._mode = tm.MODES[tonemap_mode]
         self._seed = seed
         self.accum = jnp.asarray(np.zeros((height * width, 3), np.float32))

@@ -33,7 +33,8 @@ class DDGIProbeDebugPass(RenderPass):
         reg.get("DDGI.irradiance")
         h, w = cfg.height, cfg.width
         full_h = cfg.frame_height
-        positions = jnp.asarray(ddgi_ops.probe_positions(self.grid))
+        # numpy: device closures poison dispatch (pixel_centers doc)
+        positions = np.asarray(ddgi_ops.probe_positions(self.grid))
         r_px = self.radius_px
         boost = self.exposure_boost
         xray = self.xray

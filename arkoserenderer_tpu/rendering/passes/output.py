@@ -47,12 +47,10 @@ class OutputPass(RenderPass):
         xpx, ypx = np.meshgrid(
             np.arange(w, dtype=np.float32) + 0.5, np.arange(h, dtype=np.float32) + 0.5
         )
-        xpx = jnp.asarray(xpx)
-        ypx = jnp.asarray(ypx)
-
+        # numpy on purpose: device closures poison dispatch (pixel_centers doc)
         lut_table = None
         if self.color_grade_lut is not None:
-            lut_table = jnp.asarray(self.color_grade_lut.table)
+            lut_table = np.asarray(self.color_grade_lut.table)
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             c = jnp.maximum(state["SceneColor"], 0.0)

@@ -113,8 +113,8 @@ class LightingComposePass(RenderPass):
             xs = (_np.arange(ws, dtype=_np.float32) * ddgi_scale + 0.5)
             ys = (_np.arange(hs, dtype=_np.float32) * ddgi_scale + 0.5)
             pxg, pyg = _np.meshgrid(xs, ys)
-            px = jnp.asarray(pxg.ravel())
-            py = jnp.asarray(pyg.ravel())
+            px = pxg.ravel()   # numpy: device closures poison dispatch
+            py = pyg.ravel()
         full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:

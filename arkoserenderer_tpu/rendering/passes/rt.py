@@ -90,8 +90,8 @@ class RTShadowPass(RenderPass):
         xs = (_np.arange(ws, dtype=_np.float32) * scale + 0.5)
         ys = (_np.arange(hs, dtype=_np.float32) * scale + 0.5)
         pxg, pyg = _np.meshgrid(xs, ys)
-        px = jnp.asarray(pxg.ravel())
-        py = jnp.asarray(pyg.ravel())
+        px = pxg.ravel()   # numpy: device closures poison dispatch
+        py = pyg.ravel()
         full_h = cfg.frame_height
 
         def execute(state: dict, ctx: FrameContext) -> dict:
@@ -181,8 +181,8 @@ class RTReflectionsPass(RenderPass):
         xs = (_np.arange(ws, dtype=_np.float32) * scale + 0.5)
         ys = (_np.arange(hs, dtype=_np.float32) * scale + 0.5)
         pxg, pyg = _np.meshgrid(xs, ys)
-        px = jnp.asarray(pxg.ravel())
-        py = jnp.asarray(pyg.ravel())
+        px = pxg.ravel()   # numpy: device closures poison dispatch
+        py = pyg.ravel()
         px_full, py_full = pixel_centers(cfg)   # full res (denoiser stages)
         full_h = cfg.frame_height
         max_rough = self.max_roughness

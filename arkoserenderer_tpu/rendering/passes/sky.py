@@ -65,8 +65,8 @@ class SkyPass(RenderPass):
             xs = (np.arange(w // k, dtype=np.float32) + 0.5) * k
             ys = (np.arange(h // k, dtype=np.float32) + 0.5) * k
             lx, ly = np.meshgrid(xs, ys)
-            px_lo = jnp.asarray(lx.ravel())
-            py_lo = jnp.asarray(ly.ravel())
+            px_lo = lx.ravel()   # numpy: device closures poison dispatch
+            py_lo = ly.ravel()
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             color = state["SceneColor"].reshape(-1, 3)

@@ -48,12 +48,13 @@ class SSSSPass(RenderPass):
         if temporal is None:
             temporal = cfg.texture_quality in ("stochastic", "stochastic1")
         n_eff = self.num_taps
-        taps = jnp.asarray(fibonacci_disc(
+        # numpy on purpose: device closures poison dispatch (pixel_centers doc)
+        taps = fibonacci_disc(
             self.stochastic_taps if temporal else self.num_taps
-        ))
+        ).astype(np.float32)
         radius_world = self.radius_world
-        xs = jnp.asarray((np.arange(w) + 0.5).astype(np.float32))
-        ys = jnp.asarray((np.arange(h) + 0.5).astype(np.float32))
+        xs = (np.arange(w) + 0.5).astype(np.float32)
+        ys = (np.arange(h) + 0.5).astype(np.float32)
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             color = state["SceneColor"]

@@ -43,8 +43,9 @@ class TAAPass(RenderPass):
         xs = (np.arange(w, dtype=np.float32) + 0.5)
         ys = (np.arange(h, dtype=np.float32) + 0.5)
         px, py = np.meshgrid(xs, ys)
-        px = jnp.asarray(px.ravel())
-        py = jnp.asarray(py.ravel())
+        # numpy on purpose: device-array closures poison dispatch (pipeline.pixel_centers)
+        px = px.ravel()
+        py = py.ravel()
         hysteresis = self.hysteresis
         catmull = (
             self.use_catmull_rom

@@ -203,11 +203,18 @@ class RenderPipeline:
 
 
 def pixel_centers(cfg: PipelineConfig):
-    """(N,) px / (N,) py flattened pixel-center coordinates."""
+    """(N,) px / (N,) py flattened pixel-center coordinates.
+
+    Returns NUMPY arrays on purpose: pass constructors close over these, and
+    on the axon TPU runtime a jitted program that captures a DEVICE-committed
+    array (any size — even 12 bytes) permanently degrades every subsequent
+    dispatch in the process to ~28 ms (measured, round 3). Numpy closures
+    become HLO literals and are free. NEVER jnp.asarray a construct-time
+    constant."""
     xs = (np.arange(cfg.width, dtype=np.float32) + 0.5)
     ys = (np.arange(cfg.height, dtype=np.float32) + 0.5)
     px, py = np.meshgrid(xs, ys)
-    return jnp.asarray(px.ravel()), jnp.asarray(py.ravel())
+    return px.ravel(), py.ravel()
 
 
 def validate_frame(pipeline: "RenderPipeline", state, scene, camera_state,
