@@ -872,11 +872,19 @@ class Scene:
         rebuild."""
         dmax = self.limits.max_drawables
         n = min(len(self.instances), dmax)
-        world = np.asarray(arrays.world).copy()
-        prev_world = np.asarray(arrays.prev_world).copy()
-        normal_mat = np.asarray(arrays.normal_mat).copy()
-        inst_sphere = np.asarray(arrays.inst_sphere).copy()
-        inst_lod_band = np.asarray(arrays.inst_lod_band).copy()
+        # HOST MIRRORS, not device readbacks: on the axon TPU runtime ANY
+        # device->host transfer (np.asarray on a device array, .item(), even
+        # a scalar) permanently degrades every subsequent dispatch in the
+        # process to ~33 ms (measured round 3 — same failure class as the
+        # device-closure poison, rendering/pipeline.pixel_centers). The
+        # mirror already tracks these pools for streaming; mutating it keeps
+        # this hot path transfer-free (H2D uploads below are safe).
+        mir = self._mirror
+        world = mir["world"]
+        prev_world = mir["prev_world"]
+        normal_mat = mir["normal_mat"]
+        inst_sphere = mir["inst_sphere"]
+        inst_lod_band = mir["inst_lod_band"]
 
         # Per-SEGMENT object bounds are static: compute once, cache.
         cache = getattr(self, "_seg_bounds", None)
@@ -914,12 +922,14 @@ class Scene:
         inst_sphere[:n, :3] = cw
         inst_sphere[:n, 3] = radii * scale
         inst_lod_band[:n] = bands
+        # jnp.array (copy=True): the mirror keeps being mutated on the host
+        # next frame, so the upload must not alias it (DEVNOTES aliasing).
         return arrays._replace(
-            world=jnp.asarray(world),
-            prev_world=jnp.asarray(prev_world),
-            normal_mat=jnp.asarray(normal_mat),
-            inst_sphere=jnp.asarray(inst_sphere),
-            inst_lod_band=jnp.asarray(inst_lod_band),
+            world=jnp.array(world),
+            prev_world=jnp.array(prev_world),
+            normal_mat=jnp.array(normal_mat),
+            inst_sphere=jnp.array(inst_sphere),
+            inst_lod_band=jnp.array(inst_lod_band),
         )
 
     def static_info(self) -> SceneStatic:

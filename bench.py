@@ -154,9 +154,25 @@ def main() -> None:
     ap.add_argument("--timings", action="store_true")
     args = ap.parse_args()
 
-    names = list(CONFIGS) if args.all else [args.config]
-    for name in names:
-        run_config(name, args.small, args.iters, args.timings)
+    if args.all:
+        # One SUBPROCESS per config: on the axon TPU runtime any D2H
+        # readback or device-array closure permanently degrades the
+        # process's dispatch path (~33 ms/dispatch — DEVNOTES round 3), so
+        # a poisoned config must not contaminate the next one's numbers.
+        import subprocess
+        import sys
+
+        for name in CONFIGS:
+            cmd = [sys.executable, __file__, "--config", name,
+                   "--iters", str(args.iters)]
+            if args.small:
+                cmd.append("--small")
+            if args.timings:
+                cmd.append("--timings")
+            subprocess.run(cmd, check=False)
+        return
+
+    run_config(args.config, args.small, args.iters, args.timings)
 
 
 if __name__ == "__main__":
