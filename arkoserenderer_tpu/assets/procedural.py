@@ -275,3 +275,86 @@ def animate_stress_scene(scene: Scene, t: float) -> None:
     for k, i in enumerate(idxs):
         seg, w, pw, clip, band = scene.instances[i]
         scene.instances[i] = (seg, W[k], w, clip, band)
+
+
+def make_stress_animator(scene: Scene):
+    """Device-side rigid animation for the stress grid — the traced
+    ``scene_animator`` counterpart of :func:`animate_stress_scene`.
+
+    The reference ticks its 4,096 animated helmets on the CPU each frame
+    (ShowcaseApp.cpp:381-412 + GpuScene's drawable re-upload). On this TPU
+    runtime the host math + pool re-upload cost ~45 ms/frame while the
+    device side of the whole stress frame is <1 ms, so the animation is a
+    closed-form function of time evaluated INSIDE the jitted frame: spin
+    about Y + vertical bob per grid cell, writing world/prev_world/
+    normal_mat/inst_sphere rows on device. All captured parameters are
+    numpy (HLO literals — see rendering/pipeline.pixel_centers for why
+    device-array closures are forbidden).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sids, side, spacing, phases = scene._stress
+    if not isinstance(sids, tuple):
+        sids = (sids,)
+    idxs = [i for i, it in enumerate(scene.instances) if it[0] in sids]
+    n = len(idxs)
+    base = int(idxs[0])
+    assert idxs == list(range(base, base + n)), "animated instances contiguous"
+    ph = phases[(np.arange(n) // max(len(sids), 1)) % len(phases)].astype(np.float32)
+    W0 = np.stack(
+        [np.asarray(scene.instances[i][1], np.float32) for i in idxs]
+    )
+    tx = W0[:, 0, 3].copy()
+    tz = W0[:, 2, 3].copy()
+    # Object-space bounding radius per animated instance (unit rotation, no
+    # scale): reuse the per-segment bounds the host update path caches.
+    radii = np.zeros((n,), np.float32)
+    for k, i in enumerate(idxs):
+        seg = scene.segments[scene.instances[i][0]]
+        c = 0.5 * (seg.positions.min(0) + seg.positions.max(0))
+        radii[k] = float(np.linalg.norm(seg.positions - c, axis=-1).max())
+
+    def rows_at(t):
+        a = t + ph
+        c, s = jnp.cos(a), jnp.sin(a)
+        bob = 0.8 + 0.35 * jnp.sin(2.0 * t + ph)
+        zero = jnp.zeros_like(c)
+        one = jnp.ones_like(c)
+        w = jnp.stack(
+            [
+                jnp.stack([c, zero, s, tx], -1),
+                jnp.stack([zero, one, zero, bob], -1),
+                jnp.stack([-s, zero, c, tz], -1),
+                jnp.stack([zero, zero, zero, one], -1),
+            ],
+            axis=1,
+        )  # (n, 4, 4)
+        return w, bob, c, s
+
+    def animate(arrays, frame_index, delta_time):
+        t = frame_index.astype(jnp.float32) * delta_time
+        w, bob, c, s = rows_at(t)
+        pw, _, _, _ = rows_at(t - delta_time)
+        zero = jnp.zeros_like(c)
+        one = jnp.ones_like(c)
+        nm = jnp.stack(
+            [
+                jnp.stack([c, zero, s], -1),
+                jnp.stack([zero, one, zero], -1),
+                jnp.stack([-s, zero, c], -1),
+            ],
+            axis=1,
+        )  # pure rotation: inverse-transpose == itself
+        sph = jnp.stack([tx, bob, tz, radii], -1)
+        upd = lambda pool, rows: jax.lax.dynamic_update_slice_in_dim(
+            pool, rows.astype(pool.dtype), base, axis=0
+        )
+        return arrays._replace(
+            world=upd(arrays.world, w),
+            prev_world=upd(arrays.prev_world, pw),
+            normal_mat=upd(arrays.normal_mat, nm),
+            inst_sphere=upd(arrays.inst_sphere, sph),
+        )
+
+    return animate

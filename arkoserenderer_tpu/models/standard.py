@@ -179,8 +179,18 @@ class Renderer:
     def __init__(
         self, scene: Scene, camera: Camera, cfg: PipelineConfig,
         debug_draw: bool = False, auto_exposure: bool = False,
-        dynamic_transforms: bool = False, **pipeline_kw,
+        dynamic_transforms: bool = False, scene_animator=None, **pipeline_kw,
     ):
+        # scene_animator: traced fn(scene_arrays, frame_index, delta_time)
+        # -> scene_arrays fused into the frame program (device-side rigid
+        # animation — see RenderPipeline.scene_animator). Implies dynamic
+        # geometry (prev-position lanes, per-frame shadow raster) WITHOUT
+        # the host update/upload path of dynamic_transforms.
+        self.scene_animator = scene_animator
+        if scene_animator is not None:
+            dynamic_transforms_static = True
+        else:
+            dynamic_transforms_static = dynamic_transforms
         # dynamic_transforms: re-upload instance matrices/bounds every frame
         # (physics / editor-moved rigid bodies) — an incremental upload, not
         # a scene rebuild; see Scene.update_instance_transforms.
@@ -191,7 +201,7 @@ class Renderer:
         self.scene = scene
         self.camera = camera
         static = scene.static_info()
-        if dynamic_transforms:
+        if dynamic_transforms_static:
             static = dataclasses.replace(static, dynamic=True)
         self.cfg = dataclasses.replace(cfg, scene=static)
         self.debug = None
@@ -217,6 +227,7 @@ class Renderer:
             pipeline_kw["rt_refit"] = True  # animated geometry: refit per frame
         self._pipeline_kw = dict(pipeline_kw)   # for hot-reload rebuilds
         self.pipeline = make_forward_pipeline(self.cfg, **pipeline_kw)
+        self.pipeline.scene_animator = self.scene_animator
         self.scene_arrays = scene.build(with_bvh=use_rt)
         self.state = self.pipeline.initial_state()
         self.frame_index = 0
@@ -304,6 +315,7 @@ class Renderer:
             self.pipeline = _std.make_forward_pipeline(
                 self.cfg, **self._pipeline_kw
             )
+        self.pipeline.scene_animator = self.scene_animator
         self.pipeline.construct_all()
         fresh = self.pipeline.initial_state()
         fresh.update({

@@ -125,6 +125,14 @@ class RenderPipeline:
         self.registry = Registry()
         self._executes: list[tuple[str, ExecuteFn]] | None = None
         self._compiled = None
+        # Optional traced scene prologue: fn(scene, frame_index, delta_time)
+        # -> scene, fused into the frame program. The TPU-native home for
+        # rigid/procedural animation (the reference ticks animations on the
+        # CPU, Scene::update — on this runtime per-frame host math + pool
+        # re-uploads cost 45 ms at 4,096 instances while the device side of
+        # the same frame is <1 ms, so animation moves INTO the jit).
+        # Closures must follow the numpy-constants rule (pixel_centers doc).
+        self.scene_animator: Callable | None = None
 
     def add_pass(self, p: RenderPass) -> "RenderPipeline":
         self.passes.append(p)
@@ -158,6 +166,12 @@ class RenderPipeline:
     ) -> dict:
         """The traceable frame body: runs all passes in declared order."""
         assert self._executes is not None, "call construct_all() first"
+        if self.scene_animator is not None:
+            scene = self.scene_animator(
+                scene,
+                jnp.asarray(frame_index, jnp.int32),
+                jnp.asarray(delta_time, jnp.float32),
+            )
         if self.cfg.shard_axis is not None:
             row_offset = jax.lax.axis_index(self.cfg.shard_axis) * self.cfg.height
         else:
