@@ -70,12 +70,16 @@ def make_forward_pipeline(
 
         repl = {}
         if cfg.texture_quality == "auto":
-            # Single-tap stochastic filtering under TAA (expectation equals
-            # trilinear; measured -31 ms at 1080p vs the 4-tap variant,
-            # METRICS.md round 2); full trilinear without TAA.
-            repl["texture_quality"] = "stochastic1" if taa else "trilinear"
+            # Full trilinear filtering by default. Round-2 defaulted to
+            # stochastic single-tap under TAA to dodge what looked like
+            # 30 ms/tap-chain gather costs — that was the dispatch-poison
+            # artifact (METRICS round 3); clean-session trilinear is both
+            # sharper AND faster than the noise-hash path (1.75 vs 1.92 ms
+            # full-frame at 1080p). Stochastic remains available as a knob.
+            repl["texture_quality"] = "trilinear"
         if cfg.shadow_filter == "auto":
-            repl["shadow_filter"] = "stochastic" if taa else "bilinear"
+            # Deterministic bilinear VSM moments (no TAA dependence).
+            repl["shadow_filter"] = "bilinear"
         cfg = dataclasses.replace(cfg, **repl)
     if upscale_to is not None and cfg.mip_bias == 0.0:
         # DLSS-style global mip bias: sharpen texture LOD by the render/

@@ -103,10 +103,15 @@ class LightingComposePass(RenderPass):
             reg.get("DDGI.offsets")
             reg.get("DDGI.visibility")
             reg.get("SceneDepth")
-            # Probe irradiance is LOW-FREQUENCY: sample the probe volume at
-            # half res (1/4 the per-pixel probe gathers — measured 1.12 s
-            # alone at 1080p) and reconstruct with nearest-depth upsampling.
-            ddgi_scale = 2 if (h % 2 == 0 and w % 2 == 0) else 1
+            # Optional half-res probe sampling + nearest-depth upsample (a
+            # round-2 relic of poisoned-session gather costs; full-res is
+            # the quality default now — cfg.ddgi_sample_scale=2 re-enables
+            # the budget mode).
+            ddgi_scale = (
+                cfg.ddgi_sample_scale
+                if (h % cfg.ddgi_sample_scale == 0 and w % cfg.ddgi_sample_scale == 0)
+                else 1
+            )
             import numpy as _np
 
             hs, ws = h // ddgi_scale, w // ddgi_scale

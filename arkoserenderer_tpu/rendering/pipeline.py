@@ -67,22 +67,27 @@ class PipelineConfig:
     # path, ~1 per-pixel gather for geometry+material); "reference" = the
     # round-1 per-field gather path kept for cross-checking.
     shading_mode: str = "packed"
-    # TAA history filter: "bilinear" (4 gathers) | "catmull" (16 gathers,
-    # sharper history — the reference's optional Catmull-Rom, taa.comp).
-    taa_filter: str = "bilinear"
+    # TAA history filter: "catmull" (16-tap Catmull-Rom, the sharp-history
+    # quality default — costs 0.024 ms at 1080p in a clean session) |
+    # "bilinear" (4 gathers + a gather-free sub-pixel fast path).
+    taa_filter: str = "catmull"
     # Sun shadow receiver filter: "auto" = stochastic single tap under TAA
     # (expectation equals bilinear; moments are prefiltered), else bilinear.
     shadow_filter: str = "auto"
     # Texture LOD bias; drive negative when rendering below display res
     # (the upscale pass sets this — DLSSNode.cpp's global mip bias drive).
     mip_bias: float = 0.0
-    # Sky env-map fetch at 1/k resolution then bilinear-upsampled (the env
-    # fetch is 4 per-pixel gathers; sky is low-frequency). 1 = full res.
-    sky_fetch_scale: int = 4
+    # Sky env-map fetch at 1/k resolution then bilinear-upsampled (a relic
+    # of the poisoned-session gather costs — full res measures +0.2 ms at
+    # 1080p, METRICS round 3). 1 = full res (default); >1 for budget mode.
+    sky_fetch_scale: int = 1
     # RT passes (sun shadow mask / reflections) trace at 1/rt_scale res and
     # reconstruct with nearest-depth upsampling (half-res RT, the standard
     # real-time reconstruction; traversal cost scales with ray count).
     rt_scale: int = 1
+    # DDGI probe-volume sampling at 1/k res with nearest-depth upsample
+    # (budget knob; 1 = per-pixel probe sampling, the quality default).
+    ddgi_sample_scale: int = 1
     # Pixel-band SPMD sharding (SURVEY.md §2.11): when shard_axis is set, the
     # pipeline renders a HORIZONTAL BAND of a taller frame — ``height`` is
     # the band height, ``full_height`` the whole frame, and each device's

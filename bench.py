@@ -59,7 +59,7 @@ CONFIGS = {
     "rt": (
         "test",
         dict(rt_shadows=True, rt_reflections=True),
-        "RT shadows + RT reflections + FFX-style denoise (half-res RT)",
+        "RT shadows + RT reflections + FFX-style denoise (full-res RT)",
     ),
     "ddgi": (
         "test",
@@ -78,7 +78,11 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
     from arkoserenderer_tpu.models.standard import Renderer
 
     kind, kw, desc = CONFIGS[name]
-    cfg = _cfg(small, rt_scale=2 if name == "rt" else 1)
+    # Full-res RT: half-res (rt_scale=2) measures within noise of full res
+    # in a clean session (1.72 vs 1.73 ms at 1080p — the traversal was
+    # never the bottleneck; METRICS round 3), so the bench runs the honest
+    # full-quality path.
+    cfg = _cfg(small, rt_scale=1)
     if kind == "test_upscaled":
         import dataclasses
 
