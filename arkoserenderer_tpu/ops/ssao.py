@@ -60,6 +60,10 @@ def ssao(
     intensity: float = 1.0,
     samples_per_frame: int | None = None,  # stochastic subset under TAA
     frame_index: jax.Array | None = None,
+    sample_depth: jax.Array | None = None,  # full-frame depth for the
+    # occlusion fetches when ``depth`` is only this device's pixel band
+    # (pixel-band SPMD: pass the all_gather-ed (full_h, W) depth so kernel
+    # samples that land outside the band read the true neighbor rows).
 ) -> jax.Array:
     """Returns (N,) ambient visibility in [0,1] (1 = unoccluded).
 
@@ -90,7 +94,8 @@ def ssao(
 
     kern = jnp.asarray(kernel)
     n_samples = kern.shape[0]
-    depth_img = depth
+    depth_img = depth if sample_depth is None else sample_depth
+    sample_h = depth_img.shape[0]
 
     stochastic = (
         samples_per_frame is not None and samples_per_frame < n_samples
@@ -124,7 +129,7 @@ def ssao(
         sy = (0.5 - clip[:, 1] / w_c * 0.5) * height
         sample_z = w_c  # view-space distance of the sample point
         xi = jnp.clip(sx.astype(jnp.int32), 0, width - 1)
-        yi = jnp.clip(sy.astype(jnp.int32), 0, height - 1)
+        yi = jnp.clip(sy.astype(jnp.int32), 0, sample_h - 1)
         scene_z = linearize(depth_img.reshape(-1)[yi * width + xi])
         # Occluded when the scene surface is in FRONT of the sample point
         # (compare in view-space meters, not NDC).

@@ -77,10 +77,20 @@ class ShardedRenderer:
         cfg = dataclasses.replace(cfg, scene=scene.static_info())
         self.cfg = cfg
         self.band_cfg = band_config(cfg, n)
+        if pipeline_kw.get("ddgi") is True:
+            from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
+
+            center, radius = scene.bounding_sphere()
+            pipeline_kw["ddgi"] = ProbeGridConfig.fit_bounds(center, radius)
+        use_rt = bool(
+            pipeline_kw.get("rt_shadows")
+            or pipeline_kw.get("rt_reflections")
+            or pipeline_kw.get("ddgi")
+        )
         self.pipeline = make_forward_pipeline(self.band_cfg, **pipeline_kw)
         self.scene = scene
         self.camera = camera
-        self.scene_arrays = scene.build()
+        self.scene_arrays = scene.build(with_bvh=use_rt)
         self.persistent = list(self.pipeline.registry.persistent_names)
 
         pipe = self.pipeline

@@ -49,10 +49,23 @@ class SSAOPass(RenderPass):
             temporal = cfg.texture_quality in ("stochastic", "stochastic1")
         spf = self.samples_per_frame if temporal else None
 
+        shard_axis = cfg.shard_axis
+        n_shards = cfg.shard_count
+
         def execute(state: dict, ctx: FrameContext) -> dict:
+            import jax as _jax
+
             py_global = py + ctx.row_offset.astype(py.dtype)
+            depth = state["SceneDepth"]
+            # Pixel-band SPMD: kernel samples can land in neighbor bands, so
+            # occlusion fetches read the all_gather-ed full-frame depth (one
+            # (full_h, W) f32 exchange over ICI) — band-exact, no clamping.
+            sample_depth = (
+                _jax.lax.all_gather(depth, shard_axis, axis=0, tiled=True)
+                if shard_axis is not None else None
+            )
             ao = ssao_ops.ssao(
-                state["SceneDepth"],
+                depth,
                 state["SceneNormal"].reshape(-1, 3),
                 state["SceneCoverage"].reshape(-1),
                 px, py_global,
@@ -61,12 +74,16 @@ class SSAOPass(RenderPass):
                 w, full_h,
                 kernel, radius=radius, intensity=intensity,
                 samples_per_frame=spf, frame_index=ctx.frame_index,
+                sample_depth=sample_depth,
             )
-            # NOTE under pixel-band sharding the depth fetches clamp to the
-            # band (TODO: halo rows via ppermute); error is bounded by radius.
-            from arkoserenderer_tpu.ops.image import blur3
+            from arkoserenderer_tpu.ops.image import band_halo_rows, blur3
 
-            return {"SSAO": blur3(ao.reshape(h, w)[..., None])[..., 0]}
+            ao_img = ao.reshape(h, w)[..., None]
+            halo = (
+                band_halo_rows(ao_img, shard_axis, n_shards)
+                if shard_axis is not None else None
+            )
+            return {"SSAO": blur3(ao_img, halo_rows=halo)[..., 0]}
 
         return execute
 

@@ -185,6 +185,15 @@ class RTReflectionsPass(RenderPass):
         py = pyg.ravel()
         px_full, py_full = pixel_centers(cfg)   # full res (denoiser stages)
         full_h = cfg.frame_height
+        shard_axis = cfg.shard_axis
+        if shard_axis is not None:
+            # Full-FRAME pixel centers for the replicated denoiser (numpy —
+            # device closures poison dispatch, see pipeline.pixel_centers).
+            xs_f = _np.arange(w, dtype=_np.float32) + 0.5
+            ys_f = _np.arange(full_h, dtype=_np.float32) + 0.5
+            pxf, pyf = _np.meshgrid(xs_f, ys_f)
+            px_frame = pxf.ravel()
+            py_frame = pyf.ravel()
         max_rough = self.max_roughness
         temporal = self.temporal
         # Ray-cone spread ~ one pixel of the vertical FOV.
@@ -288,24 +297,62 @@ class RTReflectionsPass(RenderPass):
                 rr = rough.reshape(h, w, 1)
                 nrm_img = nrm.reshape(h, w, 3)
 
-            # -- prefilter (edge-aware, roughness-scaled) ----------------------
-            filtered = dn.prefilter(refl_img, rr, nrm_img, depth)
-            if not temporal:
-                return {"SceneReflections": filtered}
+            if shard_axis is None:
+                # -- prefilter (edge-aware, roughness-scaled) ------------------
+                filtered = dn.prefilter(refl_img, rr, nrm_img, depth)
+                if not temporal:
+                    return {"SceneReflections": filtered}
 
-            # -- reproject + resolve-temporal ---------------------------------
+                # -- reproject + resolve-temporal -----------------------------
+                hist, mom, conf = dn.reproject(
+                    state["RTRefl.history"], state["RTRefl.moments"],
+                    state["RTRefl.depth"], depth,
+                    state["SceneVelocity"], px_full, py_full,
+                )
+                resolved, moments = dn.resolve_temporal(
+                    filtered, hist, mom, conf, ctx.frame_index == 0,
+                )
+                return {
+                    "SceneReflections": resolved,
+                    "RTRefl.history": resolved,
+                    "RTRefl.moments": moments,
+                    "RTRefl.depth": depth,
+                }
+
+            # Pixel-band SPMD: rays were traced band-local above (the part
+            # that scales); the stencil/reprojection denoiser stages run
+            # REPLICATED over all_gather-ed full-frame planes so band edges
+            # see true neighbor rows (seam-exact vs single device), then
+            # each device slices its band back out. Denoiser cost is a few
+            # tenths of a ms at 1080p — replicating it buys exactness for
+            # one ICI gather of a handful of screen-size planes.
+            import jax as _jax
+
+            def g(x):
+                return _jax.lax.all_gather(x, shard_axis, axis=0, tiled=True)
+
+            def band(x):
+                return _jax.lax.dynamic_slice_in_dim(
+                    x, _jax.lax.axis_index(shard_axis) * h, h, axis=0
+                )
+
+            refl_f = g(refl_img)
+            filtered_f = dn.prefilter(refl_f, g(rr), g(nrm_img), g(depth))
+            if not temporal:
+                return {"SceneReflections": band(filtered_f)}
+            depth_f = g(depth)
             hist, mom, conf = dn.reproject(
-                state["RTRefl.history"], state["RTRefl.moments"],
-                state["RTRefl.depth"], depth,
-                state["SceneVelocity"], px_full, py_full,
+                g(state["RTRefl.history"]), g(state["RTRefl.moments"]),
+                g(state["RTRefl.depth"]), depth_f,
+                g(state["SceneVelocity"]), px_frame, py_frame,
             )
-            resolved, moments = dn.resolve_temporal(
-                filtered, hist, mom, conf, ctx.frame_index == 0,
+            resolved_f, moments_f = dn.resolve_temporal(
+                filtered_f, hist, mom, conf, ctx.frame_index == 0,
             )
             return {
-                "SceneReflections": resolved,
-                "RTRefl.history": resolved,
-                "RTRefl.moments": moments,
+                "SceneReflections": band(resolved_f),
+                "RTRefl.history": band(resolved_f),
+                "RTRefl.moments": band(moments_f),
                 "RTRefl.depth": depth,
             }
 

@@ -76,3 +76,60 @@ def test_sharded_matches_with_spot_shadow_atlas_and_icons():
     b = np.array(shr.render_frame())
     mism = np.abs(a - b) > 1e-5
     assert mism.mean() < 1e-3, f"sharded spot/icon render diverges: {mism.mean():.4f}"
+
+
+@pytest.mark.heavy
+def test_sharded_matches_single_device_ssao():
+    """SSAO under pixel-band SPMD: occlusion fetches read the all_gather-ed
+    full-frame depth and the blur exchanges halo rows — band-exact."""
+    scene, cam = build_test_scene(viewport=(W, H))
+    ref = Renderer(scene, cam, CFG, ssao=True, bloom=False)
+    a = np.asarray(ref.render_frame())
+
+    scene2, cam2 = build_test_scene(viewport=(W, H))
+    shr = ShardedRenderer(scene2, cam2, CFG, n_devices=4, ssao=True, bloom=False)
+    b = np.array(shr.render_frame())
+    mism = np.abs(a - b) > 1e-5
+    assert mism.mean() < 1e-3, f"sharded SSAO diverges: {mism.mean():.4f}"
+
+
+@pytest.mark.heavy
+def test_sharded_matches_single_device_rt():
+    """RT shadows + reflections under pixel-band SPMD: rays trace
+    band-local; the denoiser runs replicated on gathered planes. Two frames
+    exercise the temporal history slicing."""
+    def make():
+        return build_test_scene(viewport=(W, H), n_spheres=1)
+
+    scene, cam = make()
+    ref = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
+                   taa=False, bloom=False)
+    for _ in range(2):
+        a = np.array(ref.render_frame())
+
+    scene2, cam2 = make()
+    shr = ShardedRenderer(scene2, cam2, CFG, n_devices=4, rt_shadows=True,
+                          rt_reflections=True, taa=False, bloom=False)
+    for _ in range(2):
+        b = np.array(shr.render_frame())
+    mism = np.abs(a - b) > 1e-5
+    assert mism.mean() < 1e-3, f"sharded RT diverges: {mism.mean():.4f}"
+
+
+@pytest.mark.heavy
+def test_sharded_matches_single_device_ddgi():
+    """DDGI under pixel-band SPMD: probe updates run replicated
+    (deterministic => consistent across devices); per-pixel probe sampling
+    is band-local."""
+    scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+    ref = Renderer(scene, cam, CFG, ddgi=True, taa=False, bloom=False)
+    for _ in range(2):
+        a = np.array(ref.render_frame())
+
+    scene2, cam2 = build_test_scene(viewport=(W, H), n_spheres=1)
+    shr = ShardedRenderer(scene2, cam2, CFG, n_devices=4, ddgi=True,
+                          taa=False, bloom=False)
+    for _ in range(2):
+        b = np.array(shr.render_frame())
+    mism = np.abs(a - b) > 1e-5
+    assert mism.mean() < 1e-3, f"sharded DDGI diverges: {mism.mean():.4f}"
