@@ -69,6 +69,12 @@ CONFIGS = {
     # DLSS-slot workflow: render at 2/3 scale, spatial-upscale to 1080p
     # (the reference ships DLSS for exactly this; upscale quality preset).
     "forward_upscaled": ("test_upscaled", {}, "forward @ 2/3 scale + upscale to 1080p"),
+    # Bindless pressure: every sphere has its own material; materials cycle
+    # 64 distinct texture chains (vs the reference's 10,000-material /
+    # 4,096-texture capacity, GpuScene.h:259-282) — stresses the packed
+    # shading record gather + channel-packed texture fetches under real
+    # material/texture divergence.
+    "bindless": ("bindless", {}, "256 materials / 64 textures bindless pressure"),
 }
 
 
@@ -114,6 +120,19 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
         renderer = Renderer(
             scene, camera, cfg, scene_animator=make_stress_animator(scene), **kw
         )
+
+        def frame(i):
+            return renderer.render_frame()
+    elif kind == "bindless":
+        from arkoserenderer_tpu.assets.procedural import build_bindless_scene
+
+        n_mat = 64 if small else 256
+        n_tex = 16 if small else 64
+        scene, camera = build_bindless_scene(
+            n_materials=n_mat, n_textures=n_tex,
+            viewport=(cfg.width, cfg.height),
+        )
+        renderer = Renderer(scene, camera, cfg, **kw)
 
         def frame(i):
             return renderer.render_frame()
