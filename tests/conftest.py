@@ -43,3 +43,31 @@ def pytest_configure(config):
         "heavy: long-running end-to-end tests (deselect with -m 'not heavy' "
         "for a fast iteration loop)",
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: <2-minute fast lane (kernel unit tests + one golden); run "
+        "with -m smoke during perf iteration",
+    )
+
+
+# -- smoke lane ---------------------------------------------------------------
+# `pytest -m smoke` = the <2-minute subset for perf-iteration loops (kernel
+# unit tests + one end-to-end golden). The full suite stays the CI gate.
+SMOKE_MODULES = {
+    "test_mathx", "test_halton", "test_tonemap", "test_brdf",
+    "test_interpolate", "test_baked", "test_bc7", "test_meshopt",
+    "test_raster",
+}
+SMOKE_IDS = {
+    "test_golden.py::test_golden[forward]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        short = item.nodeid.split("/")[-1]
+        if mod in SMOKE_MODULES or short in SMOKE_IDS:
+            item.add_marker(_pytest.mark.smoke)
