@@ -264,6 +264,12 @@ class TwoLevelBVH:
     quad_rec: jax.Array = None      # (Q, 40) i32 [tri_quad f32x36 | ids x4]
     inst_rec: jax.Array = None      # (I+1, 14) i32 [w2o f32x12 | tri_base |
                                     #   wide BLAS root]; row 0 = identity
+    # Streaming capacity (build_two_level inst_cap): instance slots past the
+    # build-time population are PARKED (tiny AABB at -1e9, inactive) until a
+    # streamed instance claims one — topology never changes, so appending an
+    # instance is a handful of row uploads + an in-jit refit, no retrace.
+    # The TLAS-update half of VertexManager.h:187-226's CreatingBLAS stage.
+    inst_active: jax.Array = None   # (I,) bool; None = all active
     n_tlas: int = dataclasses.field(metadata={"static": True}, default=1)
 
 
@@ -275,7 +281,7 @@ jax.tree_util.register_dataclass(
         "inst_order", "inst_w2o", "inst_o2w", "blas_root", "inst_tri_base",
         "inst_id", "node_cbounds", "node_int", "tri_quad",
         "wide_meta", "wide_src", "wide_cbounds", "wide_root_blas",
-        "wide_rec", "quad_rec", "inst_rec",
+        "wide_rec", "quad_rec", "inst_rec", "inst_active",
     ],
     meta_fields=["n_tlas"],
 )
@@ -488,6 +494,12 @@ def build_two_level(
                                            # deformable BLASes (BVH slot),
                                            # else -1
     inst_id: np.ndarray | None = None,     # (I,) i32 scene instance ids
+    inst_cap: int | None = None,           # reserve parked instance slots
+                                           # for streaming (see inst_active)
+    host_meta_out: dict | None = None,     # filled with numpy build metadata
+                                           # (per-BLAS roots, slot counts) so
+                                           # streaming code never reads back
+                                           # device arrays (readback poison)
 ) -> TwoLevelBVH:
     """Host-side build: one BLAS per unique geometry + a TLAS over instances.
 
@@ -506,6 +518,26 @@ def build_two_level(
         blas_owner = np.full((len(blas_geo),), -1, np.int32)
     if inst_id is None or len(inst_id) != n_inst:
         inst_id = np.arange(n_inst, dtype=np.int32)
+
+    # ---- streaming capacity: parked instance slots --------------------------
+    n_real = n_inst
+    if inst_cap is not None and inst_cap > n_inst:
+        pad = inst_cap - n_inst
+        inst_blas = np.concatenate([np.asarray(inst_blas, np.int32),
+                                    np.zeros(pad, np.int32)])
+        park = np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
+        # Distinct parked centroids far below the scene: tiny AABBs no real
+        # ray reaches, and the median build keeps them in one dead subtree.
+        park[:, 0, 3] = -1e9 + np.arange(pad, dtype=np.float32)
+        park[:, 1, 3] = -1e9
+        park[:, 2, 3] = -1e9
+        inst_o2w = np.concatenate([np.asarray(inst_o2w, np.float32), park])
+        inst_tri_base = np.concatenate([np.asarray(inst_tri_base, np.int32),
+                                        np.zeros(pad, np.int32)])
+        inst_id = np.concatenate([np.asarray(inst_id, np.int32),
+                                  np.zeros(pad, np.int32)])
+        n_inst = inst_cap
+    inst_active_np = np.arange(n_inst) < n_real
 
     # ---- per-BLAS median-split builds (object space) ------------------------
     # blas_geo entries: (verts, tris) or (verts, tris, tri_ids) where
@@ -594,7 +626,7 @@ def build_two_level(
     w_rec, q_rec, i_rec = _derive_wide_recs(
         w_cb, w_meta_j, tri_quad, tri_order_j, w2o_j, itb_j, w_root_blas
     )
-    return TwoLevelBVH(
+    out = TwoLevelBVH(
         node_min=nm,
         node_max=nx,
         left=lf,
@@ -623,8 +655,19 @@ def build_two_level(
         wide_rec=w_rec,
         quad_rec=q_rec,
         inst_rec=i_rec,
+        inst_active=jnp.asarray(inst_active_np),
         n_tlas=n_tlas,
     )
+    if host_meta_out is not None:
+        host_meta_out.update(
+            n_real=n_real,
+            n_inst=n_inst,
+            roots_by_blas=roots_by_blas.copy(),
+            wide_root_of_blas=np.asarray(
+                [w_root_of[int(r)] for r in roots_by_blas], np.int32
+            ),
+        )
+    return out
 
 
 def _rmq_bounds(lo: jax.Array, hi: jax.Array, starts: jax.Array, ends: jax.Array):
@@ -736,6 +779,13 @@ def _refit_two_level(bvh: TwoLevelBVH, world_verts, tris, world):
     rot = o2w[:, :3, :3]
     wc = jnp.einsum("iab,ib->ia", rot, c) + o2w[:, :3, 3]
     we = jnp.einsum("iab,ib->ia", jnp.abs(rot), e)
+    if bvh.inst_active is not None:
+        # Parked streaming slots stay parked through refit (their inst_id
+        # aliases row 0, so without the mask a world-driven refit would
+        # give them a live instance's bounds).
+        act = bvh.inst_active[:, None]
+        wc = jnp.where(act, wc, -1e9)
+        we = jnp.where(act, we, 0.0)
 
     # 5. TLAS node bounds: RMQ over instances in TLAS leaf order.
     i_lo = (wc - we)[bvh.inst_order]

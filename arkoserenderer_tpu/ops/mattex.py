@@ -97,6 +97,73 @@ def _pack_rows(p12: np.ndarray) -> np.ndarray:
     return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24))
 
 
+def pack_material_chain(m, images, cursor: int, wrap_default: int = 0):
+    """Pack ONE material's texture chain starting at texel-row ``cursor``.
+
+    Returns (rows (R, 3) uint32, meta_row (META_LANES,) f32, new_cursor).
+    Shared by the build-time packer below and by TEXTURE STREAMING
+    (Scene.stage_material): a streamed material's chain appends into the
+    texel pool's capacity padding, so new textures reach the device through
+    the same budgeted row uploads as geometry (GpuScene.cpp:483-553's
+    async-texture finalization under an upload budget).
+    """
+    key = (
+        int(m.base_color_tex), int(m.normal_tex), int(m.mr_tex),
+        int(m.emissive_tex), int(m.occlusion_tex),
+    )
+
+    def img_of(tid, default_rgba):
+        if 0 <= tid < len(images) and tid not in (0, 1, 2, 3):
+            return images[tid][0]
+        return np.array([[default_rgba]], np.uint8)
+
+    base = img_of(key[0], [255, 255, 255, 255])
+    nrm = img_of(key[1], [128, 128, 255, 255])
+    mr = img_of(key[2], [255, 255, 255, 255])
+    em = img_of(key[3], [255, 255, 255, 255])
+    occ = img_of(key[4], [255, 255, 255, 255])
+
+    w = max(i.shape[1] for i in (base, nrm, mr, em, occ))
+    h = max(i.shape[0] for i in (base, nrm, mr, em, occ))
+    w, h = _pow2_dims(w, h)
+    wrap = (
+        images[key[0]][2]
+        if 0 <= key[0] < len(images) and key[0] > 3
+        else wrap_default
+    )
+
+    b = _np_resize_bilinear(base, w, h)
+    n = _np_resize_bilinear(nrm, w, h)
+    r = _np_resize_bilinear(mr, w, h)
+    e = _np_resize_bilinear(em, w, h)
+    o = _np_resize_bilinear(occ, w, h)
+    # 12 channels: base rgba | nx ny rough metal | em rgb + occl.
+    p12 = np.concatenate(
+        [
+            b[..., :4],
+            n[..., 0:1], n[..., 1:2], r[..., 1:2], r[..., 2:3],
+            e[..., 0:1], e[..., 1:2], e[..., 2:3], o[..., 0:1],
+        ],
+        axis=-1,
+    )
+    mips = _mip_chain(p12)
+    offsets = np.zeros((MAX_MIPS,), np.int64)
+    rows_list = []
+    for li, mp in enumerate(mips):
+        offsets[li] = cursor
+        rows_list.append(_pack_rows(mp))
+        cursor += mp.shape[0] * mp.shape[1]
+    for li in range(len(mips), MAX_MIPS):
+        offsets[li] = offsets[len(mips) - 1]
+    meta_row = np.zeros((META_LANES,), np.float32)
+    meta_row[0] = wrap
+    meta_row[1] = w
+    meta_row[2] = h
+    meta_row[3] = len(mips)
+    meta_row[4:] = offsets.astype(np.float32)
+    return np.concatenate(rows_list, axis=0), meta_row, cursor
+
+
 def build_packed_materials(materials, images, wrap_default: int = 0):
     """Host-side packing of every material's texture slots.
 
@@ -110,7 +177,7 @@ def build_packed_materials(materials, images, wrap_default: int = 0):
     """
     rows_list: list[np.ndarray] = []
     cursor = 0
-    cache: dict[tuple, tuple] = {}  # texture-id tuple -> (w0, h0, n_mips, offsets, wrap)
+    cache: dict[tuple, tuple] = {}  # texture-id tuple -> (meta_row sans offsets)
     meta = np.zeros((len(materials), META_LANES), np.float32)
 
     for mi, m in enumerate(materials):
@@ -119,55 +186,12 @@ def build_packed_materials(materials, images, wrap_default: int = 0):
             int(m.emissive_tex), int(m.occlusion_tex),
         )
         if key not in cache:
-            def img_of(tid, default_rgba):
-                if 0 <= tid < len(images) and tid not in (0, 1, 2, 3):
-                    return images[tid][0]
-                return np.array([[default_rgba]], np.uint8)
-
-            base = img_of(key[0], [255, 255, 255, 255])
-            nrm = img_of(key[1], [128, 128, 255, 255])
-            mr = img_of(key[2], [255, 255, 255, 255])
-            em = img_of(key[3], [255, 255, 255, 255])
-            occ = img_of(key[4], [255, 255, 255, 255])
-
-            w = max(i.shape[1] for i in (base, nrm, mr, em, occ))
-            h = max(i.shape[0] for i in (base, nrm, mr, em, occ))
-            w, h = _pow2_dims(w, h)
-            wrap = (
-                images[key[0]][2]
-                if 0 <= key[0] < len(images) and key[0] > 3
-                else wrap_default
+            rows, meta_row, cursor = pack_material_chain(
+                m, images, cursor, wrap_default
             )
-
-            b = _np_resize_bilinear(base, w, h)
-            n = _np_resize_bilinear(nrm, w, h)
-            r = _np_resize_bilinear(mr, w, h)
-            e = _np_resize_bilinear(em, w, h)
-            o = _np_resize_bilinear(occ, w, h)
-            # 12 channels: base rgba | nx ny rough metal | em rgb + occl.
-            p12 = np.concatenate(
-                [
-                    b[..., :4],
-                    n[..., 0:1], n[..., 1:2], r[..., 1:2], r[..., 2:3],
-                    e[..., 0:1], e[..., 1:2], e[..., 2:3], o[..., 0:1],
-                ],
-                axis=-1,
-            )
-            mips = _mip_chain(p12)
-            offsets = np.zeros((MAX_MIPS,), np.int64)
-            for li, mp in enumerate(mips):
-                offsets[li] = cursor
-                rows_list.append(_pack_rows(mp))
-                cursor += mp.shape[0] * mp.shape[1]
-            for li in range(len(mips), MAX_MIPS):
-                offsets[li] = offsets[len(mips) - 1]
-            cache[key] = (w, h, len(mips), offsets, wrap)
-        w, h, n_mips, offsets, wrap = cache[key]
-        meta[mi, 0] = wrap
-        meta[mi, 1] = w
-        meta[mi, 2] = h
-        meta[mi, 3] = n_mips
-        meta[mi, 4:] = offsets.astype(np.float32)
+            rows_list.append(rows)
+            cache[key] = meta_row
+        meta[mi] = cache[key]
 
     assert cursor < (1 << 24), "packed texel pool exceeds exact-f32 addressing"
     rows = (

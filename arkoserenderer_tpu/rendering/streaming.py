@@ -78,6 +78,7 @@ class StreamTicket:
     uploads: list
     lights: object = None
     instance_id: int = -1
+    material_id: int = -1
     state: str = UPLOADING
     prepare: object = None   # optional Future: host-side asset prepare
 
@@ -115,6 +116,21 @@ class StreamingManager:
                      for (f, o, r) in plan["uploads"]],
             lights=plan["lights"],
             instance_id=plan["instance_id"],
+        )
+        self.queue.append(t)
+        return t
+
+    def enqueue_material(self, mat) -> StreamTicket:
+        """Stage a NEW material's packed texture chain for budgeted upload
+        (texture streaming — GpuScene.cpp:483-553's async-texture
+        finalization under the frame's upload budget). The texel rows are
+        the bulk and stream first; the 32-lane material record lands LAST,
+        so a half-resident material is never sampleable."""
+        plan = self.scene.stage_material(mat)
+        t = StreamTicket(
+            uploads=[_Upload(f, o, np.ascontiguousarray(r))
+                     for (f, o, r) in plan["uploads"]],
+            material_id=plan["material_id"],
         )
         self.queue.append(t)
         return t
@@ -172,13 +188,42 @@ class StreamingManager:
                 # (small host-built arrays; see Scene.stage_instance).
                 if t.lights is not None:
                     arrays = arrays._replace(lights=t.lights)
+                if any(u.field.startswith("bvh.") for u in t.uploads):
+                    # The streamed instance's BVH rows are in place: one
+                    # in-jit refit folds its TLAS leaf + wide/packed records
+                    # in (the CreatingBLAS->Loaded hop of VertexManager's
+                    # state machine, without a host rebuild or retrace).
+                    from arkoserenderer_tpu.ops.bvh import refit_bvh
+
+                    arrays = arrays._replace(
+                        bvh=refit_bvh(arrays.bvh, arrays.positions,
+                                      arrays.indices)
+                    )
                 t.state = LOADED
                 self.loaded.append(self.queue.pop(0))
         self.bytes_uploaded_last_tick = spent
         return arrays
 
     def _apply(self, arrays, u: _Upload, n: int):
+        # "bvh.<name>" / "mat_tex.<name>" address a nested pytree inside
+        # SceneArrays (streamed-instance TLAS wiring, streamed-material
+        # texel chains; Scene.stage_instance / Scene.stage_material).
+        nested = u.field.split(".", 1)
+        if len(nested) == 2:
+            import dataclasses as _dc
+
+            parent = getattr(arrays, nested[0])
+            pool = getattr(parent, nested[1])
+            new_pool = self._apply_pool(pool, u, n)
+            if hasattr(parent, "_replace"):   # NamedTuple (e.g. mat_tex)
+                new_parent = parent._replace(**{nested[1]: new_pool})
+            else:                             # dataclass (e.g. TwoLevelBVH)
+                new_parent = _dc.replace(parent, **{nested[1]: new_pool})
+            return arrays._replace(**{nested[0]: new_parent})
         pool = getattr(arrays, u.field)
+        return arrays._replace(**{u.field: self._apply_pool(pool, u, n)})
+
+    def _apply_pool(self, pool, u: _Upload, n: int):
         # Power-of-two chunk buckets: tiny uploads (single instance rows)
         # stage tiny buffers instead of a full CHUNK transfer, while the jit
         # cache stays bounded (one program per field x pow2 bucket).
@@ -195,4 +240,4 @@ class StreamingManager:
             jnp.asarray(n, jnp.int32), chunk,
         )
         u.done += n
-        return arrays._replace(**{u.field: new_pool})
+        return new_pool

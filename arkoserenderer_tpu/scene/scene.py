@@ -348,7 +348,11 @@ class Scene:
 
     # -- freeze -----------------------------------------------------------------
 
-    def build(self, with_bvh: bool = False, with_meshlets: bool | None = None) -> SceneArrays:
+    def build(self, with_bvh: bool = False, with_meshlets: bool | None = None,
+              rt_stream_capacity: int = 64) -> SceneArrays:
+        # rt_stream_capacity: parked TLAS instance slots reserved so
+        # streamed instances become visible to RT via row uploads + in-jit
+        # refit instead of a full host rebuild (ops/bvh inst_cap).
         lim = self.limits
         with_meshlets = self.enable_meshlets if with_meshlets is None else with_meshlets
         vmax, tmax, dmax, mmax = (
@@ -485,6 +489,9 @@ class Scene:
         # Host mirrors for incremental streaming (stream_instance): the
         # VertexManager state machine's staging half — new geometry writes
         # into pool padding without re-deriving the rest of the scene.
+        # (Also why the update paths NEVER read back device pools: any D2H
+        # transfer poisons dispatch on this runtime — DEVNOTES round 3.)
+        tri_material = inst_material[tri_instance].astype(np.int32)
         self._mirror = {
             "positions": positions, "normals": normals, "uvs": uvs,
             "tangents": tangents, "vertex_instance": vertex_instance,
@@ -492,7 +499,7 @@ class Scene:
             "tri_valid": tri_valid, "world": world, "prev_world": prev_world,
             "normal_mat": normal_mat, "inst_material": inst_material,
             "inst_sphere": inst_sphere, "inst_valid": inst_valid,
-            "inst_lod_band": inst_lod_band,
+            "inst_lod_band": inst_lod_band, "tri_material": tri_material,
             "v_cursor": v_cursor, "t_cursor": t_cursor,
         }
 
@@ -503,6 +510,16 @@ class Scene:
         tex_rows, tex_meta = mattex.build_packed_materials(
             self.materials, getattr(self.texture_builder, "images", [])
         )
+        # Texel-pool streaming capacity: pad to the configured pool size so
+        # streamed materials' texture chains append into the padding via
+        # budgeted row uploads (Scene.stage_material), no retrace.
+        used_rows = tex_rows.shape[0]
+        cap_rows = max(int(lim.texture_pool_texels), used_rows)
+        if cap_rows > used_rows:
+            tex_rows = np.concatenate(
+                [tex_rows, np.zeros((cap_rows - used_rows, 3), np.uint32)]
+            )
+        self._mattex = {"cursor": used_rows, "capacity": cap_rows}
         mat_records = np.zeros((mmax, 32), np.float32)
         for i, x in enumerate(self.materials):
             mat_records[i, 0:4] = x.base_color_factor
@@ -516,7 +533,6 @@ class Scene:
             mat_records[i, 13] = x.alpha_cutoff
             mat_records[i, 14] = x.blend_mode
             mat_records[i, 15:32] = tex_meta[i]
-        tri_material = inst_material[tri_instance].astype(np.int32)
 
         center, radius = self.bounding_sphere()
         lights = build_light_arrays(
@@ -600,10 +616,10 @@ class Scene:
             ),
             # RT sees only LOD0 drawables (bands starting at distance 0):
             # ray hits must not find the same surface at several LOD levels.
-            bvh=self._build_bvh() if with_bvh else _dummy_bvh(),
+            bvh=self._build_bvh(rt_stream_capacity) if with_bvh else _dummy_bvh(),
         )
 
-    def _build_bvh(self):
+    def _build_bvh(self, stream_capacity: int = 0):
         """Two-level TLAS/BLAS (AccelerationStructure.h:14-102 analogue).
 
         One BLAS per STATIC segment shared by all of its instances (no
@@ -670,7 +686,8 @@ class Scene:
             inst_tri_base.append(base)
             inst_ids.append(inst_id)
 
-        return build_two_level(
+        meta: dict = {}
+        bvh = build_two_level(
             blas_geo,
             np.asarray(inst_blas, np.int32),
             np.stack(inst_o2w) if inst_o2w else np.zeros((0, 4, 4), np.float32),
@@ -678,7 +695,27 @@ class Scene:
             blas_owner=np.asarray(blas_owner, np.int32)
             if blas_owner else None,
             inst_id=np.asarray(inst_ids, np.int32),
+            inst_cap=(len(inst_ids) + stream_capacity) if stream_capacity else None,
+            host_meta_out=meta,
         )
+        if stream_capacity:
+            # Streaming bookkeeping (all HOST data — device readbacks poison
+            # dispatch): free parked TLAS slots + per-static-segment BLAS
+            # roots so stage_instance can wire a streamed instance into the
+            # live BVH (VertexManager.h:187-226 CreatingBLAS analogue).
+            self._bvh_stream = {
+                "free": list(range(meta["n_real"], meta["n_inst"])),
+                "seg_root": {
+                    sid: (
+                        int(meta["roots_by_blas"][b]),
+                        int(meta["wide_root_of_blas"][b]),
+                    )
+                    for sid, b in seg_blas.items()
+                },
+            }
+        else:
+            self._bvh_stream = None
+        return bvh
 
     def _masked_tri_opacity(self, seg) -> np.ndarray | None:
         """(T,) bool keep-mask for a segment with a MASKED material, or None
@@ -759,6 +796,7 @@ class Scene:
         mir["vertex_instance"][vc:vc + v] = inst_id
         mir["indices"][tc:tc + t] = seg.indices.reshape(t, 3) + vc
         mir["tri_instance"][tc:tc + t] = inst_id
+        mir["tri_material"][tc:tc + t] = seg.material
         mir["tri_valid"][tc:tc + t] = True
         mir["world"][inst_id] = w
         mir["prev_world"][inst_id] = w
@@ -806,13 +844,114 @@ class Scene:
             ("tri_valid", tc, np.ones((t,), bool)),
             ("inst_valid", inst_id, np.ones((1,), bool)),
         ]
+
+        # -- live-BVH wiring (streamed geometry visible to RT) ----------------
+        # If the built BVH reserved parked instance slots and this segment
+        # already has a (shared) BLAS, claim a slot: the streamed instance
+        # becomes a TLAS leaf after these row uploads + one in-jit refit —
+        # no host rebuild, no retrace. "bvh."-prefixed fields address the
+        # TwoLevelBVH pytree inside SceneArrays.
+        bvh_refit = False
+        bs = getattr(self, "_bvh_stream", None)
+        if bs and bs["free"] and segment_id in bs["seg_root"]:
+            slot = bs["free"].pop(0)
+            root, wroot = bs["seg_root"][segment_id]
+            rot_inv = np.linalg.inv(w[:3, :3])
+            w2o = np.concatenate(
+                [rot_inv, (-rot_inv @ w[:3, 3])[:, None]], axis=1
+            ).astype(np.float32)
+            uploads += [
+                ("bvh.inst_o2w", slot, w[:3, :4][None].astype(np.float32)),
+                ("bvh.inst_w2o", slot + 1, w2o[None]),
+                ("bvh.blas_root", slot, np.array([root], np.int32)),
+                ("bvh.wide_root_blas", slot, np.array([wroot], np.int32)),
+                ("bvh.inst_tri_base", slot, np.array([tc], np.int32)),
+                ("bvh.inst_id", slot, np.array([inst_id], np.int32)),
+                ("bvh.inst_active", slot, np.ones((1,), bool)),
+            ]
+            bvh_refit = True
+
         return {
             "instance_id": inst_id,
             "uploads": uploads,
             "lights": lights,
+            "bvh_refit": bvh_refit,
             "tri_range": (tc, t),
             "vert_range": (vc, v),
         }
+
+    def stage_material(self, mat: "Material") -> dict:
+        """TEXTURE/MATERIAL streaming: register a new material whose texture
+        chain appends into the packed texel pool's capacity padding, and
+        return the upload plan — texel rows first (the bulk, budgeted), the
+        32-lane material record last (a material only becomes sampleable
+        once its texels are resident). The async-texture-finalization
+        analogue of GpuScene.cpp:483-553.
+
+        Textures referenced by ``mat`` must already be registered host-side
+        via ``add_texture`` (which touches no device state). Note the
+        compiled pipeline's texture-usage permutation is fixed at construct
+        (SceneStatic flags): stream materials whose texture SLOTS the scene
+        already uses, or reconstruct the pipeline.
+        """
+        mm = getattr(self, "_mattex", None)
+        assert mm is not None, "call build() before staging materials"
+        assert len(self.materials) < self.limits.max_materials, (
+            "material table full"
+        )
+        from arkoserenderer_tpu.ops import mattex
+
+        mid = len(self.materials)
+        self.materials.append(mat)
+        rows, meta_row, new_cursor = mattex.pack_material_chain(
+            mat, getattr(self.texture_builder, "images", []), mm["cursor"]
+        )
+        if new_cursor > mm["capacity"]:
+            self.materials.pop()
+            raise RuntimeError(
+                "texel pool full — rebuild with a larger texture_pool_texels"
+            )
+        rec = np.zeros((1, 32), np.float32)
+        rec[0, 0:4] = mat.base_color_factor
+        rec[0, 4:7] = mat.emissive_factor
+        rec[0, 7] = mat.metallic_factor
+        rec[0, 8] = mat.roughness_factor
+        rec[0, 9] = 1.0 if mat.double_sided else 0.0
+        rec[0, 10] = mat.clearcoat
+        rec[0, 11] = mat.clearcoat_roughness
+        rec[0, 12] = mat.subsurface
+        rec[0, 13] = mat.alpha_cutoff
+        rec[0, 14] = mat.blend_mode
+        rec[0, 15:32] = meta_row
+        uploads = [
+            ("mat_tex.rows", mm["cursor"], rows),
+            ("mat_records", mid, rec),     # LAST: record points at texels
+        ]
+        mm["cursor"] = new_cursor
+        return {
+            "material_id": mid,
+            "uploads": uploads,
+            "lights": None,
+            "instance_id": -1,
+            "bvh_refit": False,
+        }
+
+    def stream_material(self, arrays: "SceneArrays", mat: "Material"):
+        """Immediate (non-budgeted) material/texture streaming; returns
+        (updated SceneArrays, material id). See ``stage_material``."""
+        plan = self.stage_material(mat)
+        for f, o, r in plan["uploads"]:
+            if f == "mat_tex.rows":
+                pool = arrays.mat_tex.rows
+                arrays = arrays._replace(mat_tex=arrays.mat_tex._replace(
+                    rows=pool.at[o : o + r.shape[0]].set(jnp.asarray(r))
+                ))
+            else:
+                pool = getattr(arrays, f)
+                arrays = arrays._replace(**{f: pool.at[o : o + r.shape[0]].set(
+                    jnp.asarray(r.astype(pool.dtype))
+                )})
+        return arrays, plan["material_id"]
 
     def stream_instance(self, arrays: "SceneArrays", segment_id: int,
                         world: np.ndarray,
@@ -835,9 +974,28 @@ class Scene:
         """
         plan = self.stage_instance(segment_id, world, lod_band)
         mir = self._mirror
-        tc, t = plan["tri_range"]
-        tri_material = np.asarray(arrays.tri_material).copy()
-        tri_material[tc:tc + t] = self.segments[segment_id].material
+        if plan["bvh_refit"]:
+            import dataclasses as _dc
+
+            from arkoserenderer_tpu.ops.bvh import refit_bvh
+
+            bvh = arrays.bvh
+            for f, o, r in plan["uploads"]:
+                if not f.startswith("bvh."):
+                    continue
+                name = f.split(".", 1)[1]
+                pool = getattr(bvh, name)
+                bvh = _dc.replace(
+                    bvh, **{name: pool.at[o : o + r.shape[0]].set(
+                        jnp.asarray(r.astype(pool.dtype))
+                    )}
+                )
+            # One in-jit refit folds the new leaf into TLAS/wide records.
+            bvh = refit_bvh(bvh, arrays.positions, arrays.indices)
+            arrays = arrays._replace(bvh=bvh)
+        # Host mirror, not a device readback (readbacks poison dispatch —
+        # DEVNOTES round 3); stage_instance already wrote the new rows.
+        tri_material = mir["tri_material"]
         return arrays._replace(
             lights=plan["lights"],
             positions=jnp.asarray(mir["positions"]),

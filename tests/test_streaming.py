@@ -189,3 +189,168 @@ def test_async_prepare_then_stream():
     assert ticket.state == LOADED
     img1 = np.array(r.render_frame())
     assert np.abs(img1 - img0).max() > 0.05
+
+
+def test_streamed_instance_visible_to_rt_without_rebuild():
+    """A streamed instance of an existing segment must appear in RT (sun
+    shadow mask + reflections) via the parked-TLAS-slot + in-jit-refit path
+    (ops/bvh inst_cap) — no host BVH rebuild, no retrace — and match the
+    image a full rebuild produces."""
+    def make():
+        return build_test_scene(viewport=(96, 96), n_spheres=1)
+
+    scene, cam = make()
+    r = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
+                 taa=False, bloom=False)
+    img0 = np.array(r.render_frame())
+    compiled_before = r.pipeline._compiled
+
+    # Stream a second sphere (segment 1 = the build-time sphere) hovering
+    # above the floor between camera and sun: it must cast an RT shadow.
+    w = np.eye(4, dtype=np.float32)
+    w[:3, 3] = (1.2, 1.6, 1.2)
+    r.scene_arrays = scene.stream_instance(r.scene_arrays, 1, w)
+    img1 = np.array(r.render_frame())
+    assert np.isfinite(img1).all()
+    assert np.abs(img1 - img0).max() > 0.05          # it changed the frame
+    assert r.pipeline._compiled is compiled_before   # no retrace
+
+    # Let the reflection denoiser's temporal accumulation converge past the
+    # pre-stream history.
+    for _ in range(4):
+        img1 = np.array(r.render_frame())
+
+    # Ground truth: the same scene fully rebuilt from scratch, rendered to
+    # the SAME frame index (same camera jitter) with the same number of
+    # post-scene-change frames.
+    scene2, cam2 = make()
+    w2 = np.eye(4, dtype=np.float32)
+    w2[:3, 3] = (1.2, 1.6, 1.2)
+    scene2.add_instance(1, w2)
+    r2 = Renderer(scene2, cam2, CFG, rt_shadows=True, rt_reflections=True,
+                  taa=False, bloom=False)
+    for _ in range(r.frame_index):
+        img2 = np.array(r2.render_frame())
+    # Same geometry; BVH topology differs (streamed leaf vs rebuilt tree)
+    # but the traced image must match except fp-order edge pixels and the
+    # temporal tail of the pre-stream reflection history.
+    diff = np.abs(img1 - img2)
+    assert diff.mean() < 2e-3, diff.mean()
+    assert (diff.max(axis=-1) > 0.05).mean() < 0.01
+
+
+def test_streamed_material_texture_chain():
+    """TEXTURE streaming: a material + texture registered AFTER build append
+    the packed texture chain into the texel pool's capacity padding
+    (Scene.stream_material) and become sampleable with no pipeline rebuild —
+    the GpuScene.cpp:483-553 async-texture-finalization analogue."""
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False)
+    img0 = np.array(r.render_frame())
+    compiled_before = r.pipeline._compiled
+
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[..., 0] = 255
+    tex[..., 3] = 255
+    tid = scene.add_texture(tex, srgb=True)
+    r.scene_arrays, mid = scene.stream_material(
+        r.scene_arrays, Material(base_color_tex=tid))
+
+    box = make_box((1.0, 1.0, 1.0))
+    box.material = mid
+    sid = scene.add_segment(box)
+    w = np.eye(4, dtype=np.float32)
+    w[:3, 3] = (1.5, 0.8, 1.5)
+    r.scene_arrays = scene.stream_instance(r.scene_arrays, sid, w)
+
+    img1 = np.array(r.render_frame())
+    assert np.isfinite(img1).all()
+    assert r.pipeline._compiled is compiled_before   # no retrace
+    changed = np.abs(img1 - img0).max(axis=-1) > 0.05
+    assert changed.any()
+    # The box's redness can only come from the STREAMED texels: the record's
+    # base_color_factor is white and the build-time pool never held red.
+    red = img1[..., 0] - np.maximum(img1[..., 1], img1[..., 2])
+    assert (red[changed] > 0.02).mean() > 0.5
+
+
+def test_streamed_material_via_streaming_manager_budget():
+    """The same texture chain through the budgeted StreamingManager: texel
+    rows upload over several ticks under a small byte budget, and the
+    material record lands LAST (a half-resident material never samples)."""
+    from arkoserenderer_tpu.rendering.streaming import StreamingManager
+
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False)
+    r.render_frame()
+
+    tex = np.zeros((32, 32, 4), np.uint8)
+    tex[..., 0] = 255
+    tex[..., 3] = 255
+    tid = scene.add_texture(tex, srgb=True)
+    mgr = StreamingManager(scene, budget_bytes=4 << 10)
+    t = mgr.enqueue_material(Material(base_color_tex=tid))
+    assert t.material_id >= 0
+    # texel rows stream before the material record
+    assert t.uploads[0].field == "mat_tex.rows"
+    assert t.uploads[-1].field == "mat_records"
+
+    ticks = 0
+    while mgr.pending and ticks < 64:
+        r.scene_arrays = mgr.tick(r.scene_arrays)
+        ticks += 1
+    assert t.state == "loaded"
+    assert ticks > 1   # the budget actually split the chain across frames
+
+    box = make_box((1.0, 1.0, 1.0))
+    box.material = t.material_id
+    sid = scene.add_segment(box)
+    w = np.eye(4, dtype=np.float32)
+    w[:3, 3] = (1.5, 0.8, 1.5)
+    r.scene_arrays = scene.stream_instance(r.scene_arrays, sid, w)
+    img = np.array(r.render_frame())
+    assert np.isfinite(img).all()
+    red = img[..., 0] - np.maximum(img[..., 1], img[..., 2])
+    assert (red > 0.02).any()
+
+
+def test_streamed_material_pool_full():
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r = Renderer(scene, cam, CFG, taa=False, bloom=False)
+    big = np.zeros((512, 512, 4), np.uint8)
+    big[..., 3] = 255
+    n_mats = len(scene.materials)
+    # Either capacity guard may trip first: the id-pool's raw-texel cursor
+    # (add_texture) or the packed-row cursor (stage_material).
+    with pytest.raises((RuntimeError, AssertionError), match="pool"):
+        for _ in range(64):
+            tid = scene.add_texture(big, srgb=False)
+            r.scene_arrays, _ = scene.stream_material(
+                r.scene_arrays, Material(base_color_tex=tid))
+    # the failed stage rolled its material registration back
+    assert len(scene.materials) < n_mats + 64
+
+
+def test_streamed_instance_rt_via_streaming_manager():
+    """Same path through the budgeted StreamingManager: the ticket's BVH
+    rows upload under budget and the completion refit makes the instance
+    visible to RT within a bounded number of frames."""
+    from arkoserenderer_tpu.rendering.streaming import StreamingManager
+
+    scene, cam = build_test_scene(viewport=(96, 96), n_spheres=1)
+    r = Renderer(scene, cam, CFG, rt_shadows=True, taa=False, bloom=False)
+    img0 = np.array(r.render_frame())
+
+    mgr = StreamingManager(scene, budget_bytes=16 << 10)  # small budget
+    w = np.eye(4, dtype=np.float32)
+    w[:3, 3] = (1.2, 1.6, 1.2)
+    t = mgr.enqueue_instance(1, w)
+    frames = 0
+    while mgr.pending and frames < 64:
+        r.scene_arrays = mgr.tick(r.scene_arrays)
+        r.render_frame()
+        frames += 1
+    assert t.state == "loaded"
+    img1 = np.array(r.render_frame())
+    assert np.abs(img1 - img0).max() > 0.05
+    assert np.isfinite(img1).all()
