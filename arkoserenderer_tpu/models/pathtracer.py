@@ -37,7 +37,12 @@ class PathTracer:
         max_bounces: int = 3,
         tonemap_mode: str = "agx",
         seed: int = 0,
+        aa: bool = True,
     ):
+        # aa=False samples exact pixel centers (no sub-pixel jitter): the
+        # truth-harness mode where PT and the raster pipeline see the same
+        # primary rays, so per-pixel comparison is apples-to-apples
+        # (tests/test_truth.py).
         self.scene = scene
         self.camera = camera
         self.width = width
@@ -63,7 +68,8 @@ class PathTracer:
         def step(accum, arrays, bvh, cam_state, seed, sample_idx):
             # Key derivation inside jit: no eager PRNG ops on the device.
             key = jax.random.fold_in(jax.random.PRNGKey(seed), sample_idx)
-            sample = trace_path(arrays, bvh, cam_state, px, py, w, h, key, max_bounces)
+            sample = trace_path(arrays, bvh, cam_state, px, py, w, h, key,
+                                max_bounces, aa=aa)
             return accum + sample
 
         self._step = step

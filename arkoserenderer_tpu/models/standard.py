@@ -58,6 +58,7 @@ def make_forward_pipeline(
     oit_layers: int = 1,     # translucent depth-peeling layer count
     upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
     film_grain: float = 0.0,
+    vignette: float = 0.18,  # 0 disables (the truth harness compares vs PT)
     debug_draw=None,  # a DebugLineBuffer enables the overlay pass
 ) -> RenderPipeline:
     """The raster backbone of the Showcase node order
@@ -138,7 +139,8 @@ def make_forward_pipeline(
         pipe.add_pass(BloomPass())
     if taa:
         pipe.add_pass(TAAPass())
-    pipe.add_pass(OutputPass(film_grain_gain=film_grain))
+    pipe.add_pass(OutputPass(film_grain_gain=film_grain,
+                             vignette_intensity=vignette))
     if fxaa:
         pipe.add_pass(FXAAPass())
     if cas:

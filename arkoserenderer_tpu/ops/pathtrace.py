@@ -50,7 +50,10 @@ def _cosine_sample(n, u1, u2):
 def _surface_at_hit(scene: SceneArrays, hit_tri, hit_u, hit_v):
     """Interpolate geometry + material at BVH hits (object arrays are
     world-pretransformed per instance at scene build... here object space ==
-    world only for identity instances, so transform explicitly)."""
+    world only for identity instances, so transform explicitly). Also
+    returns sqrt(uv-area / world-area) — the uv length per world unit that
+    turns a ray-cone radius into a texture footprint (no implicit screen
+    derivatives exist at ray hits; same scheme as ops/rt.surface_at_hits)."""
     corners = scene.indices[hit_tri]                 # (R, 3)
     inst = scene.tri_instance[hit_tri]
     w_m = scene.world[inst]
@@ -64,19 +67,37 @@ def _surface_at_hit(scene: SceneArrays, hit_tri, hit_u, hit_v):
     world_nrm = mx.normalize(jnp.einsum("rij,rj->ri", n_m, obj_nrm))
     uv = jnp.einsum("rk,rkc->rc", bary, scene.uvs[corners])
     mat_id = scene.inst_material[inst]
-    return world_pos, world_nrm, uv, mat_id
+    p = scene.positions[corners]
+    e1w = jnp.einsum("rij,rj->ri", w_m[:, :3, :3], p[:, 1] - p[:, 0])
+    e2w = jnp.einsum("rij,rj->ri", w_m[:, :3, :3], p[:, 2] - p[:, 0])
+    area_w = 0.5 * jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
+    t_uv = scene.uvs[corners]
+    e1u = t_uv[:, 1] - t_uv[:, 0]
+    e2u = t_uv[:, 2] - t_uv[:, 0]
+    area_uv = 0.5 * jnp.abs(e1u[:, 0] * e2u[:, 1] - e1u[:, 1] * e2u[:, 0])
+    uv_density = jnp.sqrt(area_uv / jnp.maximum(area_w, 1e-12))
+    return world_pos, world_nrm, uv, mat_id, uv_density
 
 
-def _material_at(scene: SceneArrays, mat_id, uv):
+def _material_at(scene: SceneArrays, mat_id, uv, footprint):
+    """``footprint``: uv-space diameter of the ray cone at the hit (R,).
+    Per-texture LOD = log2(footprint * texel resolution) — the ray-cone
+    equivalent of screen-derivative mip selection (raster pipelines get this
+    from duv/dx; ray hits must carry it explicitly)."""
     m = scene.materials
+
+    def lod_for(tex_id):
+        size0 = scene.textures.mip_size[tex_id, 0].astype(jnp.float32).max(-1)
+        return jnp.log2(jnp.maximum(footprint * size0, 1e-6))
+
     base_tex = tx.sample_trilinear(
         scene.textures, m.base_color_tex[mat_id], uv,
-        jnp.full(uv.shape[:1], 2.0),  # fixed mid mip: no pixel footprint on rays
+        lod_for(m.base_color_tex[mat_id]),
     )
     base = base_tex[:, :3] * m.base_color_factor[mat_id][:, :3]
     mr = tx.sample_trilinear(
         scene.textures, m.mr_tex[mat_id], uv,
-        jnp.full(uv.shape[:1], 2.0), decode_srgb=False,
+        lod_for(m.mr_tex[mat_id]), decode_srgb=False,
     )
     rough = jnp.clip(mr[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.05, 1.0)
     metal = jnp.clip(mr[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
@@ -97,13 +118,14 @@ def trace_path(
     height: int,
     key: jax.Array,       # PRNG key for this frame
     max_bounces: int = 3,
+    aa: bool = True,
 ) -> jax.Array:
     """One sample per pixel of path-traced radiance (pre-exposed). (R, 3)."""
     r = px.shape[0]
     exposure = cam.exposure
 
     k_aa, key = jax.random.split(key)
-    jitter = jax.random.uniform(k_aa, (r, 2)) - 0.5
+    jitter = (jax.random.uniform(k_aa, (r, 2)) - 0.5) if aa else jnp.zeros((r, 2))
 
     inv_vp = jnp.linalg.inv(cam.unjittered_view_proj)
     ndc_x = (px + jitter[:, 0]) / width * 2.0 - 1.0
@@ -121,11 +143,19 @@ def trace_path(
     throughput = jnp.ones((r, 3))
     alive = jnp.ones((r,), bool)
 
+    # Ray-cone texture LOD: one pixel subtends ~2/(P11*height) radians
+    # vertically (P11 = 1/tan(fov_y/2)); the cone radius grows linearly with
+    # accumulated ray distance. Primary hits thus mip-filter like the raster
+    # pipeline's screen derivatives (tests/test_truth.py compares the two).
+    cone_spread = 2.0 / (jnp.abs(cam.unjittered_proj[1, 1]) * height)
+    cone_t = jnp.zeros((r,))
+
     sun_l = -scene.lights.sun_direction
     sun_radiance = scene.lights.sun_color * exposure
 
     for bounce in range(max_bounces + 1):
         hit = trace_rays(bvh, origins, dirs)
+        cone_t = cone_t + jnp.where(hit.hit, hit.t, 0.0)
 
         # Miss -> environment.
         env = sample_equirect(scene.env_map, dirs) * scene.env_brightness * exposure
@@ -137,8 +167,17 @@ def trace_path(
             break
 
         tri = jnp.maximum(hit.tri, 0)
-        world_pos, n, uv, mat_id = _surface_at_hit(scene, tri, hit.u, hit.v)
-        base, rough, metal, emissive = _material_at(scene, mat_id, uv)
+        world_pos, n, uv, mat_id, uv_density = _surface_at_hit(
+            scene, tri, hit.u, hit.v
+        )
+        # Cone ellipse long axis stretches by 1/cos(incidence) on the
+        # surface; mip selection keys on the LONG axis (the raster path's
+        # max-gradient rho does the same), so grazing hits mip up properly.
+        grazing = jnp.maximum(jnp.abs(mx.vdot(n, dirs, keepdims=False)), 0.05)
+        footprint = (
+            jnp.maximum(cone_t * cone_spread, 1e-6) * uv_density / grazing
+        )
+        base, rough, metal, emissive = _material_at(scene, mat_id, uv, footprint)
         # Face-forward the shading normal against the incoming ray.
         n = n * jnp.where(mx.vdot(n, -dirs) < 0.0, -1.0, 1.0)
 
