@@ -2,11 +2,13 @@
 
 The interactive layer the reference builds with GLFW/ImGui/ImGuizmo
 (Arkose.cpp's main loop, RenderPipeline.cpp:76-108 timing plot,
-EditorGizmo.h:10-28, PickingNode.cpp) running against the live renderer
-through the web System backend (system/webviewer.py): open the printed URL,
-fly with WASD+QE, click a surface to pick its instance, move it with the
-arrow keys / PgUp / PgDn, and watch the per-pass ms table against the
-16.667 ms budget.
+EditorGizmo.h:10-28, PickingNode.cpp, EditorScene.h's outliner) running
+against the live renderer through the web System backend
+(system/webviewer.py): open the printed URL, fly with WASD+QE, click a
+surface (or a hierarchy row) to pick its instance, press 'g' to cycle the
+gizmo mode — translate / rotate / scale, the ImGuizmo mode set — and
+manipulate with arrows / PgUp / PgDn; watch the per-pass ms table against
+the 16.667 ms budget.
 
 Usage:
   python -m arkoserenderer_tpu.apps.viewer --port 8666 --frames 0   # 0 = run forever
@@ -61,14 +63,41 @@ def main(argv=None) -> int:
 
         watcher = ModuleWatcher()
 
+    from arkoserenderer_tpu.scene.editor import GizmoMode
+
+    def hierarchy_entries():
+        rows = []
+        for i, (sid, w, *_rest) in enumerate(scene.instances):
+            s = sid[0] if isinstance(sid, (list, tuple)) else sid
+            seg = scene.segments[s]
+            rows.append({
+                "instance": i,
+                "name": seg.name or f"segment {s}",
+                "segment": int(s),
+                "material": int(seg.material),
+                "position": [round(float(v), 3) for v in w[:3, 3]],
+            })
+        return rows
+
+    sysb.publish_hierarchy(hierarchy_entries())
+
     ema_ms = None
     n = 0
     last = time.perf_counter()
-    gizmo_keys = {
+    translate_keys = {
         "arrowleft": (-0.1, 0, 0), "arrowright": (0.1, 0, 0),
         "arrowup": (0, 0, -0.1), "arrowdown": (0, 0, 0.1),
         "pageup": (0, 0.1, 0), "pagedown": (0, -0.1, 0),
     }
+    # Rotate: arrows = yaw/pitch, PgUp/PgDn = roll (ImGuizmo's three rings).
+    rotate_keys = {
+        "arrowleft": ((0, 1, 0), 0.05), "arrowright": ((0, 1, 0), -0.05),
+        "arrowup": ((1, 0, 0), 0.05), "arrowdown": ((1, 0, 0), -0.05),
+        "pageup": ((0, 0, 1), 0.05), "pagedown": ((0, 0, 1), -0.05),
+    }
+    scale_keys = {"arrowup": 1.03, "pageup": 1.03,
+                  "arrowdown": 1 / 1.03, "pagedown": 1 / 1.03}
+    mode_order = [GizmoMode.TRANSLATE, GizmoMode.ROTATE, GizmoMode.SCALE]
     try:
         while sysb.new_frame():
             if watcher is not None and watcher.poll():
@@ -78,14 +107,37 @@ def main(argv=None) -> int:
             last = now
             controller.update(sysb.input, dt)
 
-            for key, delta in gizmo_keys.items():
-                if sysb.input.is_down(key) and editor.selected is not None:
-                    editor.translate(np.array(delta, np.float32))
+            if sysb.input.was_pressed("g"):
+                editor.gizmo_mode = mode_order[
+                    (mode_order.index(editor.gizmo_mode) + 1) % 3
+                ]
+            moved = False
+            if editor.selected is not None:
+                if editor.gizmo_mode is GizmoMode.TRANSLATE:
+                    for key, delta in translate_keys.items():
+                        if sysb.input.is_down(key):
+                            editor.translate(np.array(delta, np.float32))
+                            moved = True
+                elif editor.gizmo_mode is GizmoMode.ROTATE:
+                    for key, (axis, ang) in rotate_keys.items():
+                        if sysb.input.is_down(key):
+                            editor.rotate(axis, ang)
+                            moved = True
+                else:
+                    for key, f in scale_keys.items():
+                        if sysb.input.is_down(key):
+                            editor.scale(f)
+                            moved = True
             if sysb.input.was_pressed("escape"):
                 editor.selected = None
             for (x, y) in sysb.clicks:
                 editor.select_from_pick(r.pick(x, y))
             sysb.clicks.clear()
+            for inst in sysb.selects:
+                editor.selected = inst if 0 <= inst < len(scene.instances) else None
+            sysb.selects.clear()
+            if moved:
+                sysb.publish_hierarchy(hierarchy_entries())
 
             t0 = time.perf_counter()
             img = r.render_frame()
@@ -96,6 +148,7 @@ def main(argv=None) -> int:
             stats = {
                 "frame": n, "ms": ema_ms,
                 "selected": -1 if editor.selected is None else int(editor.selected),
+                "gizmo": editor.gizmo_mode.value,
             }
             if args.timings_every and n % args.timings_every == 0:
                 from arkoserenderer_tpu.utils.timing import time_passes

@@ -462,3 +462,408 @@ def decompress_bc7(blocks: np.ndarray, height: int, width: int) -> np.ndarray:
         if is_m.any():
             texels[is_m] = _decode_mode(bits[is_m], m)
     return _image_from_blocks(np.clip(texels, 0, 255), height, width)
+
+
+# -- Full-profile encoder (round-3: modes 0-7, bc7enc-style mode search) ------
+#
+# The reference's TextureCompressor wraps bc7enc_rdo's full-profile encoder
+# (arkcore/asset/TextureCompressor.cpp:57-79). This is a from-scratch
+# vectorized-numpy equivalent: per block, fit a small set of candidate modes
+# (partitioned 2/3-subset opaque modes, rotation/dual-index alpha modes, and
+# the mode-6 workhorse), then keep the lowest-RMSE encoding. Verified by
+# round-tripping through the independent full-mode decoder above.
+
+_ANCHOR_TABLES = None
+
+
+def _anchors_for(ns: int, part: np.ndarray) -> list:
+    n = len(part)
+    if ns == 1:
+        return [np.zeros(n, np.int64)]
+    if ns == 2:
+        return [np.zeros(n, np.int64), _ANCHOR2[part]]
+    return [np.zeros(n, np.int64), _ANCHOR3_A[part], _ANCHOR3_B[part]]
+
+
+def _subset_map(ns: int, part: np.ndarray) -> np.ndarray:
+    if ns == 1:
+        return np.zeros((len(part), 16), np.int64)
+    table = _PARTITION2 if ns == 2 else _PARTITION3
+    return table[part]
+
+
+def _fit_endpoints(px: np.ndarray, subset: np.ndarray, ns: int):
+    """Farthest-pair endpoints per subset. px (n,16,C) float64,
+    subset (n,16) -> lo, hi (n, ns, C)."""
+    n, _, c = px.shape
+    rows = np.arange(n)
+    lo = np.zeros((n, ns, c))
+    hi = np.zeros((n, ns, c))
+    for s in range(ns):
+        m = (subset == s)
+        cnt = np.maximum(m.sum(1, keepdims=True), 1)
+        mean = (px * m[:, :, None]).sum(1) / cnt
+        d2 = (((px - mean[:, None]) ** 2).sum(-1)) * m
+        i0 = d2.argmax(1)
+        p0 = px[rows, i0]
+        d2b = (((px - p0[:, None]) ** 2).sum(-1)) * m
+        i1 = d2b.argmax(1)
+        lo[:, s] = p0
+        hi[:, s] = px[rows, i1]
+    return lo, hi
+
+
+def _indices_of(px, e0, e1, levels):
+    """Least-squares index along the endpoint segment. px/e0/e1 (n,16,C)."""
+    axis = e1 - e0
+    den = (axis * axis).sum(-1)
+    den = np.where(den > 0, den, 1.0)
+    t = ((px - e0) * axis).sum(-1) / den
+    return np.clip(np.rint(t * (levels - 1)), 0, levels - 1).astype(np.int64)
+
+
+def _cheap_partition_error(px, ns, part_ids):
+    """Float farthest-pair projection error for every candidate partition:
+    (n, len(part_ids)). No quantization — ranks partitions like bc7enc's
+    estimator pass."""
+    n = px.shape[0]
+    errs = np.empty((n, len(part_ids)))
+    for j, p in enumerate(part_ids):
+        part = np.full(n, p, np.int64)
+        subset = _subset_map(ns, part)
+        lo, hi = _fit_endpoints(px, subset, ns)
+        e0 = np.take_along_axis(lo, subset[:, :, None], axis=1)
+        e1 = np.take_along_axis(hi, subset[:, :, None], axis=1)
+        idx = _indices_of(px, e0, e1, 4)          # 2-bit proxy resolution
+        w = idx / 3.0
+        recon = e0 + w[:, :, None] * (e1 - e0)
+        errs[:, j] = ((recon - px) ** 2).sum((1, 2))
+    return errs
+
+
+def _quant_endpoints(ep: np.ndarray, bits: int, pbit: np.ndarray | None):
+    """Quantize 0..255 float endpoints to ``bits`` (+ optional p-bit low
+    bit). Returns (stored, effective) ints; effective has bits(+1) width."""
+    if pbit is None:
+        maxv = (1 << bits) - 1
+        q = np.clip(np.rint(ep / 255.0 * maxv), 0, maxv).astype(np.int64)
+        return q, q
+    maxv2 = (1 << (bits + 1)) - 1
+    q2 = np.clip(np.rint(ep / 255.0 * maxv2), 0, maxv2).astype(np.int64)
+    stored = np.clip((q2 - pbit) >> 1, 0, (1 << bits) - 1)
+    return stored, (stored << 1) | pbit
+
+
+def _encode_candidate(px, mode, part, rot, sel):
+    """Encode ALL blocks under one fixed (mode, partition, rotation, sel).
+    px: (n,16,4) float64 in 0..255 (already alpha-rotated for modes 4/5 —
+    ``rot`` only affects the emitted header bits here).
+    Returns (err (n,), pack dict)."""
+    n = px.shape[0]
+    ns, pb, rb, isb, cb, ab, epb, spb, ib, ib2 = _MODES[mode]
+    rows = np.arange(n)
+    subset = _subset_map(ns, part)
+    anchors = _anchors_for(ns, part)
+    has_alpha = ab > 0
+
+    color_px = px[:, :, :3]
+    lo, hi = _fit_endpoints(px if has_alpha and not ib2 else color_px,
+                            subset, ns)
+    # Dual-index modes (4/5) fit color and alpha separately.
+    if ib2:
+        lo_a = px[:, :, 3].min(1)     # ns == 1 for modes 4/5
+        hi_a = px[:, :, 3].max(1)
+        alpha_ep = np.stack([lo_a, hi_a], -1)[:, None, :]    # (n,1,2)
+    elif has_alpha:
+        alpha_ep = np.stack([lo[:, :, 3], hi[:, :, 3]], -1)  # (n,ns,2)
+        lo, hi = lo[:, :, :3], hi[:, :, :3]
+    else:
+        alpha_ep = None
+
+    # Quantize endpoints (+ p-bit search where the mode has them).
+    def quant_all(pvals_lo, pvals_hi):
+        slo, elo = _quant_endpoints(lo, cb, pvals_lo[:, :, None]
+                                    if pvals_lo is not None else None)
+        shi, ehi = _quant_endpoints(hi, cb, pvals_hi[:, :, None]
+                                    if pvals_hi is not None else None)
+        if alpha_ep is not None:
+            pl = pvals_lo if (pvals_lo is not None and epb) else None
+            ph = pvals_hi if (pvals_hi is not None and epb) else None
+            sa0, ea0 = _quant_endpoints(alpha_ep[:, :, 0], ab, pl)
+            sa1, ea1 = _quant_endpoints(alpha_ep[:, :, 1], ab, ph)
+        else:
+            sa0 = ea0 = sa1 = ea1 = None
+        return slo, elo, shi, ehi, sa0, ea0, sa1, ea1
+
+    cbits = cb + (1 if (epb or spb) else 0)
+    abits = ab + (1 if (epb and has_alpha) else 0)
+
+    def dequant_set(elo, ehi, ea0, ea1):
+        d0 = _dequant(elo, cbits)
+        d1 = _dequant(ehi, cbits)
+        da0 = _dequant(ea0, abits) if ea0 is not None else None
+        da1 = _dequant(ea1, abits) if ea1 is not None else None
+        return d0, d1, da0, da1
+
+    if epb or spb:
+        # Try p=0 / p=1 per endpoint (epb) or per subset pair (spb); pick by
+        # endpoint reconstruction error alone (cheap and near-optimal).
+        best = None
+        for p_lo in (0, 1):
+            for p_hi in (0, 1):
+                pl = np.full((n, ns), p_lo, np.int64)
+                ph = np.full((n, ns), p_hi, np.int64)
+                if spb:
+                    ph = pl                     # shared across the pair
+                    if p_hi != p_lo:
+                        continue
+                slo, elo, shi, ehi, sa0, ea0, sa1, ea1 = quant_all(pl, ph)
+                d0, d1, da0, da1 = dequant_set(elo, ehi, ea0, ea1)
+                e = ((d0 - lo) ** 2).sum(-1) + ((d1 - hi) ** 2).sum(-1)
+                if da0 is not None:
+                    e = e + (da0 - alpha_ep[:, :, 0]) ** 2 \
+                          + (da1 - alpha_ep[:, :, 1]) ** 2
+                cand = dict(slo=slo, shi=shi, sa0=sa0, sa1=sa1, pl=pl, ph=ph,
+                            d0=d0, d1=d1, da0=da0, da1=da1, err=e)
+                if best is None:
+                    best = cand
+                else:
+                    take = (cand["err"] < best["err"])    # (n, ns)
+                    for k in ("slo", "shi", "pl", "ph"):
+                        best[k] = np.where(take[:, :, None]
+                                           if best[k].ndim == 3 else take,
+                                           cand[k], best[k])
+                    for k in ("d0", "d1"):
+                        best[k] = np.where(take[:, :, None], cand[k], best[k])
+                    for k in ("sa0", "sa1", "da0", "da1"):
+                        if best[k] is not None:
+                            best[k] = np.where(take, cand[k], best[k])
+                    best["err"] = np.where(take, cand["err"], best["err"])
+        slo, shi = best["slo"], best["shi"]
+        sa0, sa1 = best["sa0"], best["sa1"]
+        p_lo, p_hi = best["pl"], best["ph"]
+        d0, d1, da0, da1 = best["d0"], best["d1"], best["da0"], best["da1"]
+    else:
+        slo, elo, shi, ehi, sa0, ea0, sa1, ea1 = quant_all(None, None)
+        d0, d1, da0, da1 = dequant_set(elo, ehi, ea0, ea1)
+        p_lo = p_hi = None
+
+    # Per-texel dequantized endpoints -> indices.
+    e0t = np.take_along_axis(d0, subset[:, :, None], axis=1)   # (n,16,3)
+    e1t = np.take_along_axis(d1, subset[:, :, None], axis=1)
+    if has_alpha and not ib2:
+        # Single index set drives RGBA: project in 4D.
+        a0t = np.take_along_axis(da0, subset, axis=1)[:, :, None]
+        a1t = np.take_along_axis(da1, subset, axis=1)[:, :, None]
+        idx = _indices_of(px, np.concatenate([e0t, a0t], -1),
+                          np.concatenate([e1t, a1t], -1), 1 << ib)
+    elif not ib2:
+        idx = _indices_of(color_px, e0t, e1t, 1 << ib)
+    if ib2:
+        a0t = np.broadcast_to(da0, (n, 16))
+        a1t = np.broadcast_to(da1, (n, 16))
+        if sel:   # 3-bit set drives color, 2-bit set drives alpha
+            idx_c = _indices_of(color_px, e0t, e1t, 1 << ib2)
+            idx_a = _indices_of(px[:, :, 3:4], a0t[:, :, None],
+                                a1t[:, :, None], 1 << ib)
+            idx, idx2 = idx_a, idx_c
+        else:
+            idx = _indices_of(color_px, e0t, e1t, 1 << ib)
+            idx2 = _indices_of(px[:, :, 3:4], a0t[:, :, None],
+                               a1t[:, :, None], 1 << ib2)
+    else:
+        idx2 = None
+
+    # Anchor constraint: each subset's anchor index MSB must be 0; swap the
+    # subset's endpoints (and flip its texel indices) where violated.
+    half = 1 << (ib - 1)
+    _IB2_SWAPPED = None
+    for s, a in enumerate(anchors):
+        viol = idx[rows, a] >= half                       # (n,)
+        if s == 0:
+            _IB2_SWAPPED = viol
+        if not viol.any():
+            continue
+        vm = viol[:, None] & (subset == s)                # texels to flip
+        idx = np.where(vm, (1 << ib) - 1 - idx, idx)
+        for pair in ((slo, shi), (sa0, sa1) if sa0 is not None else None,
+                     (p_lo, p_hi) if p_lo is not None else None,
+                     (d0, d1), (da0, da1) if da0 is not None else None):
+            if pair is None:
+                continue
+            x, y = pair
+            if x.ndim == 3:
+                tmp = x[viol, s].copy()
+                x[viol, s] = y[viol, s]
+                y[viol, s] = tmp
+            else:
+                tmp = x[viol, s].copy() if x.ndim == 2 else x[viol].copy()
+                if x.ndim == 2:
+                    x[viol, s] = y[viol, s]
+                    y[viol, s] = tmp
+                else:
+                    x[viol] = y[viol]
+                    y[viol] = tmp
+    if ib2:
+        # The swap above (driven by idx1's anchor) also swapped the alpha
+        # endpoints, so flip the second index set for those blocks too, then
+        # clamp its anchor MSB (standard encoder compromise — a re-swap
+        # would re-violate idx1).
+        swapped = _IB2_SWAPPED
+        if swapped is not None and swapped.any():
+            idx2 = np.where(swapped[:, None], (1 << ib2) - 1 - idx2, idx2)
+        half2 = 1 << (ib2 - 1)
+        a0 = anchors[0]
+        idx2[rows, a0] = np.minimum(idx2[rows, a0], half2 - 1)
+
+    # Reconstruct + error (in the rotated space == original space: the
+    # rotation is a channel permutation).
+    e0t = np.take_along_axis(d0, subset[:, :, None], axis=1)
+    e1t = np.take_along_axis(d1, subset[:, :, None], axis=1)
+    w_c = _WEIGHTS[ib][idx]
+    if ib2:
+        w_2 = _WEIGHTS[ib2][idx2]
+        w_color, w_alpha = (w_2, w_c) if sel else (w_c, w_2)
+        a0t = np.broadcast_to(da0, (n, 16))
+        a1t = np.broadcast_to(da1, (n, 16))
+    elif has_alpha:
+        w_color = w_alpha = w_c
+        a0t = np.take_along_axis(da0, subset, axis=1)
+        a1t = np.take_along_axis(da1, subset, axis=1)
+    else:
+        w_color = w_alpha = w_c
+        a0t = a1t = np.full((n, 16), 255, np.int64)
+    rgb = ((64 - w_color[:, :, None]) * e0t + w_color[:, :, None] * e1t + 32) >> 6
+    a = ((64 - w_alpha) * a0t + w_alpha * a1t + 32) >> 6
+    recon = np.concatenate([rgb, a[:, :, None]], -1).astype(np.float64)
+    err = ((recon - px) ** 2).sum((1, 2))
+
+    return err, dict(mode=mode, part=part, rot=rot, sel=sel, slo=slo,
+                     shi=shi, sa0=sa0, sa1=sa1, p_lo=p_lo, p_hi=p_hi,
+                     idx=idx, idx2=idx2, anchors=anchors)
+
+
+def _pack_candidate(c) -> np.ndarray:
+    """Pack one candidate dict (all blocks) to (n,128) LSB-first bools,
+    mirroring _decode_mode's field order exactly."""
+    mode = c["mode"]
+    ns, pb, rb, isb, cb, ab, epb, spb, ib, ib2 = _MODES[mode]
+    n = len(c["part"])
+    out = np.zeros((n, 128), bool)
+    pos = mode + 1
+    out[:, mode] = True                                  # marker bit
+
+    def put(v, nb):
+        nonlocal pos
+        v = np.asarray(v, np.int64)
+        for i in range(nb):
+            out[:, pos + i] = (v >> i) & 1
+        pos += nb
+
+    if pb:
+        put(c["part"], pb)
+    if rb:
+        put(np.full(n, c["rot"], np.int64), rb)
+    if isb:
+        put(np.full(n, c["sel"], np.int64), isb)
+    ne = 2 * ns
+    for ch in range(3):
+        for s in range(ns):
+            put(c["slo"][:, s, ch], cb)
+            put(c["shi"][:, s, ch], cb)
+    if ab:
+        for s in range(ns):
+            put(c["sa0"][:, s], ab)
+            put(c["sa1"][:, s], ab)
+    if epb:
+        for s in range(ns):
+            put(c["p_lo"][:, s], 1)
+            put(c["p_hi"][:, s], 1)
+    elif spb:
+        for s in range(ns):
+            put(c["p_lo"][:, s], 1)
+
+    def write_indices(idx, nbits, anchors):
+        nonlocal pos
+        rows = np.arange(n)
+        is_anchor = np.zeros((n, 16), bool)
+        for a in anchors:
+            is_anchor[rows, a] = True
+        cursor = np.full(n, pos, np.int64)
+        for t in range(16):
+            width = np.where(is_anchor[:, t], nbits - 1, nbits)
+            for i in range(nbits):
+                take = i < width
+                cols = np.minimum(cursor + i, 127)
+                vals = ((idx[:, t] >> i) & 1).astype(bool) & take
+                out[rows[vals], cols[vals]] = True
+            cursor += width
+        pos += 16 * nbits - len(anchors)
+
+    write_indices(c["idx"], ib, c["anchors"])
+    if ib2:
+        write_indices(c["idx2"], ib2, c["anchors"])
+    assert pos <= 128
+    return out
+
+
+def compress_bc7(img: np.ndarray, quality: str = "balanced") -> np.ndarray:
+    """(H, W, 4) uint8 -> (H/4 * W/4, 16) uint8 BC7 blocks, full profile.
+
+    Per block: encode under every candidate (mode, partition, rotation)
+    combination for the quality tier, keep the lowest-error bits. Partition
+    search uses a float estimator pass over all partitions, then a full
+    quantized encode at each block's best partition (bc7enc's strategy).
+
+    quality: "fast"     mode 6 only (== compress_bc7_mode6)
+             "balanced" opaque: 6 + 1; alpha: 6 + 5 + 4(rot 0)
+             "thorough" opaque: 6 + 1 + 3 + 2 + 0; alpha: + 7, all rotations
+    """
+    px_u8 = _blocks_from_image(img)
+    if quality == "fast":
+        return compress_bc7_mode6(img)
+    px = px_u8.astype(np.float64)
+    n = len(px)
+    opaque = bool((px_u8[:, :, 3] == 255).all())
+
+    # Start from the mode-6 encoding (always a candidate).
+    best_bits = _unpack_bits(compress_bc7_mode6(img))
+    texels6 = _decode_mode(best_bits, 6)
+    best_err = ((texels6.astype(np.float64) - px) ** 2).sum((1, 2))
+
+    def best_partition(ns, pb):
+        ids = list(range(min(1 << pb, 64)))
+        errs = _cheap_partition_error(px, ns, ids)
+        return np.asarray(ids, np.int64)[errs.argmin(1)]
+
+    candidates = []
+    if opaque:
+        modes = [1] if quality == "balanced" else [1, 3, 2, 0]
+        for m in modes:
+            ns, pb = _MODES[m][0], _MODES[m][1]
+            candidates.append((m, best_partition(ns, pb), 0, 0))
+    else:
+        rots = [0] if quality == "balanced" else [0, 1, 2, 3]
+        for m in ([5, 4] if quality == "balanced" else [5, 4]):
+            for r in rots:
+                sels = [0, 1] if m == 4 else [0]
+                for s in sels:
+                    candidates.append((m, np.zeros(n, np.int64), r, s))
+        if quality == "thorough":
+            candidates.append((7, best_partition(2, 6), 0, 0))
+
+    for mode, part, rot, sel in candidates:
+        if rot:
+            ch = rot - 1
+            pxr = px.copy()
+            pxr[:, :, ch], pxr[:, :, 3] = px[:, :, 3], px[:, :, ch]
+        else:
+            pxr = px
+        err, cand = _encode_candidate(pxr, mode, part, rot, sel)
+        take = err < best_err
+        if take.any():
+            bits = _pack_candidate(cand)
+            best_bits[take] = bits[take]
+            best_err = np.where(take, err, best_err)
+
+    return np.packbits(best_bits, axis=1, bitorder="little")

@@ -12,7 +12,7 @@ NORMAL / TEXCOORD_0 / TANGENT / JOINTS_0 / WEIGHTS_0 attributes, u8/u16/u32
 indices, node TRS + matrix transforms, baseColor / metallicRoughness /
 normal / emissive / occlusion textures, alphaMode, doubleSided, sampler wrap
 modes, KHR_materials_emissive_strength.
-TODO: sparse accessors, skins/animations wiring (accessors decode already),
+TODO: skins/animations wiring (accessors decode already),
 KHR_texture_transform, Draco.
 """
 
@@ -119,9 +119,6 @@ def read_accessor(g: GltfFile, index: int) -> np.ndarray:
             out = rows.reshape(-1).view(dtype).reshape(n, ncomp)
     out = np.array(out)  # own the memory
 
-    if acc.get("normalized") and dtype != np.float32:
-        info = np.iinfo(dtype)
-        out = out.astype(np.float32) / float(info.max)
     if "sparse" in acc:
         sp = acc["sparse"]
         cnt = sp["count"]
@@ -139,6 +136,10 @@ def read_accessor(g: GltfFile, index: int) -> np.ndarray:
             offset=bv.get("byteOffset", 0) + val_acc.get("byteOffset", 0),
         ).reshape(cnt, ncomp)
         out[idx] = vals
+    if acc.get("normalized") and dtype != np.float32:
+        # After sparse substitution, so sparse values normalize too.
+        info = np.iinfo(dtype)
+        out = out.astype(np.float32) / float(info.max)
     return out
 
 

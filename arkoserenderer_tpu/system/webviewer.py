@@ -7,7 +7,9 @@ RenderPipeline.cpp:76-108, EditorGizmo.h:10-28 + the scene-hierarchy panel)
 is a LOCAL WEB PAGE: a stdlib http.server streams the latest frame as PNG,
 shows the per-pass ms table against the frame budget, forwards keyboard /
 mouse events into the Input singleton (WASD fly camera), and supports
-click-to-pick + arrow-key gizmo translation of the selected instance.
+click-to-pick, a scene-hierarchy panel (click a row to select), and a
+keyboard gizmo over the selection with translate / rotate / scale modes
+(cycle with 'g' — the EditorGizmo.h:10-28 mode set).
 
 The renderer stays single-threaded: HTTP handler threads only touch a
 lock-protected latest-frame buffer and an event queue; the render loop
@@ -29,24 +31,36 @@ from arkoserenderer_tpu.system.system import System
 _PAGE = """<!DOCTYPE html>
 <html><head><title>arkoserenderer_tpu viewer</title><style>
 body { background:#14161a; color:#cfd3da; font:13px monospace; margin:16px }
+#cols { display:flex; gap:16px; align-items:flex-start }
 #frame { image-rendering:pixelated; border:1px solid #333; cursor:crosshair }
 #stats { white-space:pre; margin-top:8px }
+#hier { border:1px solid #333; padding:6px; min-width:220px }
+#hier .row { cursor:pointer; padding:1px 4px }
+#hier .row:hover { background:#222832 }
+#hier .sel { background:#2d4a6d }
 .over { color:#ff7b72 }
 </style></head><body>
 <div>arkoserenderer_tpu — live viewer. WASD+QE fly, click = pick,
-arrows/PgUp/PgDn = move selection, Esc = deselect.</div>
-<img id="frame" width="%W%" height="%H%"/>
-<div id="stats"></div>
+g = gizmo mode (translate/rotate/scale), arrows/PgUp/PgDn = manipulate
+selection, Esc = deselect.</div>
+<div id="cols">
+<div><img id="frame" width="%W%" height="%H%"/><div id="stats"></div></div>
+<div id="hier">hierarchy</div>
+</div>
 <script>
 const img = document.getElementById('frame');
 const stats = document.getElementById('stats');
+const hier = document.getElementById('hier');
+let selected = -1;
 function post(ev) { fetch('/event', {method:'POST', body:JSON.stringify(ev)}); }
 async function tick() {
   img.src = '/frame.png?' + Date.now();
   try {
     const s = await (await fetch('/stats')).json();
+    selected = s.selected;
     let txt = 'frame ' + s.frame + '   ' + s.ms.toFixed(2) + ' ms/frame' +
               (s.ms > s.budget_ms ? '  OVER ' + s.budget_ms + ' ms budget' : '') + '\\n';
+    txt += 'gizmo: ' + (s.gizmo || 'translate') + '\\n';
     if (s.selected >= 0) txt += 'selected instance ' + s.selected + '\\n';
     for (const [k, v] of Object.entries(s.timings || {}))
       txt += k.padEnd(24) + v.toFixed(3) + ' ms\\n';
@@ -54,7 +68,23 @@ async function tick() {
   } catch (e) {}
   setTimeout(tick, 100);
 }
+async function hierTick() {
+  try {
+    const h = await (await fetch('/hierarchy')).json();
+    hier.innerHTML = '<b>scene hierarchy</b>';
+    for (const e of h) {
+      const d = document.createElement('div');
+      d.className = 'row' + (e.instance === selected ? ' sel' : '');
+      d.textContent = '#' + e.instance + ' ' + e.name +
+                      ' [seg ' + e.segment + ' mat ' + e.material + ']';
+      d.onclick = () => post({type:'select', instance:e.instance});
+      hier.appendChild(d);
+    }
+  } catch (e) {}
+  setTimeout(hierTick, 1000);
+}
 tick();
+hierTick();
 window.addEventListener('keydown', e => post({type:'keydown', key:e.key}));
 window.addEventListener('keyup',   e => post({type:'keyup', key:e.key}));
 img.addEventListener('click', e => {
@@ -80,6 +110,8 @@ class WebSystem(System):
         self._server: ThreadingHTTPServer | None = None
         self._running = True
         self.clicks: list[tuple[int, int]] = []   # drained by the app loop
+        self.selects: list[int] = []              # hierarchy-panel picks
+        self._hierarchy: list[dict] = []
 
     # -- System interface ------------------------------------------------------
 
@@ -106,6 +138,10 @@ class WebSystem(System):
                 elif self.path.startswith("/stats"):
                     with sys_ref._lock:
                         body = json.dumps(sys_ref._stats).encode()
+                    self._send(200, "application/json", body)
+                elif self.path.startswith("/hierarchy"):
+                    with sys_ref._lock:
+                        body = json.dumps(sys_ref._hierarchy).encode()
                     self._send(200, "application/json", body)
                 else:
                     page = (_PAGE.replace("%W%", str(width))
@@ -143,6 +179,8 @@ class WebSystem(System):
                 self.input.push_key_up(str(ev.get("key", "")))
             elif t == "click":
                 self.clicks.append((int(ev.get("x", 0)), int(ev.get("y", 0))))
+            elif t == "select":
+                self.selects.append(int(ev.get("instance", -1)))
             elif t == "quit":
                 self._running = False
         return self._running
@@ -160,6 +198,12 @@ class WebSystem(System):
     def publish_stats(self, **kw) -> None:
         with self._lock:
             self._stats.update(kw)
+
+    def publish_hierarchy(self, entries: list) -> None:
+        """Scene-hierarchy panel rows: [{instance, name, segment, material,
+        position}] (the EditorScene.h scene outliner analogue)."""
+        with self._lock:
+            self._hierarchy = entries
 
     def stop(self) -> None:
         self._running = False

@@ -197,10 +197,30 @@ def test_live_viewer_http_roundtrip():
         base + "/event", data=json.dumps({"type": "click", "x": 48, "y": 60}).encode(),
         method="POST")
     urllib.request.urlopen(req, timeout=30).read()
+
+    # Hierarchy panel: rows for every instance; select row 0 through it.
+    hier = json.loads(get("/hierarchy"))
+    assert len(hier) >= 2 and {"instance", "name", "segment"} <= set(hier[0])
+
+    def post(ev):
+        rq = urllib.request.Request(
+            base + "/event", data=json.dumps(ev).encode(), method="POST")
+        urllib.request.urlopen(rq, timeout=30).read()
+
+    post({"type": "select", "instance": 0})
+    # Cycle gizmo translate -> rotate, then manipulate the selection.
+    post({"type": "keydown", "key": "g"})
+    _t.sleep(0.8)
+    post({"type": "keyup", "key": "g"})
+    post({"type": "keydown", "key": "ArrowUp"})
+    _t.sleep(0.5)
+    post({"type": "keyup", "key": "ArrowUp"})
     _t.sleep(1.0)
     stats = json.loads(get("/stats"))
     assert stats["frame"] >= 1
     assert stats["ms"] > 0
+    assert stats.get("selected") == 0
+    assert stats.get("gizmo") in ("rotate", "scale")
     th.join(timeout=240)
     assert result.get("rc") == 0
 

@@ -115,3 +115,75 @@ def test_bc7_all_modes_match_independent_decoder():
             Image.frombytes("RGBA", (4 * n, 4), raw.tobytes(), "bcn", (7, "RGBA"))
         )
         np.testing.assert_array_equal(ours, ref, err_msg=f"mode {mode}")
+
+
+# -- full-profile encoder (round 3) -------------------------------------------
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / max(mse, 1e-9))
+
+
+def _test_image(alpha: bool):
+    rng = np.random.default_rng(11)
+    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+    img = np.stack(
+        [128 + 100 * np.sin(x / 9), 128 + 100 * np.cos(y / 11),
+         128 + 80 * np.sin((x + y) / 13), np.full_like(x, 255)], -1)
+    img[..., :3] = np.clip(img[..., :3] + rng.normal(0, 4, (32, 32, 3)), 0, 255)
+    img[12:24, 4:28, :3] = (230, 40, 40)  # two-tone blocks favor partitions
+    if alpha:
+        img[..., 3] = np.clip(x * 8, 0, 255)
+    return img.astype(np.uint8)
+
+
+def test_bc7_full_profile_beats_mode6():
+    """compress_bc7's mode search must not lose to the mode-6 baseline, and
+    higher tiers must not lose to lower ones (candidate sets are supersets)."""
+    for alpha in (False, True):
+        img = _test_image(alpha)
+        scores = []
+        for q in ("fast", "balanced", "thorough"):
+            out = bc7.decompress_bc7(bc7.compress_bc7(img, quality=q), 32, 32)
+            scores.append(_psnr(img, out))
+        assert scores[1] >= scores[0] - 1e-6, scores
+        assert scores[2] >= scores[1] - 1e-6, scores
+        assert scores[2] > scores[0] + 0.5, f"mode search won nothing: {scores}"
+
+
+def test_bc7_encoder_emits_partitioned_and_rotation_modes():
+    opaque = _test_image(alpha=False)
+    blocks = bc7.compress_bc7(opaque, quality="thorough")
+    modes = set(np.argmax(bc7._unpack_bits(blocks), axis=1).tolist())
+    assert modes & {0, 1, 2, 3}, f"no partitioned opaque mode chosen: {modes}"
+    translucent = _test_image(alpha=True)
+    blocks = bc7.compress_bc7(translucent, quality="thorough")
+    modes = set(np.argmax(bc7._unpack_bits(blocks), axis=1).tolist())
+    assert modes & {4, 5, 7}, f"no alpha mode chosen: {modes}"
+
+
+def test_bc7_encoded_streams_valid_for_independent_decoder():
+    """Encoded blocks must decode identically in Pillow's independent BC7
+    implementation — i.e. we emit spec-valid bitstreams, not just streams
+    our own decoder happens to accept."""
+    import pytest
+
+    try:
+        from PIL import Image
+
+        Image.frombytes("RGBA", (4, 4), b"\x00" * 16, "bcn", (7, "RGBA"))
+    except Exception:
+        pytest.skip("Pillow BCn decoder unavailable")
+
+    for alpha in (False, True):
+        img = _test_image(alpha)
+        blocks = bc7.compress_bc7(img, quality="thorough")
+        ours = bc7.decompress_bc7(blocks, 32, 32)
+        h, w = 32, 32
+        # Pillow lays blocks out row-major over the image like our packer.
+        ref = np.asarray(
+            Image.frombytes("RGBA", (w, h), blocks.tobytes(), "bcn", (7, "RGBA"))
+        )
+        np.testing.assert_array_equal(ours, ref)
+        assert _psnr(img, ref) > 30.0

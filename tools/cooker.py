@@ -94,7 +94,7 @@ def _tool_bc7(inp: Path, out: Path, rule: dict) -> list[Path]:
 
     import numpy as np
 
-    from arkoserenderer_tpu.assets.bc7 import compress_bc7_mode6
+    from arkoserenderer_tpu.assets.bc7 import compress_bc7
     from arkoserenderer_tpu.utils.imageio import load_image_rgba
 
     img = load_image_rgba(str(inp))
@@ -102,7 +102,8 @@ def _tool_bc7(inp: Path, out: Path, rule: dict) -> list[Path]:
     w = (img.shape[1] + 3) // 4 * 4
     padded = np.zeros((h, w, 4), np.uint8)
     padded[: img.shape[0], : img.shape[1]] = img
-    blocks = compress_bc7_mode6(padded)
+    # quality: "fast" (mode 6 only) | "balanced" | "thorough" (full profile)
+    blocks = compress_bc7(padded, quality=rule.get("quality", "balanced"))
     pf = struct.pack("<II4sIIIII", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
     hdr = (b"DDS " + struct.pack("<7I", 124, 0x1007, h, w, 0, 0, 1)
            + b"\0" * 44 + pf + b"\0" * 20)
