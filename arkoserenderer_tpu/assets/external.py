@@ -84,8 +84,13 @@ def apply_lut3d(lut_table, color):
     c1 = jnp.minimum(c0 + 1, s - 1)
     f = c - c0
 
+    # In-trace conversion: callers keep the table as NUMPY (device-array
+    # closures poison dispatch, rendering/pipeline.pixel_centers), and a
+    # numpy array cannot be indexed by a tracer — jnp.asarray here becomes
+    # a free HLO literal.
+    flat = jnp.asarray(lut_table).reshape(-1, 3)
+
     def fetch(ri, gi, bi):
-        flat = lut_table.reshape(-1, 3)
         return flat[(bi * s + gi) * s + ri]
 
     r0, g0, b0 = c0[..., 0], c0[..., 1], c0[..., 2]

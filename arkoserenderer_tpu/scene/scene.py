@@ -502,6 +502,16 @@ class Scene:
             "inst_sphere": inst_sphere, "inst_valid": inst_valid,
             "inst_lod_band": inst_lod_band, "tri_material": tri_material,
             "v_cursor": v_cursor, "t_cursor": t_cursor,
+            # Skeletal streaming (stage_instance of skinned segments):
+            # palette range allocation continues from the build cursor, and
+            # skin pools accept appended rows. has_skin records whether the
+            # compiled frame program contains the skinning path at all — a
+            # skinned instance can only stream into a program that skins.
+            "skin_joints": skin_joints, "skin_weights": skin_weights,
+            "palette_cursor": palette_cursor,
+            "has_skin": any(
+                self.segments[sid].skeleton >= 0 for sid, *_ in self.instances
+            ),
         }
 
         # Packed material records + channel-packed textures (TPU fast path,
@@ -760,7 +770,7 @@ class Scene:
         return keep
 
     def stage_instance(self, segment_id: int, world: np.ndarray,
-                       lod_band=(0.0, LOD_FAR)) -> dict:
+                       lod_band=(0.0, LOD_FAR), clip=None) -> dict:
         """Host half of the VertexManager streaming state machine
         (arkose/rendering/VertexManager.h:187-226 PendingAllocation step):
         allocate pool ranges for a new instance of an EXISTING segment,
@@ -776,9 +786,17 @@ class Scene:
         mir = getattr(self, "_mirror", None)
         assert mir is not None, "call build() before staging instances"
         seg = self.segments[segment_id]
-        assert seg.skeleton < 0 and seg.morph_pos is None, (
-            "streaming is rigid-static only this round"
+        assert seg.morph_pos is None, (
+            "morph streaming unsupported (one morph block per scene by design)"
         )
+        if seg.skeleton >= 0:
+            # Skeletal streaming (VertexManager allocateSkeletalMeshInstance):
+            # the compiled program must already contain the skinning path —
+            # compile-time scene facts don't change under streaming.
+            assert mir["has_skin"], (
+                "cannot stream a skinned segment into a scene built without "
+                "skinned instances (the frame program has no skinning path)"
+            )
         v = seg.positions.shape[0]
         t = seg.num_triangles
         vc, tc = mir["v_cursor"], mir["t_cursor"]
@@ -789,12 +807,30 @@ class Scene:
             raise RuntimeError("scene pools full — rebuild with larger limits")
 
         w = np.asarray(world, np.float32)
-        self.instances.append((segment_id, w, None, None, lod_band))
+        self.instances.append((segment_id, w, None, clip, lod_band))
         mir["positions"][vc:vc + v] = seg.positions
         mir["normals"][vc:vc + v] = seg.normals
         mir["uvs"][vc:vc + v] = seg.uvs
         mir["tangents"][vc:vc + v] = seg.tangents
         mir["vertex_instance"][vc:vc + v] = inst_id
+        skin_uploads = []
+        if seg.skeleton >= 0:
+            from arkoserenderer_tpu.scene.animation import evaluate_pose
+
+            skel = self.skeletons[seg.skeleton]
+            base = mir["palette_cursor"]
+            assert base + skel.num_joints <= MAX_JOINTS, "joint palette exceeded"
+            mir["palette_cursor"] = base + skel.num_joints
+            mir["skin_joints"][vc:vc + v] = seg.skin_joints + base
+            mir["skin_weights"][vc:vc + v] = seg.skin_weights
+            self._bindings.append((seg.skeleton, base, clip))
+            pal0 = evaluate_pose(skel, None, 0.0)[0]
+            self._palette_pool[base:base + skel.num_joints] = pal0
+            skin_uploads = [
+                ("skin_joints", vc, (seg.skin_joints + base).astype(np.int32)),
+                ("skin_weights", vc, seg.skin_weights.astype(np.float32)),
+                ("palette", base, pal0.astype(np.float32)),
+            ]
         mir["indices"][tc:tc + t] = seg.indices.reshape(t, 3) + vc
         mir["tri_instance"][tc:tc + t] = inst_id
         mir["tri_material"][tc:tc + t] = seg.material
@@ -826,7 +862,7 @@ class Scene:
         )
 
         one = np.s_[inst_id:inst_id + 1]
-        uploads = [
+        uploads = skin_uploads + [
             ("positions", vc, seg.positions.astype(np.float32)),
             ("normals", vc, seg.normals.astype(np.float32)),
             ("uvs", vc, seg.uvs.astype(np.float32)),
@@ -956,7 +992,7 @@ class Scene:
 
     def stream_instance(self, arrays: "SceneArrays", segment_id: int,
                         world: np.ndarray,
-                        lod_band=(0.0, LOD_FAR)) -> "SceneArrays":
+                        lod_band=(0.0, LOD_FAR), clip=None) -> "SceneArrays":
         """Incremental geometry streaming: add an instance of an EXISTING
         segment into the live SceneArrays without a rebuild or a retrace.
 
@@ -969,11 +1005,15 @@ class Scene:
         caller evicts or rebuilds with larger limits, the reference's
         defragment-or-grow path).
 
-        Scope (round 1): static rigid segments (no skin/morph/hair); the
-        static BVH does not include streamed geometry until the next
-        full build (RT sees it after ``Scene.build(with_bvh=True)``).
+        Scope: rigid and SKINNED segments (round 3 — skinned instances
+        allocate a palette range and stream their skin pools; the scene
+        must already contain a skinned instance so the compiled program has
+        the skinning path). Morph targets remain build-time (one morph
+        block per scene by design). When the built BVH reserved parked
+        instance slots, streamed geometry becomes visible to RT through an
+        in-jit refit — no host rebuild (see stage_instance).
         """
-        plan = self.stage_instance(segment_id, world, lod_band)
+        plan = self.stage_instance(segment_id, world, lod_band, clip=clip)
         mir = self._mirror
         if plan["bvh_refit"]:
             import dataclasses as _dc
@@ -1015,6 +1055,11 @@ class Scene:
             inst_valid=jnp.asarray(mir["inst_valid"]),
             inst_lod_band=jnp.asarray(mir["inst_lod_band"]),
             tri_material=jnp.asarray(tri_material),
+            **({
+                "skin_joints": jnp.asarray(mir["skin_joints"]),
+                "skin_weights": jnp.asarray(mir["skin_weights"]),
+                "palette": jnp.asarray(self._palette_pool),
+            } if self.segments[segment_id].skeleton >= 0 else {}),
         )
 
     def update_instance_transforms(self, arrays: "SceneArrays") -> "SceneArrays":

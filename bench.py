@@ -66,6 +66,16 @@ CONFIGS = {
         dict(ddgi=True, ssss=True),
         "DDGI probe GI + SSSS",
     ),
+    # The BASELINE.md north-star sentence verbatim: "the full raster+RT+DDGI
+    # sample scene" in ONE frame — visbuf raster + RT sun shadows + RT
+    # reflections + DDGI GI + SSAO + full post, the whole Showcase node
+    # order at once (ShowcaseApp.cpp:129-227).
+    "showcase": (
+        "test",
+        dict(rt_shadows=True, rt_reflections=True, ddgi=True, ssao=True,
+             fog=True, motion_blur=True),
+        "showcase: raster + RT shadows/reflections + DDGI + SSAO + full post",
+    ),
     # DLSS-slot workflow: render at 2/3 scale, spatial-upscale to 1080p
     # (the reference ships DLSS for exactly this; upscale quality preset).
     "forward_upscaled": ("test_upscaled", {}, "forward @ 2/3 scale + upscale to 1080p"),
