@@ -52,7 +52,10 @@ def test_stress_scene_instanced_tlas_rt():
     # One BLAS for the sphere + one for the floor — shared by all instances.
     n_unique_roots = len(np.unique(np.asarray(bvh.blas_root)))
     assert n_unique_roots == 2
-    assert bvh.inst_id.shape[0] == 257          # floor + 256 spheres
+    # floor + 256 spheres LIVE; the build may reserve extra PARKED slots
+    # for streaming capacity (ops/bvh.build_two_level inst_cap).
+    assert int(np.asarray(bvh.inst_active).sum()) == 257
+    assert bvh.inst_id.shape[0] >= 257
     img = np.array(r.render_frame())
     assert np.isfinite(img).all()
     mask = np.asarray(r.state["ShadowMask.sun"])
