@@ -807,7 +807,8 @@ def _pack_candidate(c) -> np.ndarray:
     return out
 
 
-def compress_bc7(img: np.ndarray, quality: str = "balanced") -> np.ndarray:
+def compress_bc7(img: np.ndarray, quality: str = "balanced",
+                 rdo_lambda: float = 0.0) -> np.ndarray:
     """(H, W, 4) uint8 -> (H/4 * W/4, 16) uint8 BC7 blocks, full profile.
 
     Per block: encode under every candidate (mode, partition, rotation)
@@ -818,10 +819,13 @@ def compress_bc7(img: np.ndarray, quality: str = "balanced") -> np.ndarray:
     quality: "fast"     mode 6 only (== compress_bc7_mode6)
              "balanced" opaque: 6 + 1; alpha: 6 + 5 + 4(rot 0)
              "thorough" opaque: 6 + 1 + 3 + 2 + 0; alpha: + 7, all rotations
+    rdo_lambda > 0 runs the rate-distortion repeat pass (rdo_bc7) on the
+    result — smaller LZ-compressed size for bounded PSNR loss.
     """
     px_u8 = _blocks_from_image(img)
     if quality == "fast":
-        return compress_bc7_mode6(img)
+        blocks = compress_bc7_mode6(img)
+        return rdo_bc7(img, blocks, rdo_lambda) if rdo_lambda > 0 else blocks
     px = px_u8.astype(np.float64)
     n = len(px)
     opaque = bool((px_u8[:, :, 3] == 255).all())
@@ -866,4 +870,49 @@ def compress_bc7(img: np.ndarray, quality: str = "balanced") -> np.ndarray:
             best_bits[take] = bits[take]
             best_err = np.where(take, err, best_err)
 
-    return np.packbits(best_bits, axis=1, bitorder="little")
+    blocks = np.packbits(best_bits, axis=1, bitorder="little")
+    return rdo_bc7(img, blocks, rdo_lambda) if rdo_lambda > 0 else blocks
+
+
+def _decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 BC7 blocks (any mode mix) -> (n, 16, 4) texels."""
+    bits = _unpack_bits(blocks)
+    mode = np.argmax(bits, axis=1)
+    out = np.zeros((len(blocks), 16, 4), np.uint8)
+    for m in range(8):
+        sel = mode == m
+        if sel.any():
+            out[sel] = _decode_mode(bits[sel], m)
+    return out
+
+
+def rdo_bc7(img: np.ndarray, blocks: np.ndarray, lambda_: float = 1.0,
+            window: int = 16) -> np.ndarray:
+    """Rate-distortion pass over encoded blocks (bc7enc_rdo's core idea,
+    arkcore/asset/TextureCompressor.cpp:57-79 wraps that library): replace a
+    block's 16 bytes with a PREVIOUS block's bytes when the MSE increase is
+    small — byte-identical repeats are what LZ/deflate (and GPU-upload
+    supercompression schemes) squeeze. ``lambda_`` trades PSNR for
+    compressed size: accepted when
+        (new_mse - old_mse) <= lambda_ * 96.0   (per-block, 8-bit scale).
+    """
+    if lambda_ <= 0.0 or len(blocks) < 2:
+        return blocks
+    px = _blocks_from_image(img).astype(np.float64)
+    out = blocks.copy()
+    base_err = ((_decode_blocks(out).astype(np.float64) - px) ** 2).sum((1, 2))
+    budget = lambda_ * 96.0
+    n = len(out)
+    best_err = np.full(n, np.inf)
+    best_src = np.full(n, -1, np.int64)
+    for s in range(1, min(window, n - 1) + 1):
+        cand = out[:-s]
+        # Skip re-decode when candidate bytes equal the block's own bytes.
+        err = ((_decode_blocks(cand).astype(np.float64) - px[s:]) ** 2).sum((1, 2))
+        ok = err - base_err[s:] <= budget
+        better = ok & (err < best_err[s:])
+        best_err[s:][better] = err[better]
+        best_src[s:][better] = (np.arange(n - s))[better]
+    take = best_src >= 0
+    out[take] = out[best_src[take]]
+    return out

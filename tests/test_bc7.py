@@ -187,3 +187,30 @@ def test_bc7_encoded_streams_valid_for_independent_decoder():
         )
         np.testing.assert_array_equal(ours, ref)
         assert _psnr(img, ref) > 30.0
+
+
+def test_bc7_rdo_trades_size_for_bounded_error():
+    """rdo_bc7 (the bc7enc_rdo slot): higher lambda must shrink the
+    LZ-compressed size monotonically-ish while keeping decoded error
+    bounded, and lambda=0 must be a no-op."""
+    import zlib
+
+    rng = np.random.default_rng(3)
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[..., 3] = 255
+    img[..., :3] = (90, 120, 150)
+    img[:, :32, :3] = (200, 80, 60)
+    img[..., :3] = np.clip(
+        img[..., :3].astype(float) + rng.normal(0, 3, (64, 64, 3)), 0, 255
+    ).astype(np.uint8)
+
+    blocks = bc7.compress_bc7(img, quality="balanced")
+    assert np.array_equal(bc7.rdo_bc7(img, blocks, 0.0), blocks)
+
+    base_size = len(zlib.compress(blocks.tobytes(), 6))
+    base_psnr = _psnr(img, bc7.decompress_bc7(blocks, 64, 64))
+    rb = bc7.compress_bc7(img, quality="balanced", rdo_lambda=4.0)
+    rdo_size = len(zlib.compress(rb.tobytes(), 6))
+    rdo_psnr = _psnr(img, bc7.decompress_bc7(rb, 64, 64))
+    assert rdo_size < base_size * 0.95, (rdo_size, base_size)
+    assert rdo_psnr > base_psnr - 3.0, (rdo_psnr, base_psnr)

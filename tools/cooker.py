@@ -103,7 +103,9 @@ def _tool_bc7(inp: Path, out: Path, rule: dict) -> list[Path]:
     padded = np.zeros((h, w, 4), np.uint8)
     padded[: img.shape[0], : img.shape[1]] = img
     # quality: "fast" (mode 6 only) | "balanced" | "thorough" (full profile)
-    blocks = compress_bc7(padded, quality=rule.get("quality", "balanced"))
+    # rdo_lambda > 0: rate-distortion repeat pass (bc7enc_rdo's -z lambda)
+    blocks = compress_bc7(padded, quality=rule.get("quality", "balanced"),
+                          rdo_lambda=float(rule.get("rdo_lambda", 0.0)))
     pf = struct.pack("<II4sIIIII", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
     hdr = (b"DDS " + struct.pack("<7I", 124, 0x1007, h, w, 0, 0, 1)
            + b"\0" * 44 + pf + b"\0" * 20)
