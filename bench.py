@@ -56,15 +56,21 @@ CONFIGS = {
         "full post (TAA+bloom+SSAO+fog+MB+DoF)",
     ),
     "stress": ("stress", {}, "4096 animated instances (culling stress)"),
+    # BASELINE.md north-star config 3: meshlet visibility-buffer path with
+    # per-meshlet culling, at stress scale.
+    "meshlet": ("meshlet", {}, "meshlet visbuf + per-meshlet culling, 4096 instances"),
+    # North-star config 4 verbatim: "RT shadows + reflections + denoise,
+    # local lights" — a shadow-casting spot joins the sun.
     "rt": (
-        "test",
+        "test_spot",
         dict(rt_shadows=True, rt_reflections=True),
-        "RT shadows + RT reflections + FFX-style denoise (full-res RT)",
+        "RT shadows + RT reflections + FFX-style denoise + local light",
     ),
+    # North-star config 5 verbatim: "DDGI + SSS + skinning/morph targets".
     "ddgi": (
-        "test",
+        "test_anim",
         dict(ddgi=True, ssss=True),
-        "DDGI probe GI + SSSS",
+        "DDGI probe GI + SSSS + skinning + morph targets",
     ),
     # The BASELINE.md north-star sentence verbatim: "the full raster+RT+DDGI
     # sample scene" in ONE frame — visbuf raster + RT sun shadows + RT
@@ -84,7 +90,10 @@ CONFIGS = {
     # 4,096-texture capacity, GpuScene.h:259-282) — stresses the packed
     # shading record gather + channel-packed texture fetches under real
     # material/texture divergence.
-    "bindless": ("bindless", {}, "256 materials / 64 textures bindless pressure"),
+    # North-star config 2 verbatim: "PBR bindless scene, realistic camera,
+    # TAA + DoF + motion blur @1080p".
+    "bindless": ("bindless", dict(motion_blur=True, depth_of_field=True),
+                 "256 materials / 64 textures bindless + TAA + MB + DoF"),
 }
 
 
@@ -114,7 +123,7 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
 
         def frame(i):
             return renderer.render_frame()
-    elif kind == "stress":
+    elif kind in ("stress", "meshlet"):
         from arkoserenderer_tpu.assets.procedural import (
             build_stress_scene,
             make_stress_animator,
@@ -124,12 +133,75 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
         scene, camera = build_stress_scene(
             n_instances=n_inst, viewport=(cfg.width, cfg.height)
         )
+        if kind == "meshlet":
+            # Per-meshlet culling path (MeshletVisibilityBufferRenderNode):
+            # meshlets built at scene build, culled per frame.
+            scene.enable_meshlets = True
         # Device-side animation: the bob+spin grid is a traced prologue of
         # the frame program — no per-frame host math or pool uploads (those
         # cost ~45 ms at 4,096 instances vs <1 ms of device frame time).
         renderer = Renderer(
             scene, camera, cfg, scene_animator=make_stress_animator(scene), **kw
         )
+
+        def frame(i):
+            return renderer.render_frame()
+    elif kind == "test_spot":
+        import numpy as np
+
+        from arkoserenderer_tpu.assets.procedural import build_test_scene
+        from arkoserenderer_tpu.scene.lights import SpotLight
+
+        scene, camera = build_test_scene(viewport=(cfg.width, cfg.height))
+        scene.spots.append(SpotLight(
+            position=np.array([1.5, 3.0, 1.0], np.float32),
+            direction=np.array([-0.3, -1.0, -0.2], np.float32),
+            luminous_intensity_cd=30000.0,
+        ))
+        renderer = Renderer(scene, camera, cfg, **kw)
+
+        def frame(i):
+            return renderer.render_frame()
+    elif kind == "test_anim":
+        import numpy as np
+
+        from arkoserenderer_tpu.assets.procedural import (
+            build_test_scene,
+            make_box,
+            make_uv_sphere,
+        )
+        from arkoserenderer_tpu.scene.animation import Skeleton
+        from arkoserenderer_tpu.scene.scene import Material
+
+        scene, camera = build_test_scene(viewport=(cfg.width, cfg.height))
+        # Skinned element: one-joint skeleton, rest pose lifts the box.
+        skel = scene.add_skeleton(Skeleton(
+            parents=np.array([-1], np.int32),
+            inverse_bind=np.eye(4, dtype=np.float32)[None],
+            rest_translation=np.array([[0.0, 0.6, 0.0]], np.float32),
+            rest_rotation=np.array([[0, 0, 0, 1]], np.float32),
+            rest_scale=np.ones((1, 3), np.float32),
+        ))
+        box = make_box((0.7, 0.7, 0.7))
+        box.material = scene.add_material(Material(
+            base_color_factor=np.array([0.8, 0.6, 0.2, 1.0], np.float32)))
+        nv = box.positions.shape[0]
+        box.skeleton = skel
+        box.skin_joints = np.zeros((nv, 4), np.int32)
+        box.skin_weights = np.tile(np.array([1, 0, 0, 0], np.float32), (nv, 1))
+        wb = np.eye(4, dtype=np.float32)
+        wb[:3, 3] = (2.2, 0.0, 1.2)
+        scene.add_instance(scene.add_segment(box), wb)
+        # Morph element: sphere with an inflate target at weight 0.5.
+        sph = make_uv_sphere(0.5, rings=12, sectors=24)
+        sph.material = box.material
+        sph.morph_pos = sph.normals[None] * 0.4
+        sph.morph_nrm = np.zeros((1, len(sph.normals), 3), np.float32)
+        ws = np.eye(4, dtype=np.float32)
+        ws[:3, 3] = (-2.6, 0.5, 1.5)
+        scene.add_instance(scene.add_segment(sph), ws)
+        scene.set_morph_weights(np.array([0.5], np.float32))
+        renderer = Renderer(scene, camera, cfg, **kw)
 
         def frame(i):
             return renderer.render_frame()
