@@ -56,6 +56,17 @@ def render_cases():
                      taa=False, bloom=False)
         return np.array(r.render_frames(2))
 
+    def showcase():
+        # The BASELINE north-star frame: raster + RT shadows/reflections +
+        # DDGI + SSAO + full post in ONE pipeline (bench --config showcase).
+        from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
+
+        scene, cam = build_test_scene(viewport=(RES, RES), n_spheres=1)
+        r = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
+                     ddgi=ProbeGridConfig(), ssao=True, fog=True,
+                     motion_blur=True)
+        return np.array(r.render_frames(2))
+
     def pathtraced():
         from arkoserenderer_tpu.models.pathtracer import PathTracer
 
@@ -96,6 +107,7 @@ def render_cases():
         "full_post": full_post,
         "rt": rt,
         "ddgi": ddgi,
+        "showcase": showcase,
         "pathtraced": pathtraced,
         "helmet": helmet,
     }
