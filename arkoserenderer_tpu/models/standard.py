@@ -250,8 +250,9 @@ class Renderer:
             palette = self.scene.update_animations(self.time)
             self.scene_arrays = self.scene_arrays._replace(
                 palette=jnp.asarray(palette),
-                morph_weights=jnp.asarray(
-                    np.asarray(self.scene._morph_weights, np.float32)
+                morph_weights=tuple(
+                    jnp.asarray(np.asarray(w, np.float32))
+                    for w in self.scene._morph_weights_list
                 ),
             )
         # Feed back ONLY persistent resources: transients are recomputed by

@@ -40,16 +40,19 @@ class ScenePass(RenderPass):
         has_hair = cfg.scene.has_hair
         hair_base = cfg.scene.hair_vertex_base
         has_morphs = cfg.scene.has_morphs
-        morph_base = cfg.scene.morph_vertex_base
+        morph_bases = cfg.scene.morph_vertex_base  # tuple: one per block
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             s = ctx.scene
             if has_morphs:
-                # Morph blend BEFORE skinning, like skinning.comp's order.
-                p0, n0 = apply_morphs(
-                    s.positions, s.normals, s.morph_pos, s.morph_nrm,
-                    s.morph_weights, morph_base,
-                )
+                # Morph blend BEFORE skinning, like skinning.comp's order;
+                # one block per morphed instance (static count, unrolled).
+                p0, n0 = s.positions, s.normals
+                for i, base in enumerate(morph_bases):
+                    p0, n0 = apply_morphs(
+                        p0, n0, s.morph_pos[i], s.morph_nrm[i],
+                        s.morph_weights[i], base,
+                    )
                 s = s._replace(positions=p0, normals=n0)
             if has_skin:
                 p, n, t = skin_vertices(

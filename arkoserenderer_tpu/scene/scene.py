@@ -67,9 +67,9 @@ class SceneStatic:
     hair_vertex_base: int = 0
     has_translucent: bool = False
     has_meshlets: bool = False
-    # Morph targets (one morphed block per scene for now)
+    # Morph targets: one entry per morphed INSTANCE (vertex-pool block).
     has_morphs: bool = False
-    morph_vertex_base: int = 0
+    morph_vertex_base: tuple = ()
     # Host moves instance transforms per frame (physics/editor/animation):
     # the shading record keeps prev-position lanes for exact velocity.
     dynamic: bool = False
@@ -204,11 +204,13 @@ class SceneArrays(NamedTuple):
     meshlet_cone: jax.Array     # (Mm, 4) object-space axis xyz + cutoff
     meshlet_instance: jax.Array # (Mm,) i32
     meshlet_valid: jax.Array    # (Mm,) bool
-    # Morph targets (MorphTargetAsset analogue): deltas for one contiguous
-    # vertex block; weights are animated host-side and uploaded per frame.
-    morph_pos: jax.Array        # (B, Vm, 3) position deltas (or (1,1,3))
-    morph_nrm: jax.Array        # (B, Vm, 3) normal deltas
-    morph_weights: jax.Array    # (B,)
+    # Morph targets (MorphTargetAsset analogue): ONE TUPLE ENTRY PER MORPHED
+    # INSTANCE (round 3 — multiple morphing meshes per scene). Each entry i
+    # is a contiguous vertex-pool block at StaticInfo.morph_vertex_base[i];
+    # weights animate host-side (per-block clips) and upload per frame.
+    morph_pos: tuple            # of (B_i, V_i, 3) position deltas
+    morph_nrm: tuple            # of (B_i, V_i, 3) normal deltas
+    morph_weights: tuple        # of (B_i,)
     # Hair strands (HairMesh analogue): control points expanded to
     # camera-facing ribbons each frame by the Scene pass.
     hair_points: jax.Array      # (Hp, 3) world-space strand points (or (1,3))
@@ -247,10 +249,12 @@ class Scene:
         self.points: list[PointLight] = []
         self._hair: tuple | None = None  # (points, tangents, radius, segment id)
         self.enable_meshlets = False  # meshlet-granularity culling (build + passes)
-        self._morph_weights = np.zeros((1,), np.float32)
-        self._morph_base = 0
-        self._morph_seg: int | None = None
-        self._morph_clip: int | None = None
+        # Morph blocks: (v_base, segment id, clip id) per morphed INSTANCE,
+        # filled by build(); weights are per block. Overrides remember
+        # set_morph_weights calls made before build().
+        self._morph_blocks: list[tuple] = []
+        self._morph_weights_list: list[np.ndarray] = []
+        self._morph_weight_overrides: dict[int, np.ndarray] = {}
         self.env_map: np.ndarray = np.zeros((1, 2, 3), np.float32)
         self.env_brightness: float = 1.0
         self.ambient_lx: float = 0.0
@@ -381,8 +385,7 @@ class Scene:
         skin_joints = np.zeros((vmax, 4), np.int32)
         skin_weights = np.zeros((vmax, 4), np.float32)
         tri_meshlet = np.zeros((tmax,), np.int32)
-        self._morph_base = 0
-        self._morph_seg: int | None = None
+        self._morph_blocks = []
         meshlet_list: list[tuple] = []  # (sphere4, cone4, instance)
         seg_meshlets: dict[int, object] = {}
         self._bindings = []
@@ -402,13 +405,8 @@ class Scene:
             uvs[v_cursor : v_cursor + v] = seg.uvs
             tangents[v_cursor : v_cursor + v] = seg.tangents
             vertex_instance[v_cursor : v_cursor + v] = inst_id
-            if seg.morph_pos is not None and self._morph_seg is None:
-                self._morph_base = v_cursor
-                self._morph_seg = sid
-                self._morph_clip = clip
-                self._morph_weights = np.zeros(
-                    (seg.morph_pos.shape[0],), np.float32
-                ) if self._morph_weights.shape[0] != seg.morph_pos.shape[0] else self._morph_weights
+            if seg.morph_pos is not None:
+                self._morph_blocks.append((v_cursor, sid, clip))
             if seg.skeleton >= 0:
                 # Per-instance skeletal palette range (the reference's
                 # per-instance skeletal copies, VertexManager
@@ -584,17 +582,16 @@ class Scene:
             lights=lights,
             env_map=jnp.asarray(self.env_map),
             env_brightness=jnp.asarray(self.env_brightness, jnp.float32),
-            morph_pos=jnp.asarray(
-                self.segments[self._morph_seg].morph_pos
-                if self._morph_seg is not None else np.zeros((1, 1, 3), np.float32)
+            morph_pos=tuple(
+                jnp.asarray(self.segments[sid].morph_pos.astype(np.float32))
+                for (_b, sid, _c) in self._morph_blocks
             ),
-            morph_nrm=jnp.asarray(
-                self.segments[self._morph_seg].morph_nrm
-                if self._morph_seg is not None else np.zeros((1, 1, 3), np.float32)
+            morph_nrm=tuple(
+                jnp.asarray(self.segments[sid].morph_nrm.astype(np.float32))
+                for (_b, sid, _c) in self._morph_blocks
             ),
-            morph_weights=jnp.asarray(
-                self._morph_weights
-                if self._morph_seg is not None else np.zeros((1,), np.float32)
+            morph_weights=tuple(
+                jnp.asarray(w) for w in self._rebuild_morph_weights()
             ),
             tri_meshlet=jnp.asarray(tri_meshlet),
             meshlet_sphere=jnp.asarray(
@@ -1157,17 +1154,20 @@ class Scene:
             hair_vertex_base=self._hair_vertex_base(),
             has_translucent=any(m.blend_mode == BLEND_TRANSLUCENT for m in mats),
             has_meshlets=self.enable_meshlets,
-            has_morphs=any(s.morph_pos is not None for s in self.segments),
-            morph_vertex_base=self._morph_base_for_static(),
+            has_morphs=bool(self._morph_bases_for_static()),
+            morph_vertex_base=self._morph_bases_for_static(),
         )
 
-    def _morph_base_for_static(self) -> int:
+    def _morph_bases_for_static(self) -> tuple:
+        """Vertex-pool base of every morphed INSTANCE, in instance order
+        (matches build()'s _morph_blocks order)."""
+        bases = []
         base = 0
         for sid, *_ in self.instances:
             if self.segments[sid].morph_pos is not None:
-                return base
+                bases.append(base)
             base += self.segments[sid].positions.shape[0]
-        return 0
+        return tuple(bases)
 
     def _hair_vertex_base(self) -> int:
         if self._hair is None:
@@ -1180,8 +1180,29 @@ class Scene:
             base += self.segments[sid].positions.shape[0]
         raise ValueError("hair segment has no instance")
 
-    def set_morph_weights(self, weights: np.ndarray):
-        self._morph_weights = np.asarray(weights, np.float32)
+    def _rebuild_morph_weights(self) -> list[np.ndarray]:
+        """Size the per-block weight list to the current blocks, keeping
+        weights whose target count still matches (set before OR after
+        build)."""
+        out = []
+        for i, (_b, sid, _c) in enumerate(self._morph_blocks):
+            nb = self.segments[sid].morph_pos.shape[0]
+            w = self._morph_weight_overrides.get(i)
+            if w is None and i < len(self._morph_weights_list):
+                w = self._morph_weights_list[i]
+            if w is None or w.shape[0] != nb:
+                w = np.zeros((nb,), np.float32)
+            out.append(np.asarray(w, np.float32))
+        self._morph_weights_list = out
+        return out
+
+    def set_morph_weights(self, weights: np.ndarray, block: int = 0):
+        """Set morph-target weights for one morphed instance (block index
+        follows instance order — StaticInfo.morph_vertex_base order)."""
+        w = np.asarray(weights, np.float32)
+        self._morph_weight_overrides[block] = w
+        if block < len(self._morph_weights_list):
+            self._morph_weights_list[block] = w
 
     def update_animations(self, time: float) -> np.ndarray:
         """Advance all skeletal animations to ``time`` and return the new
@@ -1194,18 +1215,22 @@ class Scene:
             clip = self.animations[clip_id] if clip_id is not None else None
             palette, morph = evaluate_pose(skel, clip, time)
             self._palette_pool[base : base + skel.num_joints] = palette
-            if morph is not None:
-                self._morph_weights = morph
-        if self._morph_clip is not None:
-            # Morph-only animation (no skeleton): sample weights channels.
-            from arkoserenderer_tpu.scene.animation import sample_channel
+            if morph is not None and self._morph_weights_list:
+                # Skeletal clip carrying morph weights: drives block 0
+                # (skeleton+morph combos share one block in practice).
+                self._morph_weights_list[0] = morph
+        # Morph-only animation: each block samples its OWN clip's weights.
+        from arkoserenderer_tpu.scene.animation import sample_channel
 
-            clip = self.animations[self._morph_clip]
+        for i, (_b, _sid, clip_id) in enumerate(self._morph_blocks):
+            if clip_id is None:
+                continue
+            clip = self.animations[clip_id]
             d = clip.duration
             t = time % d if d > 0 else time
             for ch in clip.channels:
                 if ch.path == "weights":
-                    self._morph_weights = np.asarray(
+                    self._morph_weights_list[i] = np.asarray(
                         sample_channel(ch, t), np.float32
                     ).reshape(-1)
         return self._palette_pool
