@@ -31,8 +31,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pathtracer", action="store_true", help="ground-truth mode")
     p.add_argument("--samples", type=int, default=32, help="path tracer spp")
     p.add_argument("--texture-quality", type=str, default="trilinear",
-                   choices=["trilinear", "bilinear", "sorted"],
-                   help="texture filter: trilinear (8 taps) or nearest-mip bilinear (4 taps, faster)")
+                   help="texture filter: trilinear (8 taps), bilinear "
+                        "(nearest-mip, 4 taps), anisoN (N-tap anisotropic, "
+                        "e.g. aniso4), stochastic/stochastic1 (TAA-converged "
+                        "jittered taps), sorted")
     p.add_argument("--tonemap", type=str, default="agx",
                    choices=["clamp", "reinhard", "aces", "agx", "khronos_pbr_neutral"])
     p.add_argument("--ssao", action="store_true")

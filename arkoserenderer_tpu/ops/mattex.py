@@ -333,7 +333,42 @@ def sample_packed(
         hl = _mip_dim(h0, level)
         return _fetch_level(rows, off, wrap, wl, hl, uv)
 
-    if quality == "trilinear":
+    if quality.startswith("aniso"):
+        # Anisotropic filtering (the reference enables 16x aniso on EVERY
+        # sampler, backend/vulkan/VulkanSampler.cpp:66-67): N bilinear taps
+        # marched along the MAJOR gradient axis, each at the mip of the
+        # (clamped) minor axis — grazing surfaces keep detail the isotropic
+        # max-axis rho blurs away. quality = "aniso2" | "aniso4" | ...
+        n_taps = max(int(quality[5:] or "4"), 1)
+        lx2 = jnp.sum(dx * dx, -1)
+        ly2 = jnp.sum(dy * dy, -1)
+        major_is_x = lx2 >= ly2
+        rho_maj2 = jnp.maximum(jnp.where(major_is_x, lx2, ly2), 1e-12)
+        rho_min2 = jnp.maximum(jnp.where(major_is_x, ly2, lx2), 1e-12)
+        rho_eff2 = jnp.maximum(rho_min2, rho_maj2 / float(n_taps * n_taps))
+        lod_a = jnp.clip(
+            0.5 * jnp.log2(rho_eff2) + lod_bias, 0.0, max_lod
+        )
+        l0 = jnp.floor(lod_a).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, max_lod.astype(jnp.int32))
+        f = (lod_a - l0.astype(jnp.float32))[:, None]
+        maj_uv = jnp.where(major_is_x[:, None], duv_dx, duv_dy)
+
+        def tap(uv_q):
+            def level_fetch_at(level):
+                off = _select13(offs, level).astype(jnp.int32)
+                wl = _mip_dim(w0, level)
+                hl = _mip_dim(h0, level)
+                return _fetch_level(rows, off, wrap, wl, hl, uv_q)
+
+            return level_fetch_at(l0) * (1 - f) + level_fetch_at(l1) * f
+
+        c = 0.0
+        for k in range(n_taps):
+            t = (k + 0.5) / n_taps - 0.5
+            c = c + tap(uv + maj_uv * t)
+        c = c / n_taps
+    elif quality == "trilinear":
         l0 = jnp.floor(lod).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, max_lod.astype(jnp.int32))
         f = (lod - l0.astype(jnp.float32))[:, None]

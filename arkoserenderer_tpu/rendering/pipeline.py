@@ -57,10 +57,11 @@ class PipelineConfig:
     shadow_map_size: int = 2048
     local_shadow_map_size: int = 512  # per-spot shadow atlas tile
     tonemap_mode: str = "agx"
-    # Texture filter: "auto" resolves to "stochastic" (jittered-mip, 4 taps,
-    # trilinear-equivalent under TAA) when TAA is in the pipeline, else
-    # "trilinear" (8 taps). Explicit: trilinear | bilinear | stochastic |
-    # sorted (one-hot MXU gather, reference shading mode only).
+    # Texture filter: "auto" resolves to "trilinear" (8 taps). Explicit:
+    # trilinear | bilinear | stochastic | stochastic1 | anisoN (N bilinear
+    # taps marched along the major gradient axis — the reference's 16x
+    # sampler anisotropy, VulkanSampler.cpp:66-67; e.g. "aniso4"/"aniso8")
+    # | sorted (one-hot MXU gather, reference shading mode only).
     texture_quality: str = "auto"
     # Deferred-shading path: "packed" = per-triangle record + channel-packed
     # material textures + VSM sun shadows (ops/packed_shading — the TPU fast
