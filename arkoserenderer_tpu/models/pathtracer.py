@@ -64,12 +64,22 @@ class PathTracer:
 
         px, py, w, h = self._px, self._py, width, height
 
+        n_spots = len(scene.spots)
+        n_points = len(scene.points)
+        spot_casters = tuple(bool(s.cast_shadows) for s in scene.spots)
+        point_casters = tuple(
+            bool(getattr(p, "cast_shadows", False)) for p in scene.points
+        )
+
         @jax.jit
         def step(accum, arrays, bvh, cam_state, seed, sample_idx):
             # Key derivation inside jit: no eager PRNG ops on the device.
             key = jax.random.fold_in(jax.random.PRNGKey(seed), sample_idx)
             sample = trace_path(arrays, bvh, cam_state, px, py, w, h, key,
-                                max_bounces, aa=aa)
+                                max_bounces, aa=aa,
+                                n_spots=n_spots, n_points=n_points,
+                                spot_casters=spot_casters,
+                                point_casters=point_casters)
             return accum + sample
 
         self._step = step

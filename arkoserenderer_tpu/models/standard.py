@@ -102,13 +102,23 @@ def make_forward_pipeline(
         from arkoserenderer_tpu.rendering.passes.ddgi import DDGIPass
 
         pipe.add_pass(DDGIPass(ddgi))
+    spot_casters = cfg.scene.spot_shadow_casters
+    point_casters = cfg.scene.point_shadow_casters
     if rt_shadows:
-        from arkoserenderer_tpu.rendering.passes.rt import RTShadowPass
+        from arkoserenderer_tpu.rendering.passes.rt import (
+            RTLocalShadowPass,
+            RTShadowPass,
+        )
 
         pipe.add_pass(RTShadowPass())
+        if any(spot_casters) or any(point_casters):
+            # Exact per-pixel local-light shadows (RTLocalShadowNode) —
+            # replaces the PCF atlas whenever the frame traces rays anyway.
+            pipe.add_pass(RTLocalShadowPass(spot_casters, point_casters))
     elif shadows:
         pipe.add_pass(SunShadowPass())
-    if shadows and any(cfg.scene.spot_shadow_casters) and cfg.scene.n_spots > 0:
+    if (shadows and not rt_shadows and any(cfg.scene.spot_shadow_casters)
+            and cfg.scene.n_spots > 0):
         from arkoserenderer_tpu.rendering.passes.shadow import LocalShadowPass
 
         pipe.add_pass(LocalShadowPass())

@@ -238,6 +238,8 @@ def shade_packed(
     shadow_mask: jax.Array | None = None,      # (N,) RT mask wins
     local_shadow_maps: jax.Array | None = None,
     spot_shadow_flags: tuple | None = None,
+    rt_spot_masks: jax.Array | None = None,    # (S, N) RT local masks win
+    rt_point_masks: jax.Array | None = None,   # (P, N)
     n_spots: int = 0,
     n_points: int = 0,
     any_tex: bool = True,
@@ -451,7 +453,10 @@ def shade_packed(
         )
         ies = scene.lights.spot_ies[i][angle_idx]
         falloff = t * t * ies / dist2[:, 0]
-        if (
+        if rt_spot_masks is not None:
+            # Exact RT local shadows (RTLocalShadowNode) replace PCF.
+            falloff = falloff * rt_spot_masks[i]
+        elif (
             local_shadow_maps is not None
             and spot_shadow_flags is not None
             and i < len(spot_shadow_flags)
@@ -472,9 +477,10 @@ def shade_packed(
         dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
         l = to_l * jax.lax.rsqrt(dist2)
         fr = brdf.evaluate(l, view, shading_nrm, base_color, roughness, metallic)
+        vis_p = rt_point_masks[i][:, None] if rt_point_masks is not None else 1.0
         color = color + fr * (
             scene.lights.point_color[i][None, :] * exposure
-        ) / dist2
+        ) / dist2 * vis_p
 
     # -- velocity ---------------------------------------------------------------
     def to_screen(vp, p):

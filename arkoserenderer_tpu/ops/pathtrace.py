@@ -119,6 +119,10 @@ def trace_path(
     key: jax.Array,       # PRNG key for this frame
     max_bounces: int = 3,
     aa: bool = True,
+    n_spots: int = 0,     # static local-light counts (NEE per light)
+    n_points: int = 0,
+    spot_casters: tuple = (),   # per-light cast_shadows flags: a light the
+    point_casters: tuple = (),  # raster leaves unshadowed is matched here
 ) -> jax.Array:
     """One sample per pixel of path-traced radiance (pre-exposed). (R, 3)."""
     r = px.shape[0]
@@ -197,6 +201,65 @@ def trace_path(
         radiance = radiance + jnp.where(
             lit[:, None], throughput * fr_sun * sun_radiance * scene.lights.sun_valid, 0.0
         )
+
+        # -- next-event estimation: local lights (same radiometry as the
+        # raster path, ops/packed_shading — smooth cone^2 * IES / d^2 for
+        # spots, 1/d^2 points — but with EXACT occlusion rays instead of
+        # PCF shadow maps: the ground truth the raster local-light path is
+        # validated against).
+        for li in range(n_spots):
+            to_l = scene.lights.spot_pos[li][None, :] - world_pos
+            dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+            dist = jnp.sqrt(dist2)
+            l_dir = to_l / dist
+            casts = li >= len(spot_casters) or spot_casters[li]
+            if casts:
+                occ_hit = trace_rays(
+                    bvh, world_pos + n * 1e-3, l_dir,
+                    t_max=(dist - 2e-3)[:, 0], any_hit=True,
+                ).hit
+            else:   # the raster leaves this light unshadowed — match it
+                occ_hit = jnp.zeros(r, bool)
+            cos_dir = -mx.vdot(l_dir, scene.lights.spot_dir[li][None, :],
+                               keepdims=False)
+            cone = scene.lights.spot_cone[li]
+            tt = jnp.clip(
+                (cos_dir - cone[1]) / jnp.maximum(cone[0] - cone[1], 1e-4),
+                0.0, 1.0,
+            )
+            angle_idx = jnp.clip(
+                (jnp.arccos(jnp.clip(cos_dir, -1.0, 1.0)) / jnp.pi * 255.0)
+                .astype(jnp.int32), 0, 255,
+            )
+            ies = scene.lights.spot_ies[li][angle_idx]
+            falloff = tt * tt * ies / dist2[:, 0]
+            fr = brdf.evaluate(l_dir, view, n, base, rough, metal)
+            radiance = radiance + jnp.where(
+                (alive & ~occ_hit)[:, None],
+                throughput * fr * (scene.lights.spot_color[li][None, :]
+                                   * exposure) * falloff[:, None],
+                0.0,
+            )
+        for li in range(n_points):
+            to_l = scene.lights.point_pos[li][None, :] - world_pos
+            dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+            dist = jnp.sqrt(dist2)
+            l_dir = to_l / dist
+            casts_p = li >= len(point_casters) or point_casters[li]
+            if casts_p:
+                occ_p_hit = trace_rays(
+                    bvh, world_pos + n * 1e-3, l_dir,
+                    t_max=(dist - 2e-3)[:, 0], any_hit=True,
+                ).hit
+            else:
+                occ_p_hit = jnp.zeros(r, bool)
+            fr = brdf.evaluate(l_dir, view, n, base, rough, metal)
+            radiance = radiance + jnp.where(
+                (alive & ~occ_p_hit)[:, None],
+                throughput * fr * (scene.lights.point_color[li][None, :]
+                                   * exposure) / dist2,
+                0.0,
+            )
 
         # -- sample continuation direction ------------------------------------
         k1, k2, k3, key = jax.random.split(key, 4)

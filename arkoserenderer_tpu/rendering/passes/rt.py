@@ -1,9 +1,13 @@
 """Ray-traced render passes: RT sun shadows and RT reflections.
 
 Role-equivalents:
-  * RTShadowPass       — RTLocalShadowNode applied to the sun + locals
+  * RTShadowPass       — the sun half of the RT shadow story (any-hit
+                         raygen off the depth buffer, rt-shadow/raygen.rgen).
+  * RTLocalShadowPass  — RTLocalShadowNode
                          (arkose/rendering/shadow/RTLocalShadowNode.cpp:
-                         per-light any-hit raygen producing R8 masks).
+                         per-local-light any-hit raygen producing R8 masks;
+                         the reference does spots only — ours also shadows
+                         point lights flagged cast_shadows).
   * RTReflectionsPass  — RTReflectionsNode (arkose/rendering/nodes/
                          RTReflectionsNode.cpp:23-288): roughness-thresholded
                          mirror/glossy rays with VNDF perturbation, denoised
@@ -124,6 +128,82 @@ class RTShadowPass(RenderPass):
                 )[..., 0]
                 return {"ShadowMask.sun": mask}
             return {"ShadowMask.sun": mask.reshape(h, w)}
+
+        return execute
+
+
+class RTLocalShadowPass(RenderPass):
+    """Per-pixel any-hit shadow masks for LOCAL lights (RTLocalShadowNode):
+    one (H, W) visibility plane per spot/point light, traced to the light
+    position with t_max just short of the light (no PCF blur, no atlas
+    resolution limit). Non-casting lights keep a 1.0 plane so the shading
+    loop can index uniformly."""
+
+    name = "RTLocalShadow"
+
+    def __init__(self, spot_casters: tuple, point_casters: tuple):
+        self.spot_casters = spot_casters      # tuple[bool] per spot
+        self.point_casters = point_casters    # tuple[bool] per point
+
+    def construct(self, cfg: PipelineConfig, reg: Registry):
+        h, w = cfg.height, cfg.width
+        reg.get("SceneDepth")
+        reg.get("Visibility")
+        if reg.has("scene.bvh"):
+            reg.get("scene.bvh")
+        n_s, n_p = len(self.spot_casters), len(self.point_casters)
+        reg.create("ShadowMask.locals", (max(n_s, 1), h, w), jnp.float32,
+                   clear=1.0)
+        reg.create("ShadowMask.points", (max(n_p, 1), h, w), jnp.float32,
+                   clear=1.0)
+        import numpy as _np
+
+        xs = _np.arange(w, dtype=_np.float32) + 0.5
+        ys = _np.arange(h, dtype=_np.float32) + 0.5
+        pxg, pyg = _np.meshgrid(xs, ys)
+        px = pxg.ravel()   # numpy: device closures poison dispatch
+        py = pyg.ravel()
+        full_h = cfg.frame_height
+        spot_casters, point_casters = self.spot_casters, self.point_casters
+
+        def execute(state: dict, ctx: FrameContext) -> dict:
+            depth = state["SceneDepth"]
+            covered = state["Visibility"].reshape(-1) >= 0
+            py_g = py + ctx.row_offset.astype(py.dtype)
+            inv_vp = jnp.linalg.inv(ctx.camera.unjittered_view_proj)
+            world = reconstruct_world_pos(
+                depth.reshape(-1), px, py_g, inv_vp, w, full_h
+            )
+            # Park sky rays far outside the scene (one-step root miss).
+            world = jnp.where(covered[:, None], world, -1e7)
+            scn = scene_with_live_bvh(state, ctx)
+
+            def mask_to(light_pos):
+                to_l = light_pos[None, :] - world
+                dist = jnp.sqrt(jnp.maximum(mx.vdot(to_l, to_l), 1e-12))
+                l_dir = to_l / dist
+                occ = trace_rays(
+                    scn.bvh, world + l_dir * 3e-2, l_dir,
+                    t_max=jnp.maximum(dist[:, 0] - 6e-2, 1e-3),
+                    any_hit=True,
+                )
+                return jnp.where(
+                    covered, (~occ.hit).astype(jnp.float32), 1.0
+                ).reshape(h, w)
+
+            ones = jnp.ones((h, w), jnp.float32)
+            spots = [
+                mask_to(ctx.scene.lights.spot_pos[i]) if cast else ones
+                for i, cast in enumerate(spot_casters)
+            ] or [ones]
+            points = [
+                mask_to(ctx.scene.lights.point_pos[i]) if cast else ones
+                for i, cast in enumerate(point_casters)
+            ] or [ones]
+            return {
+                "ShadowMask.locals": jnp.stack(spots),
+                "ShadowMask.points": jnp.stack(points),
+            }
 
         return execute
 

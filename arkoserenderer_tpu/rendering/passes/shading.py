@@ -55,6 +55,10 @@ class VisibilityShadingPass(RenderPass):
         use_local_shadow = reg.has("ShadowMap.locals")
         if use_local_shadow:
             reg.get("ShadowMap.locals")
+        use_rt_local = reg.has("ShadowMask.locals")
+        if use_rt_local:
+            reg.get("ShadowMask.locals")
+            reg.get("ShadowMask.points")
         spot_shadow_flags = cfg.scene.spot_shadow_casters
         reg.create("SceneColor", (h, w, 3), jnp.float32)
         reg.create("SceneNormal", (h, w, 3), jnp.float32)
@@ -91,6 +95,16 @@ class VisibilityShadingPass(RenderPass):
                     ),
                     spot_shadow_flags=(
                         spot_shadow_flags if use_local_shadow else None
+                    ),
+                    rt_spot_masks=(
+                        state["ShadowMask.locals"].reshape(
+                            state["ShadowMask.locals"].shape[0], -1
+                        ) if use_rt_local else None
+                    ),
+                    rt_point_masks=(
+                        state["ShadowMask.points"].reshape(
+                            state["ShadowMask.points"].shape[0], -1
+                        ) if use_rt_local else None
                     ),
                     n_spots=n_spots,
                     n_points=n_points,

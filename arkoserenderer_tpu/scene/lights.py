@@ -91,6 +91,9 @@ class PointLight:
     position: np.ndarray
     color: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(3, np.float32))
     luminous_intensity_cd: float = 1000.0
+    # RT-only shadows (RTLocalShadowPass); there is no point-shadow atlas,
+    # matching the reference's spot-only shadow maps.
+    cast_shadows: bool = False
 
 
 class LightArrays(NamedTuple):

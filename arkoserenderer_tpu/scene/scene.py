@@ -52,6 +52,7 @@ class SceneStatic:
     # Per-spot shadow-caster flags (compile-time; drives the local shadow
     # atlas raster + PCF permutation, LocalShadowDrawNode analogue).
     spot_shadow_casters: tuple = ()
+    point_shadow_casters: tuple = ()  # RT-only (RTLocalShadowPass)
     has_sun: bool = True
     has_env: bool = True
     # Texture-usage permutation flags (cf. the reference's DrawKey/shader
@@ -1140,6 +1141,9 @@ class Scene:
             n_spots=len(self.spots),
             n_points=len(self.points),
             spot_shadow_casters=tuple(bool(sp.cast_shadows) for sp in self.spots),
+            point_shadow_casters=tuple(
+                bool(getattr(p, "cast_shadows", False)) for p in self.points
+            ),
             has_sun=self.sun is not None,
             has_env=True,
             # Default texture ids: 0 = white, 2 = flat normal (see

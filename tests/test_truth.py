@@ -103,3 +103,48 @@ def test_textured_block_means():
     rel = np.abs(pb - rb).max(-1) / (rb.mean(-1) + 0.02)
     assert rel.mean() < 0.03, f"block mean rel {rel.mean():.4f}"
     assert (rel > 0.10).mean() < 0.04, f"{(rel > 0.10).mean():.2%} blocks >10%"
+
+
+@pytest.mark.heavy
+def test_local_lights_pixelwise():
+    """Spot + point NEE in the path tracer vs the raster local-light path:
+    same cone/IES/1-over-d2 radiometry, and with rt_shadows both sides
+    trace EXACT any-hit occlusion to the lights (RTLocalShadowPass vs the
+    tracer's NEE rays). Sun off entirely — local lights are the only
+    energy."""
+    from arkoserenderer_tpu.scene.lights import PointLight, SpotLight
+
+    def make():
+        scene, cam = build_flat_test_scene(viewport=(W, H))
+        scene.sun = None
+        scene.spots.append(SpotLight(
+            position=np.array([0.5, 3.5, 1.0], np.float32),
+            direction=np.array([-0.15, -1.0, -0.1], np.float32),
+            luminous_intensity_cd=220000.0,
+            cast_shadows=True,
+        ))
+        scene.points.append(PointLight(
+            position=np.array([-2.0, 2.0, 2.0], np.float32),
+            luminous_intensity_cd=90000.0,
+            cast_shadows=True,
+        ))
+        return scene, cam
+
+    scene, cam = make()
+    r = Renderer(scene, cam, CFG, rt_shadows=True, taa=False, bloom=False,
+                 vignette=0.0)
+    raster = np.array(r.render_frame())
+
+    scene2, cam2 = make()
+    tr = PathTracer(scene2, cam2, W, H, max_bounces=1, seed=4, aa=False)
+    tr.render_sample(1)
+    pt = np.array(tr.ldr())
+
+    assert raster.mean() > 0.01  # the lights actually lit the scene
+    mask = _edge_mask(raster)
+    rel = np.abs(pt - raster).max(-1) / (raster.mean(-1) + 0.02)
+    # The scene is deliberately dim (cone-lit), so the relative metric is
+    # noisy in near-black pixels; the sharp criterion is the >5% fraction.
+    assert rel[mask].mean() < 0.04, f"mean rel {rel[mask].mean():.4f}"
+    frac_bad = (rel[mask] > 0.05).mean()
+    assert frac_bad < 0.02, f"{frac_bad:.2%} of smooth pixels off by >5%"
