@@ -507,6 +507,14 @@ def build_flat_test_scene(
     wb = np.eye(4, dtype=np.float32)
     wb[:3, 3] = (0.0, 0.7, -2.2)
     scene.add_instance(scene.add_segment(box), wb)
+    # Clearcoat sphere: the Kelemen lobe must agree between raster and PT.
+    cc = make_uv_sphere(0.5, rings=24, sectors=48)
+    cc.material = scene.add_material(Material(
+        base_color_factor=np.array([0.55, 0.1, 0.1, 1.0], np.float32),
+        roughness_factor=0.6, clearcoat=1.0, clearcoat_roughness=0.15))
+    wc = np.eye(4, dtype=np.float32)
+    wc[:3, 3] = (2.1, 0.5, 1.8)
+    scene.add_instance(scene.add_segment(cc), wc)
     scene.sun = DirectionalLight(
         direction=np.array([0.4, -1.0, -0.3], np.float32),
         illuminance_lux=90000.0)

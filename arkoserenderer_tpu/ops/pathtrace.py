@@ -102,7 +102,9 @@ def _material_at(scene: SceneArrays, mat_id, uv, footprint):
     rough = jnp.clip(mr[:, 1:2] * m.roughness_factor[mat_id][:, None], 0.05, 1.0)
     metal = jnp.clip(mr[:, 2:3] * m.metallic_factor[mat_id][:, None], 0.0, 1.0)
     emissive = m.emissive_factor[mat_id]
-    return base, rough, metal, emissive
+    cc = m.clearcoat[mat_id][:, None]
+    cc_rough = m.clearcoat_roughness[mat_id][:, None]
+    return base, rough, metal, emissive, cc, cc_rough
 
 
 SUN_COS = 0.9999  # ~0.8 degree solid-angle sun for NEE
@@ -181,7 +183,9 @@ def trace_path(
         footprint = (
             jnp.maximum(cone_t * cone_spread, 1e-6) * uv_density / grazing
         )
-        base, rough, metal, emissive = _material_at(scene, mat_id, uv, footprint)
+        base, rough, metal, emissive, cc, cc_rough = _material_at(
+            scene, mat_id, uv, footprint
+        )
         # Face-forward the shading normal against the incoming ray.
         n = n * jnp.where(mx.vdot(n, -dirs) < 0.0, -1.0, 1.0)
 
@@ -194,8 +198,11 @@ def trace_path(
         # -- next-event estimation: sun ---------------------------------------
         shadow_org = world_pos + n * 1e-3
         occl = trace_rays(bvh, shadow_org, jnp.broadcast_to(sun_l, (r, 3)), any_hit=True)
+        # Clearcoat lobe included: the raster's direct term carries it
+        # (ops/packed_shading), so ground truth must too.
         fr_sun = brdf.evaluate(
-            jnp.broadcast_to(sun_l, (r, 3)), view, n, base, rough, metal
+            jnp.broadcast_to(sun_l, (r, 3)), view, n, base, rough, metal,
+            cc, cc_rough,
         )
         lit = alive & ~occl.hit
         radiance = radiance + jnp.where(
@@ -233,7 +240,8 @@ def trace_path(
             )
             ies = scene.lights.spot_ies[li][angle_idx]
             falloff = tt * tt * ies / dist2[:, 0]
-            fr = brdf.evaluate(l_dir, view, n, base, rough, metal)
+            fr = brdf.evaluate(l_dir, view, n, base, rough, metal,
+                               cc, cc_rough)
             radiance = radiance + jnp.where(
                 (alive & ~occ_hit)[:, None],
                 throughput * fr * (scene.lights.spot_color[li][None, :]
@@ -253,7 +261,8 @@ def trace_path(
                 ).hit
             else:
                 occ_p_hit = jnp.zeros(r, bool)
-            fr = brdf.evaluate(l_dir, view, n, base, rough, metal)
+            fr = brdf.evaluate(l_dir, view, n, base, rough, metal,
+                               cc, cc_rough)
             radiance = radiance + jnp.where(
                 (alive & ~occ_p_hit)[:, None],
                 throughput * fr * (scene.lights.point_color[li][None, :]
