@@ -97,9 +97,19 @@ def test_sharded_matches_single_device_ssao():
 def test_sharded_matches_single_device_rt():
     """RT shadows + reflections under pixel-band SPMD: rays trace
     band-local; the denoiser runs replicated on gathered planes. Two frames
-    exercise the temporal history slicing."""
+    exercise the temporal history slicing. A shadow-casting spot pulls
+    RTLocalShadowPass (per-light any-hit masks) into the sharded frame."""
+    from arkoserenderer_tpu.scene.lights import SpotLight
+
     def make():
-        return build_test_scene(viewport=(W, H), n_spheres=1)
+        scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+        scene.spots.append(SpotLight(
+            position=np.array([0.5, 3.0, 1.0], np.float32),
+            direction=np.array([-0.2, -1.0, -0.1], np.float32),
+            luminous_intensity_cd=150000.0,
+            cast_shadows=True,
+        ))
+        return scene, cam
 
     scene, cam = make()
     ref = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
