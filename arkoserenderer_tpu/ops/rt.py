@@ -95,6 +95,10 @@ def shade_hits(
     cone_spread: float = 2e-3,   # ray-cone half-angle (rad) ~ pixel footprint
     ddgi_sample=None,
     chunk_size: int | None = None,
+    n_spots: int = 0,            # static local-light counts: hits evaluate
+    n_points: int = 0,           # the same lights the primary pipeline does
+    spot_casters: tuple = (),
+    point_casters: tuple = (),
 ) -> jax.Array:
     """(R, 3) HONEST hit shading for reflection rays: textured material
     (packed-pool sample at ray-cone LOD), Filament BRDF for the sun with an
@@ -152,6 +156,53 @@ def shade_hits(
         * (~occl.hit)[:, None]
         * scene.lights.sun_valid
     ) + emissive * exposure
+
+    # Local lights at reflection hits (same radiometry as the primary
+    # shading loop, ops/packed_shading): reflections of spot/point-lit
+    # surfaces must carry their light. Occlusion rays for casters, parked
+    # for primary misses (one-step exit).
+    for li in range(n_spots):
+        to_l = scene.lights.spot_pos[li][None, :] - world_pos
+        dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+        dist = jnp.sqrt(dist2)
+        l_dir = to_l / dist
+        cos_dir = -mx.vdot(l_dir, scene.lights.spot_dir[li][None, :],
+                           keepdims=False)
+        cone = scene.lights.spot_cone[li]
+        tt = jnp.clip((cos_dir - cone[1])
+                      / jnp.maximum(cone[0] - cone[1], 1e-4), 0.0, 1.0)
+        angle_idx = jnp.clip(
+            (jnp.arccos(jnp.clip(cos_dir, -1.0, 1.0)) / jnp.pi * 255.0)
+            .astype(jnp.int32), 0, 255)
+        falloff = tt * tt * scene.lights.spot_ies[li][angle_idx] / dist2[:, 0]
+        if li >= len(spot_casters) or spot_casters[li]:
+            occ_l = trace_rays(
+                scene.bvh, occl_org, l_dir,
+                t_max=jnp.maximum(dist[:, 0] - 6e-2, 1e-3),
+                any_hit=True, chunk_size=chunk_size,
+            )
+            falloff = falloff * (~occ_l.hit)
+        fr_l = brdf_ops.evaluate(l_dir, view, nrm, base, rough, metal)
+        color = color + fr_l * (
+            scene.lights.spot_color[li][None, :] * exposure
+        ) * falloff[:, None]
+    for li in range(n_points):
+        to_l = scene.lights.point_pos[li][None, :] - world_pos
+        dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+        dist = jnp.sqrt(dist2)
+        l_dir = to_l / dist
+        vis_l = 1.0
+        if li < len(point_casters) and point_casters[li]:
+            occ_l = trace_rays(
+                scene.bvh, occl_org, l_dir,
+                t_max=jnp.maximum(dist[:, 0] - 6e-2, 1e-3),
+                any_hit=True, chunk_size=chunk_size,
+            )
+            vis_l = (~occ_l.hit).astype(jnp.float32)[:, None]
+        fr_l = brdf_ops.evaluate(l_dir, view, nrm, base, rough, metal)
+        color = color + fr_l * (
+            scene.lights.point_color[li][None, :] * exposure
+        ) / dist2 * vis_l
 
     # Diffuse ambient at the hit, matching what the PRIMARY pipeline applies
     # in LightingCompose (passes/post.py): DDGI when available, else the

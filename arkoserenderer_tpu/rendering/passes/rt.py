@@ -355,6 +355,9 @@ class RTReflectionsPass(RenderPass):
                 live, hit, origins, r_dir, ctx.camera.exposure,
                 cone_spread=cone_spread, ddgi_sample=ddgi_sample,
                 chunk_size=chunk,
+                n_spots=cfg.scene.n_spots, n_points=cfg.scene.n_points,
+                spot_casters=cfg.scene.spot_shadow_casters,
+                point_casters=cfg.scene.point_shadow_casters,
             )
 
             f0 = brdf_ops.base_f0(base, metal)

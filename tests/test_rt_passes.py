@@ -278,3 +278,46 @@ def test_half_res_rt_matches_full_res_roughly():
     # Same image up to reconstruction error at silhouettes.
     assert np.abs(a - b).mean() < 0.02
     assert (np.abs(a - b).max(axis=-1) > 0.1).mean() < 0.06
+
+
+def test_reflections_carry_local_light():
+    """Reflections of a spot-lit surface must include the spot's energy
+    (shade_hits evaluates the scene's local lights like the primary loop):
+    a mirror sphere's reflection of the lit floor brightens when the spot
+    turns on — and the spot in this setup does not light the sphere's own
+    pixels directly (it is outside the cone)."""
+    from arkoserenderer_tpu.scene.lights import SpotLight
+
+    def mk(with_spot):
+        s, c = build_test_scene(viewport=(W, H), n_spheres=1)
+        s.sun = None
+        s.env_map = np.zeros((1, 2, 3), np.float32)
+        s.env_brightness = 0.0
+        s.ambient_lx = 0.0
+        s.materials[2].roughness_factor = 0.03
+        s.materials[2].metallic_factor = 1.0
+        s.materials[2].base_color_factor = np.array([1, 1, 1, 1], np.float32)
+        if with_spot:
+            # A tight cone aimed at the floor patch beside the sphere.
+            s.spots.append(SpotLight(
+                position=np.array([-1.2, 3.0, 1.5], np.float32),
+                direction=np.array([-0.2, -1.0, 0.0], np.float32),
+                luminous_intensity_cd=250000.0,
+                inner_cone_angle=np.radians(14.0),
+                outer_cone_angle=np.radians(20.0),
+                cast_shadows=False,
+            ))
+        return s, c
+
+    def refl(with_spot):
+        s, c = mk(with_spot)
+        r = Renderer(s, c, CFG, rt_reflections=True, taa=False, bloom=False)
+        for _ in range(3):
+            r.render_frame()
+        return np.array(np.asarray(r.state["SceneReflections"]))
+
+    dark = refl(False)
+    lit = refl(True)
+    assert np.isfinite(lit).all()
+    assert lit.max() > dark.max() + 0.01, (lit.max(), dark.max())
+    assert lit.mean() > dark.mean()
