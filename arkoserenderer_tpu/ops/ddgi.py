@@ -145,6 +145,10 @@ def update_probes(
     frame_index: jax.Array,      # () i32 — drives round-robin + ray rotation
     exposure: jax.Array,
     prev_state: DDGIState | None = None,
+    n_spots: int = 0,            # static local-light counts: probe rays see
+    n_points: int = 0,           # the same lights the raster frame does
+    spot_casters: tuple = (),
+    point_casters: tuple = (),
 ) -> DDGIState:
     p = cfg.num_probes
     n_up = min(cfg.probes_per_frame, p)
@@ -203,6 +207,54 @@ def update_probes(
         * (n_dot_l * (~shadow.hit))[:, None]
         * scene.lights.sun_valid
     )
+    # Local lights at probe-ray hits (diffuse-only, same cone/IES/1-over-d2
+    # radiometry as the raster loop): spot/point-lit interiors bounce their
+    # light through DDGI like sun-lit ones. Occlusion rays for casters;
+    # primary misses stay parked.
+    shadow_org = jnp.where(hit.hit[:, None], world_pos + nrm * 1e-2, -1e7)
+    for li in range(n_spots):
+        to_l = scene.lights.spot_pos[li][None, :] - world_pos
+        dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+        dist_l = jnp.sqrt(dist2)
+        l_dir = to_l / dist_l
+        cos_dir = -mx.vdot(l_dir, scene.lights.spot_dir[li][None, :],
+                           keepdims=False)
+        cone = scene.lights.spot_cone[li]
+        tt = jnp.clip((cos_dir - cone[1])
+                      / jnp.maximum(cone[0] - cone[1], 1e-4), 0.0, 1.0)
+        angle_idx = jnp.clip(
+            (jnp.arccos(jnp.clip(cos_dir, -1.0, 1.0)) / jnp.pi * 255.0)
+            .astype(jnp.int32), 0, 255)
+        falloff = tt * tt * scene.lights.spot_ies[li][angle_idx] / dist2[:, 0]
+        if li >= len(spot_casters) or spot_casters[li]:
+            occ_l = trace_rays(
+                scene.bvh, shadow_org, l_dir,
+                t_max=jnp.maximum(dist_l[:, 0] - 6e-2, 1e-3),
+                any_hit=True, chunk_size=chunk,
+            )
+            falloff = falloff * (~occ_l.hit)
+        nl = jnp.clip(mx.vdot(nrm, l_dir, keepdims=False), 0.0, 1.0)
+        direct = direct + albedo / jnp.pi * (
+            scene.lights.spot_color[li][None, :] * exposure
+        ) * (nl * falloff)[:, None]
+    for li in range(n_points):
+        to_l = scene.lights.point_pos[li][None, :] - world_pos
+        dist2 = jnp.maximum(mx.vdot(to_l, to_l), 1e-6)
+        dist_l = jnp.sqrt(dist2)
+        l_dir = to_l / dist_l
+        vis_l = 1.0
+        if li < len(point_casters) and point_casters[li]:
+            occ_l = trace_rays(
+                scene.bvh, shadow_org, l_dir,
+                t_max=jnp.maximum(dist_l[:, 0] - 6e-2, 1e-3),
+                any_hit=True, chunk_size=chunk,
+            )
+            vis_l = (~occ_l.hit).astype(jnp.float32)
+        nl = jnp.clip(mx.vdot(nrm, l_dir, keepdims=False), 0.0, 1.0)
+        direct = direct + albedo / jnp.pi * (
+            scene.lights.point_color[li][None, :] * exposure
+        ) * (nl * vis_l)[:, None] / dist2
+
     # Infinite bounces: sample last frame's DDGI at the hit point.
     bounce = sample_irradiance(prev, cfg, world_pos, nrm) * albedo / jnp.pi
     radiance = direct + bounce * cfg.energy_conservation

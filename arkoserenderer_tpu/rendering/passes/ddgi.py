@@ -52,6 +52,9 @@ class DDGIPass(RenderPass):
             new = ddgi_ops.update_probes(
                 scene_with_live_bvh(state, ctx), st, grid,
                 ctx.frame_index, ctx.camera.exposure,
+                n_spots=cfg.scene.n_spots, n_points=cfg.scene.n_points,
+                spot_casters=cfg.scene.spot_shadow_casters,
+                point_casters=cfg.scene.point_shadow_casters,
             )
             return {
                 "DDGI.irradiance": new.irradiance,

@@ -321,3 +321,34 @@ def test_reflections_carry_local_light():
     assert np.isfinite(lit).all()
     assert lit.max() > dark.max() + 0.01, (lit.max(), dark.max())
     assert lit.mean() > dark.mean()
+
+
+def test_ddgi_probes_collect_local_light():
+    """Probe rays evaluate local lights at their hits: with the sun and
+    environment off, a spot on the floor is the only energy and DDGI
+    irradiance must be nonzero (and zero without the light)."""
+    from arkoserenderer_tpu.scene.lights import SpotLight
+
+    def irr(with_spot):
+        s, c = build_test_scene(viewport=(W, H), n_spheres=1)
+        s.sun = None
+        s.env_map = np.zeros((1, 2, 3), np.float32)
+        s.env_brightness = 0.0
+        s.ambient_lx = 0.0
+        if with_spot:
+            s.spots.append(SpotLight(
+                position=np.array([0.0, 3.0, 0.0], np.float32),
+                direction=np.array([0.0, -1.0, 0.0], np.float32),
+                luminous_intensity_cd=200000.0,
+                cast_shadows=True,
+            ))
+        r = Renderer(s, c, CFG, ddgi=True, taa=False, bloom=False)
+        for _ in range(4):
+            r.render_frame()
+        return np.array(np.asarray(r.state["DDGI.irradiance"]))
+
+    lit = irr(True)
+    dark = irr(False)
+    assert np.isfinite(lit).all()
+    assert lit.max() > 1e-4, lit.max()
+    assert lit.max() > dark.max() * 10 + 1e-6, (lit.max(), dark.max())
