@@ -144,6 +144,14 @@ def main(argv=None) -> None:
         from arkoserenderer_tpu.assets.baked import load_baked
 
         scene = load_baked(args.asset, limits=scene.limits)
+    elif str(args.asset).endswith(".arkmsh"):
+        # The reference's own serialized mesh format (assets/ark.py).
+        import numpy as _np
+
+        from arkoserenderer_tpu.assets.ark import load_arkmsh
+
+        for sid in load_arkmsh(scene, args.asset, max_texture_size=256):
+            scene.add_instance(sid, _np.eye(4, dtype=_np.float32))
     else:
         from arkoserenderer_tpu.assets.gltf import load_gltf
 

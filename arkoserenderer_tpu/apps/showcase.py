@@ -73,12 +73,37 @@ def build_scene(args):
         max_vertices=1 << 19, max_indices=3 << 19, max_drawables=1024,
         max_materials=256, max_textures=256, texture_pool_texels=1 << 23,
     ))
-    from arkoserenderer_tpu.assets.gltf import load_gltf
+    lvl_cam = None
+    env_loaded = False
+    sun_loaded = False
+    src = str(args.gltf)
+    if src.endswith(".arklvl"):
+        # The reference's serialized level: objects + lights + camera + env
+        # (assets/ark.py).
+        from arkoserenderer_tpu.assets.ark import load_arklvl
 
-    load_gltf(scene, args.gltf, max_texture_size=256)
-    scene.sun = DirectionalLight(direction=np.array([0.35, -1.0, -0.25], np.float32))
-    scene.set_env_map(gradient_env_map(32), brightness=8000.0)
-    scene.ambient_lx = 6000.0
+        res = load_arklvl(scene, src, max_texture_size=256)
+        lvl_cam = res["cameras"][0] if res["cameras"] else None
+        env_loaded = res["env"]
+        sun_loaded = scene.sun is not None
+    elif src.endswith(".arkmsh"):
+        from arkoserenderer_tpu.assets.ark import load_arkmsh
+
+        for sid in load_arkmsh(scene, src, max_texture_size=256):
+            scene.add_instance(sid, np.eye(4, dtype=np.float32))
+    else:
+        from arkoserenderer_tpu.assets.gltf import load_gltf
+
+        load_gltf(scene, src, max_texture_size=256)
+    if not sun_loaded and scene.sun is None:
+        scene.sun = DirectionalLight(
+            direction=np.array([0.35, -1.0, -0.25], np.float32))
+    if not env_loaded:
+        scene.set_env_map(gradient_env_map(32), brightness=8000.0)
+        scene.ambient_lx = 6000.0
+    if lvl_cam is not None:
+        lvl_cam.viewport = (args.width, args.height)
+        return scene, lvl_cam
     cam = Camera(viewport=(args.width, args.height))
     center, radius = scene.bounding_sphere()
     cam.look_at(center + np.array([radius * 1.2, radius * 0.5, radius * 1.2]), center)
