@@ -103,3 +103,14 @@ def test_ark_box_renders_end_to_end():
     center = img[36:60, 36:60]
     assert center[..., 0].mean() > center[..., 1].mean() * 1.5
     assert center[..., 0].mean() > 0.1
+
+
+def test_meshviewer_inspects_arkmsh(capsys):
+    """The MeshViewer CLI accepts the reference's .arkmsh directly."""
+    from arkoserenderer_tpu.apps import meshviewer
+
+    meshviewer.main([
+        str(ASSETS / "sample/models/Box/Box.arkmsh"), "--no-render",
+    ])
+    out = capsys.readouterr().out
+    assert "segments" in out.lower() or "Mesh" in out
