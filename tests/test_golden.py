@@ -43,7 +43,16 @@ def render_cases():
         return np.array(r.render_frames(3))
 
     def rt():
+        from arkoserenderer_tpu.scene.lights import SpotLight
+
         scene, cam = build_test_scene(viewport=(RES, RES), n_spheres=1)
+        # Shadow-casting spot: pins RTLocalShadowPass (exact local masks).
+        scene.spots.append(SpotLight(
+            position=np.array([0.5, 3.0, 1.0], np.float32),
+            direction=np.array([-0.2, -1.0, -0.1], np.float32),
+            luminous_intensity_cd=150000.0,
+            cast_shadows=True,
+        ))
         r = Renderer(scene, cam, CFG, rt_shadows=True, rt_reflections=True,
                      taa=False, bloom=False)
         return np.array(r.render_frames(2))
