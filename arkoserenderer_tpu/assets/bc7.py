@@ -1,14 +1,16 @@
-"""BC7 block compression (mode-6 encoder) + FULL 8-mode decoder.
+"""BC7 block compression: FULL 8-mode encoder (+ optional RDO) and decoder.
 
 Role-equivalent to the reference's TextureCompressor BC7 path
 (arkcore/asset/TextureCompressor.cpp, which wraps the vendored bc7enc
 library): high-quality RGBA block compression for color textures. The
-encoder implements the MODE 6 profile — one subset, 7.7.7.7 endpoints with
-two per-endpoint p-bits and 4-bit indices — the workhorse mode for color
-content (bc7enc's own fast profile is mode-6-only too). The DECODER covers
-all 8 modes (partitions, p-bits, rotations, dual index sets), so any
-externally-produced BC7 .dds loads correctly; it is fuzz-verified block-
-for-block against an independent decoder (Pillow's BCn codec) in tests.
+ENCODER searches the full profile — all 8 modes, partitions, rotations,
+index-swap, p-bits — picking the least-error candidate per block (mode 6
+remains the workhorse for smooth color content), with an optional
+rate-distortion pass that biases blocks toward byte-identical neighbors
+for better LZ compressibility. The DECODER covers all 8 modes (partitions,
+p-bits, rotations, dual index sets), so any externally-produced BC7 .dds
+loads correctly; both are fuzz-verified block-for-block against an
+independent decoder (Pillow's BCn codec) in tests.
 
 The partition and anchor-index tables below are the BC7 format's fixed
 spec constants (Khronos Data Format / D3D11 functional spec section on

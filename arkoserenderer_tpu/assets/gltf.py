@@ -11,9 +11,9 @@ Supported: embedded/external buffers, data URIs, GLB container, POSITION /
 NORMAL / TEXCOORD_0 / TANGENT / JOINTS_0 / WEIGHTS_0 attributes, u8/u16/u32
 indices, node TRS + matrix transforms, baseColor / metallicRoughness /
 normal / emissive / occlusion textures, alphaMode, doubleSided, sampler wrap
-modes, KHR_materials_emissive_strength.
-TODO: skins/animations wiring (accessors decode already),
-KHR_texture_transform, Draco.
+modes, KHR_materials_emissive_strength, skins (JOINTS/WEIGHTS + skeleton
+import) and animations (all three TRS channel paths + morph weights).
+TODO: KHR_texture_transform, Draco.
 """
 
 from __future__ import annotations
