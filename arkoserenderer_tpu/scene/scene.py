@@ -279,12 +279,21 @@ class Scene:
 
     def add_instance(self, segment_ids, world: np.ndarray, prev_world=None, clip=None,
                      lod_band=(0.0, LOD_FAR)):
-        if isinstance(segment_ids, int):
+        """Returns the new instance id (index into ``instances``), or the
+        first id when ``segment_ids`` is a list. Ids stay valid until an
+        instance is deleted (editor delete compacts the list)."""
+        scalar = isinstance(segment_ids, int)
+        if scalar:
             segment_ids = [segment_ids]
+        first = len(self.instances)
         for sid in segment_ids:
             self.instances.append(
                 (sid, np.asarray(world, np.float32), prev_world, clip, lod_band)
             )
+        return first
+
+    def instance_transform(self, instance_id: int) -> np.ndarray:
+        return self.instances[instance_id][1]
 
     def add_instance_lods(self, lod_segment_ids: list, world: np.ndarray,
                           distances: list, prev_world=None):

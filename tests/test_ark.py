@@ -2,6 +2,7 @@
 (cereal JSON archives — MeshAsset.h:147 .arkmsh, MaterialAsset .arkmat,
 LevelAsset .arklvl). Data only; no reference code involved."""
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -114,3 +115,226 @@ def test_meshviewer_inspects_arkmsh(capsys):
     ])
     out = capsys.readouterr().out
     assert "segments" in out.lower() or "Mesh" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-4: set / skeleton / animation / hair assets + level save
+# (no shipped samples of these formats in the reference checkout, so each
+# is pinned by write -> load round-trip through our cereal-JSON dialect)
+# ---------------------------------------------------------------------------
+
+
+def test_arkset_hierarchy_instantiates(tmp_path):
+    from arkoserenderer_tpu.assets.ark import load_arkset, save_arkset
+
+    # A two-level node tree: root carries a translation, child A instances
+    # mesh 0 with a scale, child-of-child B instances mesh 0 again.
+    box_ref = "assets/sample/models/Box/Box.arkmsh"
+    root_node = {
+        "name": "root",
+        "transform": {"translation": {"x": 1.0, "y": 0.0, "z": 0.0},
+                      "orientation": {"x": 0, "y": 0, "z": 0, "w": 1},
+                      "scale": {"x": 1, "y": 1, "z": 1}},
+        "meshIndex": -1,
+        "children": [{
+            "name": "A",
+            "transform": {"translation": {"x": 0.0, "y": 2.0, "z": 0.0},
+                          "orientation": {"x": 0, "y": 0, "z": 0, "w": 1},
+                          "scale": {"x": 2, "y": 2, "z": 2}},
+            "meshIndex": 0,
+            "children": [{
+                "name": "B",
+                "transform": {"translation": {"x": 0.0, "y": 0.0, "z": 3.0},
+                              "orientation": {"x": 0, "y": 0, "z": 0, "w": 1},
+                              "scale": {"x": 1, "y": 1, "z": 1}},
+                "meshIndex": 0,
+                "children": [],
+            }],
+        }],
+    }
+    # Write under a dir that has the reference assets root layout by
+    # pointing meshAssets at the mounted reference tree.
+    set_path = ASSETS / "sample" / "_tmp_test.arkset"
+    set_path = tmp_path / "assets" / "sample" / "sets" / "test.arkset"
+    set_path.parent.mkdir(parents=True)
+    import shutil
+
+    # Mirror Box.arkmsh + its material into the tmp assets root so path
+    # resolution exercises find_assets_root.
+    box_dir = tmp_path / "assets" / "sample" / "models" / "Box"
+    box_dir.mkdir(parents=True)
+    shutil.copy(ASSETS / "sample/models/Box/Box.arkmsh", box_dir)
+    for mat in (ASSETS / "sample/models/Box").glob("*.arkmat"):
+        shutil.copy(mat, box_dir)
+    save_arkset(set_path, root_node, [box_ref], name="test-set")
+
+    scene = small_scene()
+    info = load_arkset(scene, set_path)
+    assert info["nodes"] == 3
+    assert info["instances"] == 2
+    assert not info["missing"]
+    # Child A world translation = root(1,0,0) + A(0,2,0); B adds (0,0,3)
+    # scaled by A's 2x scale.
+    wa = scene.instance_transform(info["instance_ids"][0])
+    np.testing.assert_allclose(wa[:3, 3], [1.0, 2.0, 0.0], atol=1e-6)
+    assert wa[0, 0] == 2.0
+    wb = scene.instance_transform(info["instance_ids"][1])
+    np.testing.assert_allclose(wb[:3, 3], [1.0, 2.0, 6.0], atol=1e-6)
+
+
+def test_arkskel_roundtrip_and_pose(tmp_path):
+    from arkoserenderer_tpu.assets.ark import load_arkskel, save_arkskel
+    from arkoserenderer_tpu.scene.animation import Skeleton, evaluate_pose
+
+    rng = np.random.default_rng(7)
+    n = 4
+    parents = np.array([-1, 0, 1, 1], np.int32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    skel = Skeleton(
+        parents=parents,
+        inverse_bind=np.tile(np.eye(4, dtype=np.float32), (n, 1, 1)),
+        rest_translation=rng.normal(size=(n, 3)).astype(np.float32),
+        rest_rotation=q,
+        rest_scale=np.ones((n, 3), np.float32),
+    )
+    skel.inverse_bind[2, :3, 3] = (0.5, -1.0, 2.0)
+    p = tmp_path / "test.arkskel"
+    save_arkskel(p, skel, ["hips", "spine", "armL", "armR"])
+    skel2, names = load_arkskel(p)
+    assert names == ["hips", "spine", "armL", "armR"]
+    np.testing.assert_array_equal(skel2.parents, parents)
+    np.testing.assert_allclose(skel2.inverse_bind, skel.inverse_bind, atol=1e-6)
+    np.testing.assert_allclose(skel2.rest_translation, skel.rest_translation,
+                               atol=1e-6)
+    # Sign-insensitive quat compare.
+    dots = np.abs(np.sum(skel2.rest_rotation * skel.rest_rotation, axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+    # Identical palettes from both skeletons.
+    pal1, _ = evaluate_pose(skel, None, 0.0)
+    pal2, _ = evaluate_pose(skel2, None, 0.0)
+    np.testing.assert_allclose(pal1, pal2, atol=1e-5)
+
+
+def test_arkanim_roundtrip_drives_pose(tmp_path):
+    from arkoserenderer_tpu.assets.ark import (
+        load_arkanim, load_arkskel, save_arkanim, save_arkskel,
+    )
+    from arkoserenderer_tpu.scene.animation import (
+        AnimationClip, AnimChannel, INTERP_LINEAR, INTERP_STEP, Skeleton,
+        evaluate_pose,
+    )
+
+    skel = Skeleton(
+        parents=np.array([-1, 0], np.int32),
+        inverse_bind=np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+        rest_translation=np.zeros((2, 3), np.float32),
+        rest_rotation=np.tile(np.array([0, 0, 0, 1], np.float32), (2, 1)),
+        rest_scale=np.ones((2, 3), np.float32),
+    )
+    names = ["root", "tip"]
+    times = np.array([0.0, 1.0, 2.0], np.float32)
+    clip = AnimationClip(channels=[
+        AnimChannel(target_joint=1, path="translation", times=times,
+                    values=np.array([[0, 0, 0], [0, 1, 0], [0, 2, 0]],
+                                    np.float32),
+                    interpolation=INTERP_LINEAR),
+        AnimChannel(target_joint=0, path="rotation", times=times,
+                    values=np.array([[0, 0, 0, 1]] * 3, np.float32),
+                    interpolation=INTERP_STEP),
+        AnimChannel(target_joint=-1, path="weights", times=times,
+                    values=np.array([[0.0], [0.5], [1.0]], np.float32),
+                    interpolation=INTERP_LINEAR),
+    ], name="bob")
+    pskel = tmp_path / "a.arkskel"
+    panim = tmp_path / "a.arkanim"
+    save_arkskel(pskel, skel, names)
+    save_arkanim(panim, clip, names)
+
+    skel2, names2 = load_arkskel(pskel)
+    clip2 = load_arkanim(panim, joint_names=names2)
+    assert clip2.name == "bob"
+    assert len(clip2.channels) == 3
+    assert clip2.duration == 2.0
+    # Shared time track deduplicated in the file.
+    import json as _json
+    doc = _json.loads(panim.read_text())["animation"]
+    assert len(doc["inputTracks"]) == 1
+    # Same pose at an interpolated time from both clips.
+    pal1, w1 = evaluate_pose(skel, clip, 0.5)
+    pal2, w2 = evaluate_pose(skel2, clip2, 0.5)
+    np.testing.assert_allclose(pal1, pal2, atol=1e-6)
+    np.testing.assert_allclose(w1, w2, atol=1e-6)
+    np.testing.assert_allclose(pal2[1, 1, 3], 0.5, atol=1e-6)
+
+
+def test_arkhair_roundtrip(tmp_path):
+    from arkoserenderer_tpu.assets.ark import load_arkhair, save_arkhair
+
+    # Two strands: 3 points and 4 points.
+    pts = np.array([[0, 0, 0], [0, 1, 0], [0, 2, 0],
+                    [1, 0, 0], [1, 1, 0], [1, 2, 0], [1, 3, 0]], np.float32)
+    segs = np.array([2, 3], np.int32)
+    thick = np.linspace(0.01, 0.02, 7).astype(np.float32)
+    p = tmp_path / "test.arkhair"
+    save_arkhair(p, pts, segs, thickness=thick)
+    scene = small_scene()
+    xf = np.eye(4, dtype=np.float32)
+    xf[:3, 3] = (0, 0, 5)
+    info = load_arkhair(scene, p, transform=xf)
+    assert info["strands"] == 2
+    assert info["points"] == 7
+    assert scene._hair is not None
+    hp, ht, hr, hseg = scene._hair
+    np.testing.assert_allclose(hp[:, 2], 5.0, atol=1e-6)
+    np.testing.assert_allclose(hp[:, :2], pts[:, :2], atol=1e-6)
+    np.testing.assert_allclose(hr, thick * 0.5, atol=1e-7)
+
+
+def test_arklvl_save_roundtrip_with_editor_edit(tmp_path):
+    """Level -> scene -> gizmo-style transform edit -> sync -> save -> load:
+    the edited transform survives the round trip (LevelAsset.h:135 save)."""
+    import shutil
+
+    from arkoserenderer_tpu.assets.ark import LevelDocument, load_arklvl
+
+    # Build a tmp assets root with Box.arkmsh and a level referencing it.
+    box_dir = tmp_path / "assets" / "sample" / "models" / "Box"
+    box_dir.mkdir(parents=True)
+    shutil.copy(ASSETS / "sample/models/Box/Box.arkmsh", box_dir)
+    for mat in (ASSETS / "sample/models/Box").glob("*.arkmat"):
+        shutil.copy(mat, box_dir)
+    lvl_dir = tmp_path / "assets" / "sample" / "levels"
+    lvl_dir.mkdir(parents=True)
+    src = json.loads((ASSETS / "sample/levels/CornellBox.arklvl").read_text())
+    src["level"]["objects"][0]["mesh"]["data"] = \
+        "assets/sample/models/Box/Box.arkmsh"
+    lvl_path = lvl_dir / "test.arklvl"
+    lvl_path.write_text(json.dumps(src, indent=4))
+
+    scene = small_scene()
+    res = load_arklvl(scene, lvl_path)
+    assert res["instances"] == 1 and not res["missing"]
+    doc = res["doc"]
+
+    # Editor-style edit: move the object.
+    from arkoserenderer_tpu.scene.editor import EditorScene
+
+    ed = EditorScene(scene=scene)
+    ed.selected = doc.object_instances[0][0]
+    ed.translate((3.0, 0.5, -1.0))
+    assert doc.sync_from_scene(scene) == 1
+
+    out_path = lvl_dir / "edited.arklvl"
+    doc.write(out_path)
+
+    # Reload: the translation reflects the edit; untouched fields (camera,
+    # env map block) survive byte-identical JSON round-trip.
+    scene2 = small_scene()
+    res2 = load_arklvl(scene2, out_path)
+    w = scene2.instance_transform(res2["doc"].object_instances[0][0])
+    orig_t = np.array([0.0, 0.0, 0.0], np.float32)
+    np.testing.assert_allclose(w[:3, 3], orig_t + [3.0, 0.5, -1.0], atol=1e-5)
+    reloaded = json.loads(out_path.read_text())
+    assert reloaded["level"]["cameras"] == src["level"]["cameras"]
+    assert reloaded["level"]["environmentMap"] == src["level"]["environmentMap"]
