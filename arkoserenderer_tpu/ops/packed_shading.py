@@ -357,20 +357,12 @@ def shade_packed(
     subsurface = mrec[:, M_SSS]
 
     def pixel_noise(salt: int) -> jax.Array:
-        # Per-pixel per-frame white noise (integer hash — pure VPU); TAA
-        # averages stochastic single-tap estimators to their filtered value.
-        seed = (
-            px.astype(jnp.int32)
-            + py.astype(jnp.int32) * 19349663
-            + (frame_index if frame_index is not None else 0) * 83492791
-            + salt * 374761393
-        ).astype(jnp.uint32)
-        seed = seed ^ (seed >> 16)
-        seed = seed * jnp.uint32(0x7FEB352D)
-        seed = seed ^ (seed >> 15)
-        seed = seed * jnp.uint32(0x846CA68B)
-        seed = seed ^ (seed >> 16)
-        return (seed >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        # Per-pixel per-frame blue noise (tiled mask gather — ops/noise.py);
+        # TAA averages stochastic single-tap estimators to their filtered
+        # value, and the blue spectrum keeps single-frame error fine-grained.
+        from arkoserenderer_tpu.ops.noise import sample_blue_noise
+
+        return sample_blue_noise(px, py, frame_index, salt)
 
     if any_tex:
         if texture_quality == "stochastic1":

@@ -65,6 +65,15 @@ def _nearest_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def _pixel_noise(px, py, frame_index, salt: int) -> jax.Array:
+    # Blue-noise mask lookup (ops/noise.py): same contract as the old
+    # integer-hash white noise, but stochastic-tap error is high-frequency
+    # (GpuScene.cpp:364-474 blue-noise binding analogue).
+    from arkoserenderer_tpu.ops.noise import sample_blue_noise
+
+    return sample_blue_noise(px, py, frame_index, salt)
+
+
+def _white_pixel_noise(px, py, frame_index, salt: int) -> jax.Array:
     fi = frame_index if frame_index is not None else 0
     seed = (
         px.astype(jnp.uint32)

@@ -196,15 +196,12 @@ def vignette(color, uv, intensity: float):
     return color * jnp.clip(falloff, 0.0, 1.0)
 
 
-def _hash12(p):
-    """Cheap 2D -> 1D hash noise in [0,1) (screen-space grain)."""
-    h = jnp.sin(p[..., 0:1] * 12.9898 + p[..., 1:2] * 78.233) * 43758.5453
-    return h - jnp.floor(h)
-
-
 def film_grain(color, pixel_xy, frame_index, gain: float):
-    """ISO-scaled additive grain, decorrelated per frame (cf. OutputNode's
-    blue-noise grain; hash noise for round 1, blue-noise array later)."""
-    p = pixel_xy + jnp.mod(frame_index * jnp.array([17.0, 59.0]), 1024.0)
-    g = (_hash12(p) - 0.5) * gain
+    """ISO-scaled additive grain from the committed blue-noise mask,
+    golden-ratio-animated per frame (OutputNode.cpp's blue-noise grain)."""
+    from arkoserenderer_tpu.ops.noise import sample_blue_noise
+
+    px = pixel_xy[..., 0].astype(jnp.int32)
+    py = pixel_xy[..., 1].astype(jnp.int32)
+    g = (sample_blue_noise(px, py, frame_index, salt=7)[..., None] - 0.5) * gain
     return jnp.maximum(color + g * jnp.sqrt(jnp.maximum(color, 1e-4)), 0.0)

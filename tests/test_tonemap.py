@@ -59,3 +59,44 @@ def test_film_grain_zero_gain_identity():
     np.testing.assert_allclose(out, 0.25, atol=1e-7)
     out2 = np.asarray(tm.film_grain(color, xy, jnp.asarray(3), gain=0.5))
     assert np.std(out2) > 0.01
+
+
+def test_blue_noise_mask_spectrum_and_decorrelation():
+    """The committed blue-noise mask has far less low-frequency energy than
+    white noise (the clumping the VERDICT asked to remove), is a permutation
+    of all ranks, and per-salt/per-frame variants decorrelate."""
+    import numpy as np
+
+    from arkoserenderer_tpu.ops.noise import (
+        blue_noise_mask, blue_noise_ranks, sample_blue_noise,
+    )
+
+    ranks = blue_noise_ranks()
+    assert ranks.shape == (128, 128)
+    assert len(np.unique(ranks)) == ranks.size  # exact permutation
+
+    mask = blue_noise_mask()
+
+    def low_high_ratio(img):
+        f = np.fft.fftshift(np.abs(np.fft.fft2(img - img.mean())))
+        n = img.shape[0]
+        yy, xx = np.mgrid[:n, :n]
+        rad = np.hypot(yy - n // 2, xx - n // 2)
+        return f[rad < n / 8].mean() / f[rad > n / 3].mean()
+
+    rng = np.random.default_rng(0)
+    white = rng.random(mask.shape).astype(np.float32)
+    r_blue, r_white = low_high_ratio(mask), low_high_ratio(white)
+    assert r_blue < 0.1 * r_white, (r_blue, r_white)
+
+    import jax.numpy as jnp
+
+    yy, xx = jnp.mgrid[:128, :128]
+    a = np.asarray(sample_blue_noise(xx, yy, 0, salt=1))
+    b = np.asarray(sample_blue_noise(xx, yy, 0, salt=2))
+    c = np.asarray(sample_blue_noise(xx, yy, 1, salt=1))
+    # Different salts / frames: decorrelated (|rho| < 0.1) but each still blue.
+    corr_ab = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert abs(corr_ab) < 0.1, corr_ab
+    assert not np.allclose(a, c)
+    assert low_high_ratio(a) < 0.1 * r_white
