@@ -46,7 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--ssss", action="store_true")
     p.add_argument("--fog", action="store_true")
     p.add_argument("--upscale", type=float, default=None,
-                   help="display scale factor (DLSS-slot spatial upscaler)")
+                   help="display scale factor (DLSS-slot upscaler)")
+    p.add_argument("--upscale-mode", type=str, default="temporal",
+                   choices=["temporal", "spatial"],
+                   help="temporal = TAA-U super-resolution (DLSS-equivalent); "
+                        "spatial = FSR1-style resample + RCAS")
     p.add_argument("--motion-blur", action="store_true")
     p.add_argument("--dof", action="store_true")
     p.add_argument("--no-taa", action="store_true")
@@ -152,6 +156,7 @@ def main(argv=None) -> None:
         ddgi=True if args.ddgi else None, ssss=args.ssss, fog=args.fog,
         ddgi_probe_debug=args.ddgi_probe_debug,
         upscale_to=upscale_to,
+        upscale_mode=args.upscale_mode,
         debug_draw=args.debug_draw,
         light_icons=args.light_icons,
         oit_layers=args.oit_layers,

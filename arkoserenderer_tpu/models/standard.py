@@ -57,6 +57,9 @@ def make_forward_pipeline(
     rt_refit: bool = False,  # per-frame BVH refit for animated geometry
     oit_layers: int = 1,     # translucent depth-peeling layer count
     upscale_to: tuple[int, int] | None = None,  # display res (DLSS slot)
+    upscale_mode: str = "temporal",  # "temporal" (TAA-U, the honest DLSS
+    #   equivalent: render-res TAA off, jittered frames accumulate straight
+    #   into display-res history) | "spatial" (TAA + FSR1-style resample)
     film_grain: float = 0.0,
     vignette: float = 0.18,  # 0 disables (the truth harness compares vs PT)
     debug_draw=None,  # a DebugLineBuffer enables the overlay pass
@@ -147,7 +150,10 @@ def make_forward_pipeline(
         pipe.add_pass(DepthOfFieldPass())
     if bloom:
         pipe.add_pass(BloomPass())
-    if taa:
+    temporal_upscale = upscale_to is not None and upscale_mode == "temporal"
+    if taa and not temporal_upscale:
+        # TSR subsumes TAA: jitter must survive to the accumulator
+        # (DLSSNode replaces TAANode in the showcase order).
         pipe.add_pass(TAAPass())
     pipe.add_pass(OutputPass(film_grain_gain=film_grain,
                              vignette_intensity=vignette))
@@ -156,9 +162,16 @@ def make_forward_pipeline(
     if cas:
         pipe.add_pass(CASPass())
     if upscale_to is not None:
-        from arkoserenderer_tpu.rendering.passes.upscale import UpscalePass
+        if temporal_upscale:
+            from arkoserenderer_tpu.rendering.passes.upscale import (
+                TemporalUpscalePass,
+            )
 
-        pipe.add_pass(UpscalePass(*upscale_to))
+            pipe.add_pass(TemporalUpscalePass(*upscale_to))
+        else:
+            from arkoserenderer_tpu.rendering.passes.upscale import UpscalePass
+
+            pipe.add_pass(UpscalePass(*upscale_to))
     if debug_draw is not None:
         from arkoserenderer_tpu.rendering.passes.debugdraw import DebugDrawPass
 
@@ -295,6 +308,8 @@ class Renderer:
         # NOTE: the returned array's buffer may be recycled by the NEXT
         # render (persistent-state donation). Use np.array(...) to keep a
         # frame across renders; np.asarray views alias device memory.
+        if "LDRDisplay" in self.state:  # upscaled pipelines: display res
+            return self.state["LDRDisplay"]
         return self.state["LDR"]
 
     def render_frame_safe(self, delta_time: float = 1 / 60, retries: int = 2):

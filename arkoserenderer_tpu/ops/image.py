@@ -239,6 +239,60 @@ def resize_bilinear_rational(img: jax.Array, out_h: int, out_w: int) -> jax.Arra
     return axis_resize(axis_resize(img, out_h, 0), out_w, 1)
 
 
+def resize_bilinear_rational_jittered(
+    img: jax.Array, out_h: int, out_w: int, jitter_x, jitter_y
+) -> jax.Array:
+    """Jitter-compensated rational upsample, gather-free (the TAA-U /
+    temporal-super-resolution resample).
+
+    Like resize_bilinear_rational, but the input was rendered with a
+    sub-pixel camera jitter of (+jitter_x, +jitter_y) pixels (traced
+    scalars, |j| <= 0.5 — mathx.apply_jitter convention: projected points
+    MOVE by +j, so input sample k holds the scene at unjittered position
+    k - j, and interpolating the scene at coordinate y means reading the
+    array at y + j). Each output phase becomes FOUR static strided slices
+    weighted by traced triangle weights (exactly two adjacent taps are
+    nonzero); structure stays static, weights ride the jitter.
+    """
+    import math
+
+    def axis_resize(x, out_n, axis, j):
+        in_n = x.shape[axis]
+        g = math.gcd(out_n, in_n)
+        k, m = out_n // g, in_n // g  # out_n = in_n * k / m
+        assert k <= 16, f"resize {in_n}->{out_n}: phase count {k} too large"
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (2, 2)
+        p_arr = jnp.pad(x, pad, mode="edge")  # index i -> padded i+2
+
+        def strided(start, step, count):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(start + 2, start + 2 + (count - 1) * step + 1, step)
+            return p_arr[tuple(idx)]
+
+        t_count = out_n // k
+        j = jnp.asarray(j, jnp.float32)
+        phases = []
+        for p in range(k):
+            y0 = (p + 0.5) * m / k - 0.5
+            base = math.floor(y0)
+            yrel = (y0 - base) + j  # traced, in [-0.5, 1.5)
+            acc = None
+            for t in (-1, 0, 1, 2):
+                wt = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - t))
+                sl = strided(base + t, m, t_count) * wt
+                acc = sl if acc is None else acc + sl
+            phases.append(acc)
+        s = jnp.stack(phases, axis=axis + 1)  # (..., t_count, k, ...)
+        shape = list(x.shape)
+        shape[axis] = out_n
+        return s.reshape(shape)
+
+    out = axis_resize(img, out_h, 0, jitter_y)  # same-res still shifts by j
+    out = axis_resize(out, out_w, 1, jitter_x)
+    return out
+
+
 def luminance(rgb: jax.Array) -> jax.Array:
     return jnp.sum(rgb * jnp.array([0.2126, 0.7152, 0.0722]), axis=-1, keepdims=True)
 

@@ -54,3 +54,44 @@ def test_ideal_render_resolution():
     w, h = ideal_render_resolution(1920, 1080, "quality")
     assert w <= 1920 / 1.4 and h <= 1080 / 1.4
     assert w % 8 == 0 and h % 8 == 0
+
+
+def test_temporal_upscale_converges_toward_native():
+    """TSR north star (DLSSNode slot): a STATIC scene rendered at 2/3 res
+    with jittered temporal accumulation converges toward the native
+    display-res render, and beats the spatial upscaler clearly."""
+    import dataclasses
+
+    rw, rh, dw, dh = 96, 96, 144, 144
+    cfg_r = dataclasses.replace(CFG, width=rw, height=rh)
+
+    def fresh(upscale_mode):
+        scene, cam = build_test_scene(viewport=(rw, rh), n_spheres=1)
+        return Renderer(scene, cam, cfg_r, bloom=False, vignette=0.0,
+                        upscale_to=(dw, dh), upscale_mode=upscale_mode)
+
+    # Native reference: same scene rendered directly at display res,
+    # no jitter, no TAA.
+    scene_n, cam_n = build_test_scene(viewport=(dw, dh), n_spheres=1)
+    cam_n.jitter_enabled = False
+    cfg_n = dataclasses.replace(CFG, width=dw, height=dh)
+    r_native = Renderer(scene_n, cam_n, cfg_n, taa=False, bloom=False,
+                        vignette=0.0)
+    native = np.array(r_native.render_frame())
+
+    r_tsr = fresh("temporal")
+    for _ in range(24):  # > one 16-frame jitter period
+        out_tsr = r_tsr.render_frame()
+    tsr = np.array(out_tsr)
+    assert tsr.shape == (dh, dw, 3)
+
+    r_sp = fresh("spatial")
+    for _ in range(24):
+        out_sp = r_sp.render_frame()
+    spatial = np.array(out_sp)
+
+    inner = (slice(8, -8), slice(8, -8))
+    err_tsr = np.abs(tsr - native)[inner].mean()
+    err_sp = np.abs(spatial - native)[inner].mean()
+    assert err_tsr < 0.8 * err_sp, (err_tsr, err_sp)
+    assert err_tsr < 0.02, err_tsr
