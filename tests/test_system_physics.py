@@ -145,8 +145,9 @@ def test_dynamic_transforms_stream_into_renderer():
 
 def test_physics_triangle_mesh_collision():
     """Triangle-mesh collider (PhysicsBackend.h:14-47 mesh shape): a sphere
-    dropped onto a ramp mesh comes to rest ON the surface and slides
-    downhill under gravity."""
+    dropped onto a ramp mesh stays ON the surface and — with Coulomb
+    friction and real angular dynamics — ROLLS downhill (friction torque
+    spins it up; tan(14 deg) < mu, so it cannot merely slide)."""
     import numpy as np
 
     from arkoserenderer_tpu.physics.backend import BodyDesc, BuiltinPhysicsBackend
@@ -157,10 +158,11 @@ def test_physics_triangle_mesh_collision():
     b.add_static_mesh(verts, tris)
     body = b.add_body(BodyDesc("sphere", np.array([0.2] * 3, np.float32)),
                       (0.5, 3.0, 0.0))
-    for _ in range(240):
+    for _ in range(90):   # long enough to roll, short enough to stay on ramp
         b.step(1 / 60.0)
     p = b.pos[body]
     surface_y = (p[0] + 2) / 4            # the ramp plane: y = (x + 2) / 4
-    assert 0.1 < p[1] - surface_y < 0.35  # resting at ~radius above surface
-    assert p[0] < 0.5                     # slid downhill
+    assert 0.1 < p[1] - surface_y < 0.35  # riding at ~radius above surface
+    assert p[0] < 0.2                     # moved downhill
     assert abs(p[2]) < 0.1                # no sideways drift
+    assert float(b.omega[body][2]) > 1.0  # rolling, not sliding (+Z spin)
