@@ -11,9 +11,12 @@ Supported: embedded/external buffers, data URIs, GLB container, POSITION /
 NORMAL / TEXCOORD_0 / TANGENT / JOINTS_0 / WEIGHTS_0 attributes, u8/u16/u32
 indices, node TRS + matrix transforms, baseColor / metallicRoughness /
 normal / emissive / occlusion textures, alphaMode, doubleSided, sampler wrap
-modes, KHR_materials_emissive_strength, skins (JOINTS/WEIGHTS + skeleton
-import) and animations (all three TRS channel paths + morph weights).
-TODO: KHR_texture_transform, Draco.
+modes, KHR_materials_emissive_strength, KHR_texture_transform (baked into
+mesh UVs at import; see _material_uv_transform), skins (JOINTS/WEIGHTS +
+skeleton import) and animations (all three TRS channel paths + morph
+weights). TODO: Draco (KHR_draco_mesh_compression assets are rejected with
+a clear error; the entropy decoder is out of scope for a from-scratch
+importer).
 """
 
 from __future__ import annotations
@@ -291,6 +294,54 @@ def load_gltf(
         m.double_sided = bool(mat.get("doubleSided", False))
         material_ids.append(scene.add_material(m))
 
+    # -- KHR_texture_transform ----------------------------------------------------
+    # Our bindless shading samples every texture of a material with the
+    # segment's single UV set, so the transform is BAKED into the mesh UVs
+    # at import (exact for the dominant authoring case — one transform per
+    # material; per-texture divergence gets the baseColor transform plus a
+    # warning). tiny_gltf exposes the same extension to the reference's
+    # GltfLoader.cpp.
+    def _tex_transform(info: dict):
+        """glTF textureInfo -> (3, 3) UV affine or None (spec: T * R * S)."""
+        ext = info.get("extensions", {}).get("KHR_texture_transform")
+        if ext is None:
+            return None, info.get("texCoord", 0)
+        ox, oy = ext.get("offset", [0.0, 0.0])
+        sx, sy = ext.get("scale", [1.0, 1.0])
+        r = float(ext.get("rotation", 0.0))
+        c, s = np.cos(r), np.sin(r)
+        m = np.array([
+            [c * sx, s * sy, ox],
+            [-s * sx, c * sy, oy],
+            [0.0, 0.0, 1.0],
+        ], np.float32)
+        return m, ext.get("texCoord", info.get("texCoord", 0))
+
+    def _material_uv_transform(mat_index: int | None):
+        """The material's baked UV transform (and UV set) or (None, 0)."""
+        if mat_index is None:
+            return None, 0
+        mat = doc.get("materials", [])[mat_index]
+        infos = []
+        pbr = mat.get("pbrMetallicRoughness", {})
+        for info in (pbr.get("baseColorTexture"),
+                     pbr.get("metallicRoughnessTexture"),
+                     mat.get("normalTexture"), mat.get("emissiveTexture"),
+                     mat.get("occlusionTexture")):
+            if info is not None:
+                infos.append(_tex_transform(info))
+        if not infos:
+            return None, 0
+        xforms = [x for x, _ in infos if x is not None]
+        if not xforms:
+            return None, infos[0][1]
+        if any(not np.allclose(x, xforms[0]) for x in xforms[1:]):
+            log.warning(
+                "material %d: differing KHR_texture_transform per texture; "
+                "baking the baseColor transform into the UVs", mat_index,
+            )
+        return xforms[0], infos[0][1]
+
     # -- meshes -------------------------------------------------------------------
     mesh_segments: dict[tuple[int, int | None], list[int]] = {}
 
@@ -303,6 +354,11 @@ def load_gltf(
             if prim.get("mode", 4) != 4:  # triangles only
                 log.warning("skipping non-triangle primitive in mesh %d", mesh_index)
                 continue
+            if "KHR_draco_mesh_compression" in prim.get("extensions", {}):
+                raise ValueError(
+                    "KHR_draco_mesh_compression is not supported; re-export "
+                    "the asset without Draco (e.g. gltf-pipeline -d false)"
+                )
             attrs = prim["attributes"]
             positions = read_accessor(g, attrs["POSITION"]).astype(np.float32)
             v = positions.shape[0]
@@ -314,11 +370,16 @@ def load_gltf(
                 normals = read_accessor(g, attrs["NORMAL"]).astype(np.float32)
             else:
                 normals = _face_normals(positions, indices)
+            uv_xform, uv_set = _material_uv_transform(prim.get("material"))
+            uv_attr = f"TEXCOORD_{uv_set}" if f"TEXCOORD_{uv_set}" in attrs \
+                else "TEXCOORD_0"
             uvs = (
-                read_accessor(g, attrs["TEXCOORD_0"]).astype(np.float32)[:, :2]
-                if "TEXCOORD_0" in attrs
+                read_accessor(g, attrs[uv_attr]).astype(np.float32)[:, :2]
+                if uv_attr in attrs
                 else np.zeros((v, 2), np.float32)
             )
+            if uv_xform is not None:
+                uvs = uvs @ uv_xform[:2, :2].T + uv_xform[:2, 2][None, :]
             if "TANGENT" in attrs:
                 tangents = read_accessor(g, attrs["TANGENT"]).astype(np.float32)
             else:

@@ -103,3 +103,90 @@ def test_cornell_interior_renders():
     vis = np.asarray(r.state["Visibility"])
     assert (vis >= 0).mean() > 0.5  # inside the atrium, mostly geometry
     assert img.std() > 0.03
+
+
+def _synthetic_gltf(tmp_path, with_transform: bool, with_draco: bool = False):
+    """Minimal quad .gltf with an embedded buffer + 1x1 texture; optionally
+    a KHR_texture_transform on the baseColor texture."""
+    import base64
+    import json
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    buf = pos.tobytes() + uv.tobytes() + idx.tobytes()
+    # 1x1 white PNG
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        b"z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0,
+        }]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+        }}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "data:image/png;base64,"
+                           + base64.b64encode(png).decode()}],
+        "buffers": [{"byteLength": len(buf),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(buf).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+    }
+    if with_transform:
+        doc["extensionsUsed"] = ["KHR_texture_transform"]
+        doc["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"][
+            "extensions"] = {"KHR_texture_transform": {
+                "offset": [0.25, 0.5], "scale": [2.0, 3.0]}}
+    if with_draco:
+        doc["extensionsUsed"] = ["KHR_draco_mesh_compression"]
+        doc["meshes"][0]["primitives"][0]["extensions"] = {
+            "KHR_draco_mesh_compression": {"bufferView": 0}}
+    p = tmp_path / "quad.gltf"
+    p.write_text(json.dumps(doc))
+    return p
+
+
+def test_khr_texture_transform_baked_into_uvs(tmp_path):
+    """KHR_texture_transform (offset + scale) is baked into the segment UVs
+    at import: uv' = S * uv + offset (GltfLoader.cpp handles the same
+    extension via tiny_gltf in the reference)."""
+    scene = small_scene()
+    load_gltf(scene, _synthetic_gltf(tmp_path, with_transform=True))
+    seg = scene.segments[-1]
+    expect = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    expect = expect * np.array([2.0, 3.0], np.float32) + np.array(
+        [0.25, 0.5], np.float32)
+    np.testing.assert_allclose(seg.uvs, expect, atol=1e-6)
+
+    scene2 = small_scene()
+    load_gltf(scene2, _synthetic_gltf(tmp_path, with_transform=False))
+    np.testing.assert_allclose(
+        scene2.segments[-1].uvs,
+        np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32), atol=1e-6)
+
+
+def test_draco_rejected_with_clear_error(tmp_path):
+    scene = small_scene()
+    with pytest.raises(ValueError, match="Draco"):
+        load_gltf(scene, _synthetic_gltf(tmp_path, with_transform=False,
+                                         with_draco=True))
