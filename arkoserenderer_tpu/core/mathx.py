@@ -321,3 +321,46 @@ def aabb_corners(mins, maxs, xp=jnp):
     if xp is not np:
         sel = xp.asarray(sel)
     return mins[..., None, :] * (1.0 - sel) + maxs[..., None, :] * sel
+
+
+def onb(n, xp=jnp):
+    """Branchless orthonormal basis from unit vectors (Frisvad via Duff et
+    al.), n: (..., 3) -> (tangent, bitangent), each (..., 3)."""
+    s = xp.where(n[..., 2:3] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2:3])
+    b = n[..., 0:1] * n[..., 1:2] * a
+    t = xp.concatenate(
+        [1.0 + s * n[..., 0:1] ** 2 * a, s * b, -s * n[..., 0:1]], axis=-1
+    )
+    bt = xp.concatenate([b, s + n[..., 1:2] ** 2 * a, -n[..., 1:2]], axis=-1)
+    return t, bt
+
+
+def sample_cone(axis, cos_max, u1, u2, xp=jnp):
+    """Uniform solid-angle direction inside the cone around ``axis``.
+
+    axis (..., 3) unit; cos_max scalar or (...,) cosine of the cone
+    half-angle; u1, u2 (...,) uniforms. cos_max == 1 returns axis exactly
+    (hard light), so callers can thread a zero radius with no branch.
+    The area-light sampler behind soft sun shadows (the NRD-sigma slot's
+    cone-sampled occlusion rays)."""
+    t, b = onb(axis, xp=xp)
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    sin_t = xp.sqrt(xp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * np.pi * u2
+    d = (
+        t * (xp.cos(phi) * sin_t)[..., None]
+        + b * (xp.sin(phi) * sin_t)[..., None]
+        + axis * cos_t[..., None]
+    )
+    return normalize(d, xp=xp)
+
+
+def sample_disk_offset(axis, radius, u1, u2, xp=jnp):
+    """Uniform point offset on the disk of ``radius`` perpendicular to
+    ``axis`` (..., 3): jitters a light POSITION for spherical-source soft
+    shadows (occlusion-only approximation; radius 0 -> zero offset)."""
+    t, b = onb(axis, xp=xp)
+    r = radius * xp.sqrt(u1)
+    phi = 2.0 * np.pi * u2
+    return t * (r * xp.cos(phi))[..., None] + b * (r * xp.sin(phi))[..., None]

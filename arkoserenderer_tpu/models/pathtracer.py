@@ -70,6 +70,17 @@ class PathTracer:
         point_casters = tuple(
             bool(getattr(p, "cast_shadows", False)) for p in scene.points
         )
+        # Soft-shadow statics (truth harness for the raster's sigma-denoised
+        # stochastic shadows): sun disk + light source radii.
+        sun_cos_radius = float(np.cos(np.radians(
+            getattr(scene.sun, "angular_radius_deg", 0.0)
+        ))) if scene.sun is not None else 1.0
+        spot_radii = tuple(
+            float(getattr(s, "source_radius", 0.0)) for s in scene.spots
+        )
+        point_radii = tuple(
+            float(getattr(p, "source_radius", 0.0)) for p in scene.points
+        )
 
         @jax.jit
         def step(accum, arrays, bvh, cam_state, seed, sample_idx):
@@ -79,7 +90,10 @@ class PathTracer:
                                 max_bounces, aa=aa,
                                 n_spots=n_spots, n_points=n_points,
                                 spot_casters=spot_casters,
-                                point_casters=point_casters)
+                                point_casters=point_casters,
+                                sun_cos_radius=sun_cos_radius,
+                                spot_source_radius=spot_radii,
+                                point_source_radius=point_radii)
             return accum + sample
 
         self._step = step

@@ -117,7 +117,11 @@ def make_forward_pipeline(
         if any(spot_casters) or any(point_casters):
             # Exact per-pixel local-light shadows (RTLocalShadowNode) —
             # replaces the PCF atlas whenever the frame traces rays anyway.
-            pipe.add_pass(RTLocalShadowPass(spot_casters, point_casters))
+            pipe.add_pass(RTLocalShadowPass(
+                spot_casters, point_casters,
+                spot_radii=cfg.scene.spot_source_radius,
+                point_radii=cfg.scene.point_source_radius,
+            ))
     elif shadows:
         pipe.add_pass(SunShadowPass())
     if (shadows and not rt_shadows and any(cfg.scene.spot_shadow_casters)

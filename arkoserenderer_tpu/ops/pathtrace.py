@@ -125,6 +125,9 @@ def trace_path(
     n_points: int = 0,
     spot_casters: tuple = (),   # per-light cast_shadows flags: a light the
     point_casters: tuple = (),  # raster leaves unshadowed is matched here
+    sun_cos_radius: float = 1.0,      # cos(sun angular radius); < 1 = soft
+    spot_source_radius: tuple = (),   # world-unit radii; > 0 = soft
+    point_source_radius: tuple = (),
 ) -> jax.Array:
     """One sample per pixel of path-traced radiance (pre-exposed). (R, 3)."""
     r = px.shape[0]
@@ -196,8 +199,20 @@ def trace_path(
         view = -dirs
 
         # -- next-event estimation: sun ---------------------------------------
+        # Soft sun (angular radius > 0): the OCCLUSION ray cone-samples the
+        # sun disk (the raster soft path's occlusion-only approximation —
+        # shading stays at the central direction); hard sun keeps the
+        # deterministic single ray (and the exact pre-soft random stream).
         shadow_org = world_pos + n * 1e-3
-        occl = trace_rays(bvh, shadow_org, jnp.broadcast_to(sun_l, (r, 3)), any_hit=True)
+        if sun_cos_radius < 1.0:
+            k_sun, key = jax.random.split(key)
+            us = jax.random.uniform(k_sun, (r, 2))
+            sun_occ_dir = mx.sample_cone(
+                sun_l[None, :], sun_cos_radius, us[:, 0], us[:, 1]
+            )
+        else:
+            sun_occ_dir = jnp.broadcast_to(sun_l, (r, 3))
+        occl = trace_rays(bvh, shadow_org, sun_occ_dir, any_hit=True)
         # Clearcoat lobe included: the raster's direct term carries it
         # (ops/packed_shading), so ground truth must too.
         fr_sun = brdf.evaluate(
@@ -220,10 +235,21 @@ def trace_path(
             dist = jnp.sqrt(dist2)
             l_dir = to_l / dist
             casts = li >= len(spot_casters) or spot_casters[li]
+            radius = (spot_source_radius[li]
+                      if li < len(spot_source_radius) else 0.0)
             if casts:
+                occ_dir, occ_tmax = l_dir, (dist - 2e-3)[:, 0]
+                if radius > 0.0:   # soft: disk-jittered occlusion target
+                    k_l, key = jax.random.split(key)
+                    ul = jax.random.uniform(k_l, (r, 2))
+                    off = mx.sample_disk_offset(l_dir, radius,
+                                                ul[:, 0], ul[:, 1])
+                    to_j = to_l + off
+                    d_j = jnp.sqrt(jnp.maximum(mx.vdot(to_j, to_j), 1e-6))
+                    occ_dir, occ_tmax = to_j / d_j, (d_j - 2e-3)[:, 0]
                 occ_hit = trace_rays(
-                    bvh, world_pos + n * 1e-3, l_dir,
-                    t_max=(dist - 2e-3)[:, 0], any_hit=True,
+                    bvh, world_pos + n * 1e-3, occ_dir,
+                    t_max=occ_tmax, any_hit=True,
                 ).hit
             else:   # the raster leaves this light unshadowed — match it
                 occ_hit = jnp.zeros(r, bool)
@@ -254,10 +280,21 @@ def trace_path(
             dist = jnp.sqrt(dist2)
             l_dir = to_l / dist
             casts_p = li >= len(point_casters) or point_casters[li]
+            radius_p = (point_source_radius[li]
+                        if li < len(point_source_radius) else 0.0)
             if casts_p:
+                occ_dir, occ_tmax = l_dir, (dist - 2e-3)[:, 0]
+                if radius_p > 0.0:   # soft: disk-jittered occlusion target
+                    k_l, key = jax.random.split(key)
+                    ul = jax.random.uniform(k_l, (r, 2))
+                    off = mx.sample_disk_offset(l_dir, radius_p,
+                                                ul[:, 0], ul[:, 1])
+                    to_j = to_l + off
+                    d_j = jnp.sqrt(jnp.maximum(mx.vdot(to_j, to_j), 1e-6))
+                    occ_dir, occ_tmax = to_j / d_j, (d_j - 2e-3)[:, 0]
                 occ_p_hit = trace_rays(
-                    bvh, world_pos + n * 1e-3, l_dir,
-                    t_max=(dist - 2e-3)[:, 0], any_hit=True,
+                    bvh, world_pos + n * 1e-3, occ_dir,
+                    t_max=occ_tmax, any_hit=True,
                 ).hit
             else:
                 occ_p_hit = jnp.zeros(r, bool)

@@ -73,7 +73,14 @@ def scene_with_live_bvh(state: dict, ctx: FrameContext):
 
 
 class RTShadowPass(RenderPass):
-    """Per-pixel any-hit sun shadow mask (replaces PCF when present)."""
+    """Per-pixel any-hit sun shadow mask (replaces PCF when present).
+
+    When the scene's sun has a non-zero angular radius, the single ray per
+    pixel becomes a blue-noise cone sample over the sun disk and the noisy
+    visibility runs through the sigma shadow denoiser
+    (ops/shadow_denoise.py) — the reference's NRD ExternalFeature slot
+    (arkose/rendering/backend/vulkan/features/nrd/VulkanNRD.cpp). Radius 0
+    keeps the deterministic hard mask bit-for-bit."""
 
     name = "RTShadow"
 
@@ -83,6 +90,14 @@ class RTShadowPass(RenderPass):
         reg.get("Visibility")
         if reg.has("scene.bvh"):
             reg.get("scene.bvh")
+        soft = cfg.scene.sun_angular_radius_deg > 0.0
+        if soft:
+            reg.create("RTShadow.history", (h, w, 1), jnp.float32,
+                       persistent=True)
+            reg.create("RTShadow.moments", (h, w, 3), jnp.float32,
+                       persistent=True)
+            reg.create("RTShadow.depth", (h, w), jnp.float32,
+                       persistent=True)
         reg.create("ShadowMask.sun", (h, w), jnp.float32, clear=1.0)
         # Half-res tracing (rt_scale=2): ray count / 4, nearest-depth
         # reconstruction to full res (no half-res under band sharding).
@@ -97,6 +112,15 @@ class RTShadowPass(RenderPass):
         px = pxg.ravel()   # numpy: device closures poison dispatch
         py = pyg.ravel()
         full_h = cfg.frame_height
+        shard_axis = cfg.shard_axis
+        if soft:
+            px_full, py_full = pixel_centers(cfg)
+            if shard_axis is not None:
+                xs_f = _np.arange(w, dtype=_np.float32) + 0.5
+                ys_f = _np.arange(full_h, dtype=_np.float32) + 0.5
+                pxf, pyf = _np.meshgrid(xs_f, ys_f)
+                px_frame = pxf.ravel()
+                py_frame = pyf.ravel()
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             depth = state["SceneDepth"]
@@ -114,9 +138,21 @@ class RTShadowPass(RenderPass):
             # sky terminate almost immediately (the loop runs to the worst
             # ray of each chunk).
             world = jnp.where(covered[:, None], world, -1e7)
+            light_dir = -ctx.scene.lights.sun_direction
+            if soft:
+                from arkoserenderer_tpu.ops.noise import sample_blue_noise
+
+                u1 = sample_blue_noise(jnp.asarray(px), py_g,
+                                       ctx.frame_index, salt=13)
+                u2 = sample_blue_noise(jnp.asarray(px), py_g,
+                                       ctx.frame_index, salt=14)
+                light_dir = mx.sample_cone(
+                    light_dir[None, :], ctx.scene.lights.sun_cos_radius,
+                    u1, u2,
+                )
             mask = trace_shadow_mask(
                 scene_with_live_bvh(state, ctx), world,
-                -ctx.scene.lights.sun_direction,
+                light_dir,
                 covered,
                 chunk_size=1 << 13 if hs * ws >= (1 << 17) else None,
             )
@@ -126,8 +162,65 @@ class RTShadowPass(RenderPass):
                 mask = upsample_nearest_depth(
                     mask.reshape(hs, ws, 1), depth_s, depth
                 )[..., 0]
+            else:
+                mask = mask.reshape(h, w)
+            if not soft:
                 return {"ShadowMask.sun": mask}
-            return {"ShadowMask.sun": mask.reshape(h, w)}
+
+            # -- sigma denoiser over the stochastic sun visibility ----------
+            # Edge-stopping guides derived here (this pass runs BEFORE the
+            # shading pass that publishes SceneNormal/SceneVelocity): depth-
+            # reconstructed normals + camera-reprojection velocity.
+            from arkoserenderer_tpu.ops import shadow_denoise as sdn
+
+            py_fg = py_full + ctx.row_offset.astype(py_full.dtype)
+            world_full = reconstruct_world_pos(
+                depth.reshape(-1), px_full, py_fg, inv_vp, w, full_h
+            ).reshape(h, w, 3)
+            normal = sdn.normals_from_depth(world_full)
+            vel = sdn.camera_velocity(
+                world_full, px_full, py_fg, ctx.camera.prev_view_proj,
+                w, full_h,
+            )
+            if shard_axis is None:
+                resolved, mom = sdn.denoise(
+                    mask[..., None], depth, normal, vel,
+                    state["RTShadow.history"], state["RTShadow.moments"],
+                    state["RTShadow.depth"], px_full, py_full,
+                    ctx.frame_index == 0,
+                )
+                return {
+                    "ShadowMask.sun": resolved[..., 0],
+                    "RTShadow.history": resolved,
+                    "RTShadow.moments": mom,
+                    "RTShadow.depth": depth,
+                }
+            # Pixel-band SPMD: rays were traced band-local; the denoiser's
+            # stencil/reprojection stages run REPLICATED over all_gather-ed
+            # full-frame planes (seam-exact vs single device), then each
+            # device slices its band back out — the RTReflections pattern.
+            import jax as _jax
+
+            def g(x):
+                return _jax.lax.all_gather(x, shard_axis, axis=0, tiled=True)
+
+            def band(x):
+                return _jax.lax.dynamic_slice_in_dim(
+                    x, _jax.lax.axis_index(shard_axis) * h, h, axis=0
+                )
+
+            resolved_f, mom_f = sdn.denoise(
+                g(mask[..., None]), g(depth), g(normal), g(vel),
+                g(state["RTShadow.history"]), g(state["RTShadow.moments"]),
+                g(state["RTShadow.depth"]), px_frame, py_frame,
+                ctx.frame_index == 0,
+            )
+            return {
+                "ShadowMask.sun": band(resolved_f)[..., 0],
+                "RTShadow.history": band(resolved_f),
+                "RTShadow.moments": band(mom_f),
+                "RTShadow.depth": depth,
+            }
 
         return execute
 
@@ -141,9 +234,15 @@ class RTLocalShadowPass(RenderPass):
 
     name = "RTLocalShadow"
 
-    def __init__(self, spot_casters: tuple, point_casters: tuple):
+    def __init__(self, spot_casters: tuple, point_casters: tuple,
+                 spot_radii: tuple = (), point_radii: tuple = ()):
         self.spot_casters = spot_casters      # tuple[bool] per spot
         self.point_casters = point_casters    # tuple[bool] per point
+        # Physical source radii (world units) — a casting light with a
+        # non-zero radius gets disk-jittered stochastic rays + the sigma
+        # denoiser (soft shadows); radius 0 keeps the hard mask.
+        self.spot_radii = spot_radii
+        self.point_radii = point_radii
 
     def construct(self, cfg: PipelineConfig, reg: Registry):
         h, w = cfg.height, cfg.width
@@ -152,6 +251,27 @@ class RTLocalShadowPass(RenderPass):
         if reg.has("scene.bvh"):
             reg.get("scene.bvh")
         n_s, n_p = len(self.spot_casters), len(self.point_casters)
+
+        def radius_of(radii, i):
+            return float(radii[i]) if i < len(radii) else 0.0
+
+        spot_radii = tuple(radius_of(self.spot_radii, i) for i in range(n_s))
+        point_radii = tuple(radius_of(self.point_radii, i) for i in range(n_p))
+        # Static channel map of the soft (denoised) masks: ("spot"|"point", i).
+        soft_channels = (
+            [("spot", i) for i, c in enumerate(self.spot_casters)
+             if c and spot_radii[i] > 0.0]
+            + [("point", i) for i, c in enumerate(self.point_casters)
+               if c and point_radii[i] > 0.0]
+        )
+        n_soft = len(soft_channels)
+        if n_soft:
+            reg.create("RTLocalShadow.history", (h, w, n_soft), jnp.float32,
+                       persistent=True)
+            reg.create("RTLocalShadow.moments", (h, w, 2 * n_soft + 1),
+                       jnp.float32, persistent=True)
+            reg.create("RTLocalShadow.depth", (h, w), jnp.float32,
+                       persistent=True)
         reg.create("ShadowMask.locals", (max(n_s, 1), h, w), jnp.float32,
                    clear=1.0)
         reg.create("ShadowMask.points", (max(n_p, 1), h, w), jnp.float32,
@@ -164,7 +284,14 @@ class RTLocalShadowPass(RenderPass):
         px = pxg.ravel()   # numpy: device closures poison dispatch
         py = pyg.ravel()
         full_h = cfg.frame_height
+        shard_axis = cfg.shard_axis
         spot_casters, point_casters = self.spot_casters, self.point_casters
+        if n_soft and shard_axis is not None:
+            xs_f = _np.arange(w, dtype=_np.float32) + 0.5
+            ys_f = _np.arange(full_h, dtype=_np.float32) + 0.5
+            pxf, pyf = _np.meshgrid(xs_f, ys_f)
+            px_frame = pxf.ravel()
+            py_frame = pyf.ravel()
 
         def execute(state: dict, ctx: FrameContext) -> dict:
             depth = state["SceneDepth"]
@@ -178,10 +305,23 @@ class RTLocalShadowPass(RenderPass):
             world = jnp.where(covered[:, None], world, -1e7)
             scn = scene_with_live_bvh(state, ctx)
 
-            def mask_to(light_pos):
+            def mask_to(light_pos, radius=0.0, salt=0):
                 to_l = light_pos[None, :] - world
                 dist = jnp.sqrt(jnp.maximum(mx.vdot(to_l, to_l), 1e-12))
                 l_dir = to_l / dist
+                if radius > 0.0:
+                    # Jitter the light POSITION on the disk facing the
+                    # receiver (spherical-source occlusion approximation).
+                    from arkoserenderer_tpu.ops.noise import sample_blue_noise
+
+                    u1 = sample_blue_noise(jnp.asarray(px), py_g,
+                                           ctx.frame_index, salt=salt)
+                    u2 = sample_blue_noise(jnp.asarray(px), py_g,
+                                           ctx.frame_index, salt=salt + 1)
+                    off = mx.sample_disk_offset(l_dir, radius, u1, u2)
+                    to_l = to_l + off
+                    dist = jnp.sqrt(jnp.maximum(mx.vdot(to_l, to_l), 1e-12))
+                    l_dir = to_l / dist
                 occ = trace_rays(
                     scn.bvh, world + l_dir * 3e-2, l_dir,
                     t_max=jnp.maximum(dist[:, 0] - 6e-2, 1e-3),
@@ -193,13 +333,79 @@ class RTLocalShadowPass(RenderPass):
 
             ones = jnp.ones((h, w), jnp.float32)
             spots = [
-                mask_to(ctx.scene.lights.spot_pos[i]) if cast else ones
+                mask_to(ctx.scene.lights.spot_pos[i],
+                        radius=spot_radii[i], salt=20 + 2 * i)
+                if cast else ones
                 for i, cast in enumerate(spot_casters)
             ] or [ones]
             points = [
-                mask_to(ctx.scene.lights.point_pos[i]) if cast else ones
+                mask_to(ctx.scene.lights.point_pos[i],
+                        radius=point_radii[i],
+                        salt=40 + 2 * i)
+                if cast else ones
                 for i, cast in enumerate(point_casters)
             ] or [ones]
+
+            if n_soft:
+                # Denoise the soft channels as ONE stacked (H, W, Cs) pass
+                # (shared reprojection / confidence), then scatter back.
+                from arkoserenderer_tpu.ops import shadow_denoise as sdn
+
+                chans = {
+                    "spot": spots,
+                    "point": points,
+                }
+                noisy = jnp.stack(
+                    [chans[kind][i] for kind, i in soft_channels], axis=-1
+                )
+                # Guides derived in-pass (SceneNormal/SceneVelocity are
+                # published by the LATER shading pass this one feeds).
+                world_img = world.reshape(h, w, 3)
+                normal = sdn.normals_from_depth(world_img)
+                vel = sdn.camera_velocity(
+                    world_img, px, py_g, ctx.camera.prev_view_proj,
+                    w, full_h,
+                )
+                if shard_axis is None:
+                    resolved, mom = sdn.denoise(
+                        noisy, depth, normal, vel,
+                        state["RTLocalShadow.history"],
+                        state["RTLocalShadow.moments"],
+                        state["RTLocalShadow.depth"],
+                        px, py, ctx.frame_index == 0,
+                    )
+                    new_depth = depth
+                else:
+                    import jax as _jax
+
+                    def g(x):
+                        return _jax.lax.all_gather(
+                            x, shard_axis, axis=0, tiled=True
+                        )
+
+                    def band(x):
+                        return _jax.lax.dynamic_slice_in_dim(
+                            x, _jax.lax.axis_index(shard_axis) * h, h, axis=0
+                        )
+
+                    resolved_f, mom_f = sdn.denoise(
+                        g(noisy), g(depth), g(normal), g(vel),
+                        g(state["RTLocalShadow.history"]),
+                        g(state["RTLocalShadow.moments"]),
+                        g(state["RTLocalShadow.depth"]),
+                        px_frame, py_frame, ctx.frame_index == 0,
+                    )
+                    resolved, mom = band(resolved_f), band(mom_f)
+                    new_depth = depth
+                for ci, (kind, i) in enumerate(soft_channels):
+                    chans[kind][i] = resolved[..., ci]
+                return {
+                    "ShadowMask.locals": jnp.stack(spots),
+                    "ShadowMask.points": jnp.stack(points),
+                    "RTLocalShadow.history": resolved,
+                    "RTLocalShadow.moments": mom,
+                    "RTLocalShadow.depth": new_depth,
+                }
             return {
                 "ShadowMask.locals": jnp.stack(spots),
                 "ShadowMask.points": jnp.stack(points),

@@ -35,6 +35,11 @@ class DirectionalLight:
     cast_shadows: bool = True
     shadow_constant_bias: float = 1e-3   # in reverse-Z depth units
     shadow_slope_bias: float = 3.0       # in shadow texels
+    # Angular radius of the disk (degrees; real sun ~0.265). > 0 turns RT
+    # sun shadows into cone-sampled stochastic soft shadows with the sigma
+    # denoiser (the reference's NRD ExternalFeature slot,
+    # features/nrd/VulkanNRD.cpp); 0 keeps hard single-ray masks.
+    angular_radius_deg: float = 0.0
 
     def normalized_direction(self) -> np.ndarray:
         d = np.asarray(self.direction, np.float32)
@@ -68,6 +73,9 @@ class SpotLight:
     outer_cone_angle: float = np.radians(30.0)
     cast_shadows: bool = True
     ies_lut: np.ndarray | None = None  # (256,) polar intensity (assets/external.IESProfile.to_lut)
+    # Physical source radius (world units) for soft RT shadows (disk-
+    # jittered occlusion rays); 0 = point source (hard masks).
+    source_radius: float = 0.0
 
     def shadow_view_proj(self, far: float, near: float = 0.05) -> np.ndarray:
         """Perspective light camera covering the outer cone (the reference's
@@ -94,6 +102,7 @@ class PointLight:
     # RT-only shadows (RTLocalShadowPass); there is no point-shadow atlas,
     # matching the reference's spot-only shadow maps.
     cast_shadows: bool = False
+    source_radius: float = 0.0  # world units; > 0 = soft RT shadows
 
 
 class LightArrays(NamedTuple):
@@ -104,6 +113,7 @@ class LightArrays(NamedTuple):
     sun_color: jax.Array          # (3,) color * lux * exposure
     sun_valid: jax.Array          # () bool
     sun_view_proj: jax.Array      # (4,4) shadow matrix
+    sun_cos_radius: jax.Array     # () cos(angular radius); 1.0 = hard sun
     # Fixed-capacity local lights; count in *_count.
     spot_pos: jax.Array           # (S,3)
     spot_dir: jax.Array           # (S,3)
@@ -136,10 +146,12 @@ def build_light_arrays(
         sun_dir = sun.normalized_direction()
         sun_color = sun.color * sun.illuminance_lux * exposure
         sun_vp = sun.shadow_view_proj(scene_center, scene_radius)
+        sun_cos_r = np.cos(np.radians(sun.angular_radius_deg))
     else:
         sun_dir = np.array([0, -1, 0], np.float32)
         sun_color = np.zeros(3, np.float32)
         sun_vp = np.eye(4, dtype=np.float32)
+        sun_cos_r = 1.0
 
     spot_pos = np.zeros((max_spots, 3), np.float32)
     spot_dir = np.tile(np.array([0, -1, 0], np.float32), (max_spots, 1))
@@ -170,6 +182,7 @@ def build_light_arrays(
         sun_color=jnp.asarray(sun_color.astype(np.float32)),
         sun_valid=jnp.asarray(sun is not None),
         sun_view_proj=jnp.asarray(sun_vp),
+        sun_cos_radius=jnp.asarray(sun_cos_r, jnp.float32),
         spot_pos=jnp.asarray(spot_pos),
         spot_dir=jnp.asarray(spot_dir),
         spot_color=jnp.asarray(spot_color),

@@ -53,6 +53,13 @@ class SceneStatic:
     # atlas raster + PCF permutation, LocalShadowDrawNode analogue).
     spot_shadow_casters: tuple = ()
     point_shadow_casters: tuple = ()  # RT-only (RTLocalShadowPass)
+    # Soft-shadow statics (the NRD sigma slot): sun angular radius in
+    # degrees and per-light source radii in world units. Non-zero values
+    # turn the RT shadow passes into cone-/disk-sampled stochastic masks
+    # with the sigma denoiser.
+    sun_angular_radius_deg: float = 0.0
+    spot_source_radius: tuple = ()
+    point_source_radius: tuple = ()
     has_sun: bool = True
     has_env: bool = True
     # Texture-usage permutation flags (cf. the reference's DrawKey/shader
@@ -1152,6 +1159,16 @@ class Scene:
             spot_shadow_casters=tuple(bool(sp.cast_shadows) for sp in self.spots),
             point_shadow_casters=tuple(
                 bool(getattr(p, "cast_shadows", False)) for p in self.points
+            ),
+            sun_angular_radius_deg=(
+                float(getattr(self.sun, "angular_radius_deg", 0.0))
+                if self.sun is not None else 0.0
+            ),
+            spot_source_radius=tuple(
+                float(getattr(sp, "source_radius", 0.0)) for sp in self.spots
+            ),
+            point_source_radius=tuple(
+                float(getattr(p, "source_radius", 0.0)) for p in self.points
             ),
             has_sun=self.sun is not None,
             has_env=True,
