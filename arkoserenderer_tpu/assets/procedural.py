@@ -360,38 +360,10 @@ def make_stress_animator(scene: Scene):
     return animate
 
 
-def build_bindless_scene(
-    n_materials: int = 256,
-    n_textures: int = 64,
-    viewport: tuple[int, int] = (256, 256),
-) -> tuple[Scene, Camera]:
-    """Bindless-pressure scene: a grid of spheres where EVERY instance has
-    its own material and materials cycle through ``n_textures`` distinct
-    texture chains — the honest test of the packed-record +
-    channel-packed-texture design (ops/packed_shading + ops/mattex) under
-    real material/texture divergence, against the reference's operating
-    point of 10,000 materials / 4,096 bindless textures
-    (arkose/rendering/GpuScene.h:259-282).
-
-    Texture variety: per-texture checkerboard scale, hue, and rotation so
-    neighboring pixels routinely fetch from different chains; a third of
-    the materials also bind a metallic-roughness texture and an emissive
-    texture (distinct per material id).
-    """
-    side = int(np.ceil(np.sqrt(n_materials)))
-    spacing = 1.6
-    extent = side * spacing
-    lim = SceneLimits(
-        max_vertices=max(1 << 16, 160 * n_materials + 8192),
-        max_indices=max(3 << 16, 3 * (240 * n_materials + 8192)),
-        max_drawables=max(64, n_materials + 8),
-        max_materials=max(64, n_materials + 8),
-        max_textures=max(64, 3 * n_textures + 8),
-        texture_pool_texels=1 << 22,
-    )
-    scene = Scene(limits=lim)
-
-    rng = np.random.default_rng(99)
+def _variety_textures(scene: Scene, n_textures: int, rng) -> tuple:
+    """n_textures distinct base-color chains (checker/stripes/rings with
+    per-texture scale/hue) + MR and emissive chains for every third one.
+    Returns (tex_ids, mr_tex_ids, emi_tex_ids)."""
     tex_ids = []
     mr_tex_ids = []
     emi_tex_ids = []
@@ -424,6 +396,145 @@ def build_bindless_scene(
             em[..., :3] = (hue * 255 * (((yy[:16, :16] // 4) % 2) == 0)[..., None]).astype(np.uint8)
             em[..., 3] = 255
             emi_tex_ids.append(scene.add_texture(em, srgb=True))
+    return tex_ids, mr_tex_ids, emi_tex_ids
+
+
+def build_flagship_scene(
+    n_instances: int = 4096,
+    n_materials: int = 256,
+    n_textures: int = 64,
+    viewport: tuple[int, int] = (1920, 1080),
+) -> tuple[Scene, Camera]:
+    """Representative-scale benchmark scene — the Sponza/asset-zoo slot of
+    the reference showcase (arkose/application/apps/ShowcaseApp.cpp:86-227):
+    ``n_instances`` sphere instances over ``n_materials`` distinct materials
+    cycling ``n_textures`` texture chains (the reference's bindless operating
+    point in miniature, GpuScene.h:259-282), on a textured floor, lit by the
+    sun plus two SHADOW-CASTING spots and a point light. At the 4,096 / 256 /
+    64 defaults: ~786K triangles (192 per sphere), ~480K pooled vertices.
+    """
+    side = int(np.ceil(np.sqrt(n_instances)))
+    spacing = 2.0
+    extent = side * spacing
+    proto = make_uv_sphere(0.55, rings=8, sectors=12)
+    vpp = proto.positions.shape[0]
+    tpp = proto.indices.shape[0]
+    lim = SceneLimits(
+        max_vertices=vpp * n_instances + 8192,
+        max_indices=tpp * n_instances + 32768,
+        max_drawables=n_instances + 8,
+        max_materials=n_materials + 8,
+        max_textures=3 * n_textures + 8,
+        texture_pool_texels=1 << 22,
+    )
+    scene = Scene(limits=lim)
+    rng = np.random.default_rng(7)
+    tex_ids, mr_tex_ids, emi_tex_ids = _variety_textures(scene, n_textures, rng)
+
+    floor_mat = scene.add_material(
+        Material(base_color_tex=tex_ids[0], roughness_factor=0.9)
+    )
+    floor = make_plane(size=extent * 1.2, uv_scale=extent / 2)
+    floor.material = floor_mat
+    scene.add_instance(scene.add_segment(floor), np.eye(4, dtype=np.float32))
+
+    seg_ids = []
+    for i in range(n_materials):
+        m = Material(
+            base_color_factor=np.array(
+                [*(0.4 + 0.6 * rng.random(3)), 1.0], np.float32
+            ),
+            roughness_factor=float(0.15 + 0.8 * rng.random()),
+            metallic_factor=float(rng.random() < 0.3),
+            base_color_tex=tex_ids[i % n_textures],
+        )
+        if i % 3 == 0 and mr_tex_ids:
+            m.mr_tex = mr_tex_ids[(i // 3) % len(mr_tex_ids)]
+            m.emissive_tex = emi_tex_ids[(i // 3) % len(emi_tex_ids)]
+            m.emissive_factor = np.full(3, 2000.0, np.float32)
+        mid = scene.add_material(m)
+        seg = MeshSegment(
+            positions=proto.positions, normals=proto.normals,
+            uvs=proto.uvs, indices=proto.indices, material=mid,
+            tangents=proto.tangents,
+        )
+        seg_ids.append(scene.add_segment(seg))
+
+    for i in range(n_instances):
+        gx, gz = i % side, i // side
+        w = np.eye(4, dtype=np.float32)
+        w[:3, 3] = (
+            (gx - side / 2 + 0.5) * spacing,
+            0.6 + 0.5 * ((gx * 7 + gz * 3) % 5) / 4.0,
+            (gz - side / 2 + 0.5) * spacing,
+        )
+        scene.add_instance(seg_ids[i % n_materials], w)
+
+    scene.sun = DirectionalLight(
+        direction=np.array([0.4, -1.0, -0.3], np.float32),
+        illuminance_lux=90000.0,
+    )
+    from arkoserenderer_tpu.scene.lights import PointLight
+
+    scene.spots.append(SpotLight(
+        position=np.array([0.0, 10.0, 0.0], np.float32),
+        direction=np.array([0.2, -1.0, 0.1], np.float32),
+        luminous_intensity_cd=300000.0,
+        outer_cone_angle=np.radians(45.0), inner_cone_angle=np.radians(30.0),
+        cast_shadows=True,
+    ))
+    scene.spots.append(SpotLight(
+        position=np.array([-extent * 0.2, 8.0, extent * 0.2], np.float32),
+        direction=np.array([0.3, -1.0, -0.3], np.float32),
+        luminous_intensity_cd=200000.0,
+        outer_cone_angle=np.radians(40.0), inner_cone_angle=np.radians(25.0),
+        cast_shadows=True,
+    ))
+    scene.points.append(PointLight(
+        position=np.array([extent * 0.15, 4.0, -extent * 0.1], np.float32),
+        luminous_intensity_cd=80000.0,
+    ))
+    scene.set_env_map(gradient_env_map(32), brightness=8000.0)
+    scene.ambient_lx = 6000.0
+    cam = Camera(viewport=viewport)
+    cam.look_at((extent * 0.18, 7.0, extent * 0.26), (0.0, 0.5, 0.0))
+    cam.focus_depth = extent * 0.25
+    return scene, cam
+
+
+def build_bindless_scene(
+    n_materials: int = 256,
+    n_textures: int = 64,
+    viewport: tuple[int, int] = (256, 256),
+) -> tuple[Scene, Camera]:
+    """Bindless-pressure scene: a grid of spheres where EVERY instance has
+    its own material and materials cycle through ``n_textures`` distinct
+    texture chains — the honest test of the packed-record +
+    channel-packed-texture design (ops/packed_shading + ops/mattex) under
+    real material/texture divergence, against the reference's operating
+    point of 10,000 materials / 4,096 bindless textures
+    (arkose/rendering/GpuScene.h:259-282).
+
+    Texture variety: per-texture checkerboard scale, hue, and rotation so
+    neighboring pixels routinely fetch from different chains; a third of
+    the materials also bind a metallic-roughness texture and an emissive
+    texture (distinct per material id).
+    """
+    side = int(np.ceil(np.sqrt(n_materials)))
+    spacing = 1.6
+    extent = side * spacing
+    lim = SceneLimits(
+        max_vertices=max(1 << 16, 160 * n_materials + 8192),
+        max_indices=max(3 << 16, 3 * (240 * n_materials + 8192)),
+        max_drawables=max(64, n_materials + 8),
+        max_materials=max(64, n_materials + 8),
+        max_textures=max(64, 3 * n_textures + 8),
+        texture_pool_texels=1 << 22,
+    )
+    scene = Scene(limits=lim)
+
+    rng = np.random.default_rng(99)
+    tex_ids, mr_tex_ids, emi_tex_ids = _variety_textures(scene, n_textures, rng)
 
     floor_mat = scene.add_material(
         Material(base_color_tex=tex_ids[0], roughness_factor=0.9)

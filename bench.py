@@ -27,7 +27,7 @@ import time
 BUDGET_MS = 16.667
 
 
-def _cfg(small: bool, shadow: int = 2048, rt_scale: int = 1):
+def _cfg(small: bool, shadow: int = 8192, rt_scale: int = 1):
     from arkoserenderer_tpu.core.types import RasterConfig
     from arkoserenderer_tpu.rendering.pipeline import PipelineConfig
 
@@ -38,6 +38,8 @@ def _cfg(small: bool, shadow: int = 2048, rt_scale: int = 1):
                                 bin_chunk=512),
             shadow_map_size=256,
         )
+    # shadow 8192 = the reference's directional shadow map capacity
+    # (DirectionalShadowDrawNode.cpp:17) — parity settings, not economy ones.
     return PipelineConfig(
         width=1920, height=1080,
         raster=RasterConfig(tile_h=8, tile_w=128, max_tris_per_tile=256,
@@ -81,6 +83,19 @@ CONFIGS = {
         dict(rt_shadows=True, rt_reflections=True, ddgi=True, ssao=True,
              fog=True, motion_blur=True),
         "showcase: raster + RT shadows/reflections + DDGI + SSAO + full post",
+    ),
+    # Representative scale at PARITY settings (VERDICT r3 #3): ~786K-tri
+    # scene (4,096 instances x 192 tris), 256 materials / 64 textures, sun
+    # (8192^2 parity shadow capacity; RT sun + RT local shadows actually
+    # trace) + 2 shadow-casting spots + point light, RT reflections, DDGI at
+    # 256 rays x 1,024 probes/frame over a 2,048-probe grid
+    # (DDGINode.cpp:19-20 slider territory), SSAO + full post @1080p.
+    "flagship": (
+        "flagship",
+        dict(rt_shadows=True, rt_reflections=True, ddgi="flagship",
+             ssao=True, fog=True, motion_blur=True),
+        "flagship: 786K tris, 256 mats/64 tex, RT shadows+refl, "
+        "DDGI 256x1024, SSAO, full post",
     ),
     # DLSS-slot workflow: render at 2/3 scale, spatial-upscale to 1080p
     # (the reference ships DLSS for exactly this; upscale quality preset).
@@ -201,6 +216,41 @@ def run_config(name: str, small: bool, iters: int, timings: bool) -> dict:
         ws[:3, 3] = (-2.6, 0.5, 1.5)
         scene.add_instance(scene.add_segment(sph), ws)
         scene.set_morph_weights(np.array([0.5], np.float32))
+        if kw.get("ddgi") is True and not small:
+            # Parity DDGI budgets (DDGINode.cpp:19-20 slider territory):
+            # 2,048-probe grid, 256 rays/probe, 1,024 probes updated/frame.
+            from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
+
+            center, radius = scene.bounding_sphere()
+            kw = dict(kw)
+            kw["ddgi"] = ProbeGridConfig.fit_bounds(
+                center, radius, dims=(16, 8, 16),
+                rays_per_probe=256, probes_per_frame=1024,
+            )
+        renderer = Renderer(scene, camera, cfg, **kw)
+
+        def frame(i):
+            return renderer.render_frame()
+    elif kind == "flagship":
+        from arkoserenderer_tpu.assets.procedural import build_flagship_scene
+        from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
+
+        n_inst = 256 if small else 4096
+        n_mat = 64 if small else 256
+        n_tex = 16 if small else 64
+        scene, camera = build_flagship_scene(
+            n_instances=n_inst, n_materials=n_mat, n_textures=n_tex,
+            viewport=(cfg.width, cfg.height),
+        )
+        kw = dict(kw)
+        if kw.get("ddgi") == "flagship":
+            center, radius = scene.bounding_sphere()
+            dims = (8, 4, 8) if small else (16, 8, 16)
+            kw["ddgi"] = ProbeGridConfig.fit_bounds(
+                center, radius, dims=dims,
+                rays_per_probe=128 if small else 256,
+                probes_per_frame=64 if small else 1024,
+            )
         renderer = Renderer(scene, camera, cfg, **kw)
 
         def frame(i):
@@ -321,6 +371,24 @@ def _driver_mode(args) -> None:
             flagship, args.iters, args.small, False, per_cfg_timeout)
         if flagship_line is not None:
             break
+    # Multi-session median (DEVNOTES: device timings vary across sessions
+    # for the same executable): two more fresh-process runs, median of the
+    # successes becomes the recorded flagship value.
+    if flagship_line is not None:
+        values = [flagship_line["value"]]
+        for _ in range(2):
+            if budget_s - (time.time() - t0) < 2 * per_cfg_timeout:
+                break
+            extra, _ = _run_config_subprocess(
+                flagship, args.iters, args.small, False, per_cfg_timeout)
+            if extra is not None:
+                values.append(extra["value"])
+        values.sort()
+        med = values[len(values) // 2] if len(values) % 2 else round(
+            0.5 * (values[len(values) // 2 - 1] + values[len(values) // 2]), 3)
+        flagship_line["value"] = med
+        flagship_line["vs_baseline"] = round(BUDGET_MS / med, 4)
+        flagship_line["sessions"] = len(values)
     if flagship_line is None:
         print(json.dumps({
             "metric": f"ms/frame 1920x1080 {CONFIGS[flagship][2]}, single chip",
@@ -329,8 +397,8 @@ def _driver_mode(args) -> None:
         }), flush=True)
         return
 
-    secondary = ["showcase", "rt", "ddgi", "stress", "meshlet", "full_post",
-                 "bindless", "forward_upscaled"]
+    secondary = ["flagship", "showcase", "rt", "ddgi", "stress", "meshlet",
+                 "full_post", "bindless", "forward_upscaled"]
     for name in secondary:
         remaining = budget_s - (time.time() - t0)
         if remaining < 60:
