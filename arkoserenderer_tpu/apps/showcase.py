@@ -39,6 +39,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["clamp", "reinhard", "aces", "agx", "khronos_pbr_neutral"])
     p.add_argument("--ssao", action="store_true")
     p.add_argument("--rt-shadows", action="store_true")
+    p.add_argument("--sun-angular-radius", type=float, default=0.0,
+                   help="sun disk angular radius in degrees (> 0 with "
+                        "--rt-shadows = cone-sampled soft shadows + sigma "
+                        "denoiser; real sun ~0.265)")
     p.add_argument("--rt-reflections", action="store_true")
     p.add_argument("--ddgi", action="store_true")
     p.add_argument("--ddgi-probe-debug", action="store_true",
@@ -120,6 +124,8 @@ def main(argv=None) -> None:
     from arkoserenderer_tpu.utils.imageio import save_png
 
     scene, cam = build_scene(args)
+    if args.sun_angular_radius > 0.0 and scene.sun is not None:
+        scene.sun.angular_radius_deg = args.sun_angular_radius
 
     if args.pathtracer:
         from arkoserenderer_tpu.models.pathtracer import PathTracer
