@@ -173,16 +173,15 @@ class RTShadowPass(RenderPass):
             # reconstructed normals + camera-reprojection velocity.
             from arkoserenderer_tpu.ops import shadow_denoise as sdn
 
-            py_fg = py_full + ctx.row_offset.astype(py_full.dtype)
-            world_full = reconstruct_world_pos(
-                depth.reshape(-1), px_full, py_fg, inv_vp, w, full_h
-            ).reshape(h, w, 3)
-            normal = sdn.normals_from_depth(world_full)
-            vel = sdn.camera_velocity(
-                world_full, px_full, py_fg, ctx.camera.prev_view_proj,
-                w, full_h,
-            )
             if shard_axis is None:
+                world_full = reconstruct_world_pos(
+                    depth.reshape(-1), px_full, py_full, inv_vp, w, full_h
+                ).reshape(h, w, 3)
+                normal = sdn.normals_from_depth(world_full)
+                vel = sdn.camera_velocity(
+                    world_full, px_full, py_full, ctx.camera.prev_view_proj,
+                    w, full_h,
+                )
                 resolved, mom = sdn.denoise(
                     mask[..., None], depth, normal, vel,
                     state["RTShadow.history"], state["RTShadow.moments"],
@@ -199,6 +198,9 @@ class RTShadowPass(RenderPass):
             # stencil/reprojection stages run REPLICATED over all_gather-ed
             # full-frame planes (seam-exact vs single device), then each
             # device slices its band back out — the RTReflections pattern.
+            # GUIDES (normals/velocity) are derived from the GATHERED depth,
+            # not per band: their stencils edge-clamp, so band-local
+            # computation would differ from single-device at band seams.
             import jax as _jax
 
             def g(x):
@@ -209,8 +211,17 @@ class RTShadowPass(RenderPass):
                     x, _jax.lax.axis_index(shard_axis) * h, h, axis=0
                 )
 
+            depth_f = g(depth)
+            world_f = reconstruct_world_pos(
+                depth_f.reshape(-1), px_frame, py_frame, inv_vp, w, full_h
+            ).reshape(full_h, w, 3)
+            normal_f = sdn.normals_from_depth(world_f)
+            vel_f = sdn.camera_velocity(
+                world_f, px_frame, py_frame, ctx.camera.prev_view_proj,
+                w, full_h,
+            )
             resolved_f, mom_f = sdn.denoise(
-                g(mask[..., None]), g(depth), g(normal), g(vel),
+                g(mask[..., None]), depth_f, normal_f, vel_f,
                 g(state["RTShadow.history"]), g(state["RTShadow.moments"]),
                 g(state["RTShadow.depth"]), px_frame, py_frame,
                 ctx.frame_index == 0,
@@ -359,14 +370,20 @@ class RTLocalShadowPass(RenderPass):
                     [chans[kind][i] for kind, i in soft_channels], axis=-1
                 )
                 # Guides derived in-pass (SceneNormal/SceneVelocity are
-                # published by the LATER shading pass this one feeds).
-                world_img = world.reshape(h, w, 3)
-                normal = sdn.normals_from_depth(world_img)
-                vel = sdn.camera_velocity(
-                    world_img, px, py_g, ctx.camera.prev_view_proj,
-                    w, full_h,
-                )
+                # published by the LATER shading pass this one feeds) from
+                # an UNPARKED depth reconstruction; under band sharding
+                # they derive from the GATHERED depth (guide stencils
+                # edge-clamp, so band-local computation would diverge from
+                # single-device at band seams).
                 if shard_axis is None:
+                    world_img = reconstruct_world_pos(
+                        depth.reshape(-1), px, py_g, inv_vp, w, full_h
+                    ).reshape(h, w, 3)
+                    normal = sdn.normals_from_depth(world_img)
+                    vel = sdn.camera_velocity(
+                        world_img, px, py_g, ctx.camera.prev_view_proj,
+                        w, full_h,
+                    )
                     resolved, mom = sdn.denoise(
                         noisy, depth, normal, vel,
                         state["RTLocalShadow.history"],
@@ -388,8 +405,18 @@ class RTLocalShadowPass(RenderPass):
                             x, _jax.lax.axis_index(shard_axis) * h, h, axis=0
                         )
 
+                    depth_f = g(depth)
+                    world_f = reconstruct_world_pos(
+                        depth_f.reshape(-1), px_frame, py_frame, inv_vp,
+                        w, full_h,
+                    ).reshape(full_h, w, 3)
+                    normal_f = sdn.normals_from_depth(world_f)
+                    vel_f = sdn.camera_velocity(
+                        world_f, px_frame, py_frame,
+                        ctx.camera.prev_view_proj, w, full_h,
+                    )
                     resolved_f, mom_f = sdn.denoise(
-                        g(noisy), g(depth), g(normal), g(vel),
+                        g(noisy), depth_f, normal_f, vel_f,
                         g(state["RTLocalShadow.history"]),
                         g(state["RTLocalShadow.moments"]),
                         g(state["RTLocalShadow.depth"]),

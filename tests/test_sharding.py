@@ -143,3 +143,38 @@ def test_sharded_matches_single_device_ddgi():
         b = np.array(shr.render_frame())
     mism = np.abs(a - b) > 1e-5
     assert mism.mean() < 1e-3, f"sharded DDGI diverges: {mism.mean():.4f}"
+
+
+@pytest.mark.heavy
+def test_sharded_matches_single_device_soft_shadows():
+    """SOFT RT shadows under pixel-band SPMD: stochastic cone/disk rays
+    sample blue noise at band-GLOBAL pixel coords (same sequence as the
+    single-device render) and the sigma denoiser runs replicated over
+    gathered planes — so three frames of sun + local soft shadows must
+    match single-device exactly, temporal history slicing included."""
+    from arkoserenderer_tpu.scene.lights import SpotLight
+
+    def make():
+        scene, cam = build_test_scene(viewport=(W, H), n_spheres=1)
+        scene.sun.angular_radius_deg = 6.0
+        scene.spots.append(SpotLight(
+            position=np.array([0.5, 3.0, 1.0], np.float32),
+            direction=np.array([-0.2, -1.0, -0.1], np.float32),
+            luminous_intensity_cd=150000.0,
+            cast_shadows=True,
+            source_radius=0.3,
+        ))
+        return scene, cam
+
+    scene, cam = make()
+    ref = Renderer(scene, cam, CFG, rt_shadows=True, taa=False, bloom=False)
+    for _ in range(3):
+        a = np.array(ref.render_frame())
+
+    scene2, cam2 = make()
+    shr = ShardedRenderer(scene2, cam2, CFG, n_devices=4, rt_shadows=True,
+                          taa=False, bloom=False)
+    for _ in range(3):
+        b = np.array(shr.render_frame())
+    mism = np.abs(a - b) > 1e-5
+    assert mism.mean() < 1e-3, f"sharded soft shadows diverge: {mism.mean():.4f}"
