@@ -35,9 +35,14 @@ def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def downsample2x(img: jax.Array) -> jax.Array:
-    """Exact 2x2 box downsample; H and W must be even."""
-    h, w, c = img.shape
-    return img.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+    """Exact 2x2 box downsample; H and W must be even.
+
+    Strided reduce_window rather than reshape(h//2, 2, w//2, 2, c): the
+    reshape's tiny minor dims tile-pad up to 64x on TPU when XLA materializes
+    the intermediate (the pattern OOMed the 8192^2 shadow prefilter)."""
+    return jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
+    ) * 0.25
 
 
 def upsample2x(img: jax.Array, halo_rows=None) -> jax.Array:

@@ -99,11 +99,19 @@ def shadow_moments(
     on this chip grows with table size, so half-res moments make the
     per-pixel shadow tap measurably cheaper at zero quality cost beyond the
     (intended) extra softening."""
-    m = jnp.stack([depth_map, depth_map * depth_map], axis=-1)
     k = downsample
     if k > 1 and depth_map.shape[0] % k == 0 and depth_map.shape[1] % k == 0:
-        h, w = m.shape[0] // k, m.shape[1] // k
-        m = m.reshape(h, k, w, k, 2).mean(axis=(1, 3))
+        # kxk block mean on 2-D planes via strided reduce_window: the obvious
+        # reshape to (h, k, w, k, 2) tile-pads its tiny minor dims 64x on TPU
+        # (16 GB of HLO temps at S=8192 — OOMed the parity-settings bench).
+        def _down(x):
+            return jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (k, k), (k, k), "VALID"
+            ) * (1.0 / (k * k))
+
+        m = jnp.stack([_down(depth_map), _down(depth_map * depth_map)], axis=-1)
+    else:
+        m = jnp.stack([depth_map, depth_map * depth_map], axis=-1)
     for _ in range(blur_passes):
         m = jax.lax.reduce_window(
             m, 0.0, jax.lax.add, (3, 3, 1), (1, 1, 1), "SAME"
