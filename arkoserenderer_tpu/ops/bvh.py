@@ -878,12 +878,27 @@ def trace_rays(
         k = o.shape[0] // chunk_size
         o = o.reshape(k, chunk_size, 3)
         d = d.reshape(k, chunk_size, 3)
+        # A per-ray t_max array rides along with its chunk; a scalar closes
+        # over unchanged (regression: flagship's 512x512 local-shadow rays
+        # passed per-ray t_max into the 8192-chunk path).
+        tm = jnp.asarray(t_max, jnp.float32)
+        if tm.ndim == 0:
+            def one(args):
+                return trace_rays(bvh, args[0], args[1], t_max=tm,
+                                  t_eps=t_eps, any_hit=any_hit,
+                                  max_steps=max_steps)
 
-        def one(args):
-            return trace_rays(bvh, args[0], args[1], t_max=t_max, t_eps=t_eps,
-                              any_hit=any_hit, max_steps=max_steps)
+            hit = jax.lax.map(one, (o, d))
+        else:
+            t = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
+            t = t.reshape(k, chunk_size)
 
-        hit = jax.lax.map(one, (o, d))
+            def one(args):
+                return trace_rays(bvh, args[0], args[1], t_max=args[2],
+                                  t_eps=t_eps, any_hit=any_hit,
+                                  max_steps=max_steps)
+
+            hit = jax.lax.map(one, (o, d, t))
         return Hit(*(x.reshape(-1)[:r_total] for x in hit))
     if isinstance(bvh, TwoLevelBVH):
         if bvh.wide_meta is not None:

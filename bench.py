@@ -405,8 +405,12 @@ def _driver_mode(args) -> None:
             print(f"# budget exhausted; skipped remaining configs from {name}",
                   flush=True)
             break
+        # The showcase config also prints the per-pass ms table (the
+        # reference records per-node GPU timings verbatim —
+        # VulkanBackend.cpp:1831-1935 / BASELINE.md config 5).
         line, tail = _run_config_subprocess(
-            name, args.iters, args.small, False, min(per_cfg_timeout, remaining))
+            name, args.iters, args.small, name == "showcase",
+            min(per_cfg_timeout, remaining))
         if line is None:
             print(f"# config {name} failed: {tail[-300:]}", flush=True)
 

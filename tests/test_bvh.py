@@ -246,3 +246,31 @@ def test_two_level_deformable_refit(rng):
     h = ref_tri >= 0
     assert h.sum() > 20
     np.testing.assert_allclose(np.asarray(hit.t)[h], ref_t[h], rtol=1e-3, atol=1e-3)
+
+
+def test_chunked_trace_per_ray_t_max(rng):
+    """chunk_size must split a per-ray t_max along with the rays (regression:
+    the flagship local-shadow rays pass per-ray t_max into the chunked path,
+    which used to close over the full-length array and fail to broadcast)."""
+    verts, tris = scene_soup(rng, 60)
+    valid = np.ones(len(tris), bool)
+    bvh = bvh_ops.build_bvh(verts, tris, valid)
+    origins, dirs = random_rays(rng, 100)
+    t_max = rng.uniform(0.5, 20.0, (100,)).astype(np.float32)
+    whole = bvh_ops.trace_rays(
+        bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=jnp.asarray(t_max))
+    chunked = bvh_ops.trace_rays(
+        bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=jnp.asarray(t_max),
+        chunk_size=32)
+    np.testing.assert_array_equal(np.asarray(chunked.tri), np.asarray(whole.tri))
+    np.testing.assert_allclose(np.asarray(chunked.t), np.asarray(whole.t),
+                               rtol=1e-5, atol=1e-5)
+    # any-hit shadow flavor too (the actual flagship call shape)
+    whole_ah = bvh_ops.trace_rays(
+        bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=jnp.asarray(t_max),
+        any_hit=True)
+    chunked_ah = bvh_ops.trace_rays(
+        bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=jnp.asarray(t_max),
+        any_hit=True, chunk_size=32)
+    np.testing.assert_array_equal(np.asarray(chunked_ah.tri) >= 0,
+                                  np.asarray(whole_ah.tri) >= 0)
