@@ -65,6 +65,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--oit-layers", type=int, default=1,
                    help="translucent depth-peeling layer count (exact OIT)")
     p.add_argument("--timings", action="store_true", help="print per-pass ms")
+    p.add_argument("--timings-deadline", type=float, default=None,
+                   help="wall-clock budget (s) for the per-pass table; "
+                        "emits a partial table when it expires")
     return p
 
 
@@ -121,7 +124,10 @@ def build_scene(args):
 
 def main(argv=None) -> None:
     args = build_arg_parser().parse_args(argv)
+    from arkoserenderer_tpu.utils.compile_cache import enable_compile_cache
     from arkoserenderer_tpu.utils.imageio import save_png
+
+    enable_compile_cache()
 
     scene, cam = build_scene(args)
     if args.sun_angular_radius > 0.0 and scene.sun is not None:
@@ -188,7 +194,8 @@ def main(argv=None) -> None:
 
         t = time_passes(
             r.pipeline, r.pipeline.initial_state(), r.scene_arrays,
-            cam.state(1),
+            cam.state(1), deadline_s=args.timings_deadline,
+            emit=lambda s: print(s, flush=True),
         )
         print(format_timings(t))
 

@@ -882,6 +882,11 @@ def trace_rays(
         # over unchanged (regression: flagship's 512x512 local-shadow rays
         # passed per-ray t_max into the 8192-chunk path).
         tm = jnp.asarray(t_max, jnp.float32)
+        if tm.ndim > 0 and tm.shape != (r_total,):
+            # Broadcastable arrays (e.g. shape (1,)) worked via closure
+            # before chunking existed; normalize to per-ray so the
+            # concatenate/reshape below is always valid (ADVICE r4).
+            tm = jnp.broadcast_to(tm, (r_total,))
         if tm.ndim == 0:
             def one(args):
                 return trace_rays(bvh, args[0], args[1], t_max=tm,

@@ -9,8 +9,10 @@ arrays, and let the few cross-band exchanges ride ICI as XLA collectives:
   * each device rasterizes + shades its own horizontal band (no comm);
   * the sun shadow map is rasterized in bands and ``all_gather``-ed so any
     band can sample anywhere (rendering/passes/shadow.py);
-  * post passes run band-local (TODO: halo exchange via ppermute for the
-    bloom pyramid / wide blurs; seams are bounded by kernel radius).
+  * post passes run band-local, with halo exchange via ``ppermute`` where a
+    kernel's support crosses the band seam (bloom pyramid:
+    rendering/passes/bloom.py:44, seam-exact and test-enforced; soft-shadow
+    denoiser guides likewise since round 4).
 
 Scaling knobs beyond DP (ray-batch sharding for the RT passes, probe-batch
 sharding for DDGI) plug into the same mesh when those passes land.

@@ -6,11 +6,20 @@ RenderPipeline.cpp:76-108, AvgElapsedTimer.h). XLA fuses across passes inside
 the one jitted frame function, so for *timing* we jit each pass's execute
 separately and measure blocking wall-clock per pass — an upper bound that
 still localizes cost — plus the fused whole-frame time.
+
+Deadline discipline (BENCH_r04 postmortem): separately jitting every pass
+costs one XLA compile each, which through the remote-compile relay can be
+20 s - 4 min per pass — structurally impossible inside a fixed bench
+timeout. So ``time_passes`` measures the FUSED frame first (the headline
+number always lands), then walks passes in pipeline order until
+``deadline_s`` expires, emitting each row the moment it is measured via
+``emit`` so a killed process still leaves a partial table on stdout.
 """
 
 from __future__ import annotations
 
 import time
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +36,45 @@ def time_passes(
     camera: CameraState,
     frame_index: int = 1,
     iters: int = 5,
+    deadline_s: float | None = None,
+    emit: Callable[[str], None] | None = None,
 ) -> dict[str, float]:
-    """Returns {pass_name: ms} plus '<frame>' for the fused full frame."""
+    """Returns {pass_name: ms} with '<frame>' (the fused full frame) FIRST.
+
+    deadline_s: wall-clock budget for the whole call; per-pass timing stops
+    (partial table) once it expires. emit: optional callback invoked with a
+    formatted row as each measurement lands (incremental reporting).
+    """
+    t_start = time.perf_counter()
+    results: dict[str, float] = {}
+
+    def note(name: str, ms: float) -> None:
+        results[name] = ms
+        if emit is not None:
+            emit(f"{name:24s} {ms:9.3f} ms")
+
+    def expired() -> bool:
+        return (deadline_s is not None
+                and time.perf_counter() - t_start > deadline_s)
+
+    # Fused whole-frame time first — the headline row must always land,
+    # whatever happens to the per-pass compiles after it.
+    fused = pipe.compile(donate_state=False)
+
+    def frame_args():
+        return (
+            pipe.initial_state(), scene, camera,
+            jnp.asarray(frame_index, jnp.int32),
+            jnp.asarray(1 / 60, jnp.float32),
+        )
+
+    out = jax.block_until_ready(fused(*frame_args()))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fused(*frame_args())
+    jax.block_until_ready(out)
+    note("<frame>", (time.perf_counter() - t0) / iters * 1e3)
+
     ctx = FrameContext(
         scene=scene,
         camera=camera,
@@ -36,36 +82,26 @@ def time_passes(
         delta_time=jnp.asarray(1 / 60, jnp.float32),
         row_offset=jnp.zeros((), jnp.int32),
     )
-    results: dict[str, float] = {}
-    state = dict(state)
+    st = dict(state)
     for name, execute in pipe._executes:
+        if expired():
+            if emit is not None:
+                emit(f"# deadline {deadline_s:.0f}s reached; partial table "
+                     f"({len(results) - 1}/{len(pipe._executes)} passes)")
+            break
         fn = jax.jit(execute)
-        updates = jax.block_until_ready(fn(state, ctx))  # compile + warm
+        updates = jax.block_until_ready(fn(st, ctx))  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
-            updates = fn(state, ctx)
+            updates = fn(st, ctx)
         jax.block_until_ready(updates)
-        results[name] = (time.perf_counter() - t0) / iters * 1e3
-        state.update(updates)
-
-    fused = pipe.compile(donate_state=False)
-    out = jax.block_until_ready(
-        fused(pipe.initial_state(), scene, camera,
-              jnp.asarray(frame_index, jnp.int32), jnp.asarray(1 / 60, jnp.float32))
-    )
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fused(
-            pipe.initial_state(), scene, camera,
-            jnp.asarray(frame_index, jnp.int32), jnp.asarray(1 / 60, jnp.float32),
-        )
-    jax.block_until_ready(out)
-    results["<frame>"] = (time.perf_counter() - t0) / iters * 1e3
+        note(name, (time.perf_counter() - t0) / iters * 1e3)
+        st.update(updates)
     return results
 
 
 def format_timings(timings: dict[str, float], budget_ms: float = 16.667) -> str:
-    lines = [f"{'pass':24s} {'ms':>9s}   budget {budget_ms:.3f} ms"]
+    lines = [f"{'pass':24s} {'ms':>9s}   vs 16.667 ms budget"]
     for name, ms in timings.items():
         flag = "" if ms < budget_ms else "  <-- over budget"
         lines.append(f"{name:24s} {ms:9.3f}{flag}")

@@ -274,3 +274,11 @@ def test_chunked_trace_per_ray_t_max(rng):
         any_hit=True, chunk_size=32)
     np.testing.assert_array_equal(np.asarray(chunked_ah.tri) >= 0,
                                   np.asarray(whole_ah.tri) >= 0)
+    # Broadcastable (1,) t_max must behave like a scalar (ADVICE r4: it
+    # previously worked via closure but failed the chunked reshape).
+    one = bvh_ops.trace_rays(
+        bvh, jnp.asarray(origins), jnp.asarray(dirs),
+        t_max=jnp.asarray([7.5], np.float32), chunk_size=32)
+    scalar = bvh_ops.trace_rays(
+        bvh, jnp.asarray(origins), jnp.asarray(dirs), t_max=7.5)
+    np.testing.assert_array_equal(np.asarray(one.tri), np.asarray(scalar.tri))
