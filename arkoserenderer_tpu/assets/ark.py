@@ -2,11 +2,15 @@
 
 The reference serializes its assets with cereal archives —
 MeshAsset.h:147 (`.arkmsh`), MaterialAsset (`.arkmat`), LevelAsset
-(`.arklvl`), SetAsset (`.arkset`) — and every asset shipped in its tree
-uses cereal's JSON archive flavor (name-value pairs, `cereal_class_version`
-markers, `{"nullopt": ...}` for std::optional). This module loads those
-files directly into a Scene, so existing reference content works without
-re-export:
+(`.arklvl`), SetAsset (`.arkset`) — in two storage flavors (Asset.h:15-18):
+the JSON archive (name-value pairs, `cereal_class_version` markers,
+`{"nullopt": ...}` for std::optional) that its shipped samples use, and the
+Binary archive (4-char magic + raw cereal stream) that its bake pipeline
+writes (tools/ArkAssetBakeTool.cpp:35-59). Every loader here sniffs the
+magic and accepts EITHER flavor (`read_ark_document`; binary codec in
+assets/cereal_binary.py; `tools/arkbake.py` is the bake-tool analogue), so
+existing reference content — sample JSON or production-baked Binary —
+works without re-export:
 
   * .arkmat — MaterialAsset.h:95-190: colorTint, metallic/roughness
     factors, blend mode (Opaque | Masked | Translucent), mask cutoff,
@@ -78,6 +82,34 @@ def _opt(d):
     return d
 
 
+def _vec_array(seq, comps: str = "xyz", dtype=np.float32):
+    """An array of cereal vecs: the JSON flavor gives a list of
+    {"x","y","z"} dicts, the binary flavor (cereal_binary) an (n, k)
+    numpy array. Returns None for empty/missing."""
+    if seq is None:
+        return None
+    if isinstance(seq, np.ndarray):
+        return seq.astype(dtype, copy=False) if len(seq) else None
+    if len(seq) == 0:
+        return None
+    return np.array([[v[c] for c in comps] for v in seq], dtype)
+
+
+def read_ark_document(path: Path, json_key: str) -> dict:
+    """Load an .ark* file in either storage flavor, mirroring the
+    reference's readFromFile logic (MeshAsset.cpp:849-886): sniff the
+    4-char magic header (Asset.h:76-99) for the bake tools' Binary flavor
+    (ArkAssetBakeTool.cpp:35-59), else parse the cereal-JSON flavor and
+    unwrap its {json_key: {...}} nvp."""
+    from arkoserenderer_tpu.assets import cereal_binary
+
+    data = Path(path).read_bytes()
+    if cereal_binary.sniff_binary(data) is not None:
+        return cereal_binary.decode(data)
+    d = json.loads(data.decode("utf-8"))
+    return d.get(json_key, d)
+
+
 def find_assets_root(path: Path) -> Path:
     """Walk up until the directory that CONTAINS the "assets/" prefix used
     by in-file asset paths."""
@@ -103,7 +135,7 @@ def _resolve(root: Path, ref: str) -> Path | None:
 def load_arkmat(scene, path: Path, max_texture_size: int | None = None) -> int:
     """.arkmat -> scene material id (MaterialAsset.h:95-190 field set)."""
     path = Path(path)
-    doc = json.loads(path.read_text())["material"]
+    doc = read_ark_document(path, "material")
     root = find_assets_root(path)
 
     def tex_of(slot, srgb):
@@ -159,7 +191,7 @@ def load_arkmsh(scene, path: Path, lod: int = 0,
     LODs[lod].meshSegments). Materials referenced per segment load through
     load_arkmat (cached per path)."""
     path = Path(path)
-    doc = json.loads(path.read_text())["mesh"]
+    doc = read_ark_document(path, "mesh")
     root = find_assets_root(path)
     lods = doc.get("LODs", [])
     if not lods:
@@ -168,25 +200,11 @@ def load_arkmsh(scene, path: Path, lod: int = 0,
     mat_cache: dict = {}
     seg_ids = []
     for seg in lods[lod].get("meshSegments", []):
-        pos = np.array(
-            [[v["x"], v["y"], v["z"]] for v in seg["positions"]], np.float32
-        )
-        nrm = (
-            np.array([[v["x"], v["y"], v["z"]] for v in seg["normals"]], np.float32)
-            if seg.get("normals") else None
-        )
-        uv = (
-            np.array([[v["x"], v["y"]] for v in seg["texcoord0s"]], np.float32)
-            if seg.get("texcoord0s") else None
-        )
-        tan = (
-            np.array(
-                [[v["x"], v["y"], v["z"], v["w"]] for v in seg["tangents"]],
-                np.float32,
-            )
-            if seg.get("tangents") else None
-        )
-        idx = np.array(seg["indices"], np.int32)
+        pos = _vec_array(seg["positions"], "xyz")
+        nrm = _vec_array(seg.get("normals"), "xyz")
+        uv = _vec_array(seg.get("texcoord0s"), "xy")
+        tan = _vec_array(seg.get("tangents"), "xyzw")
+        idx = np.asarray(seg["indices"]).astype(np.int32)
         mat_ref = seg.get("material", "")
         mat_id = 0
         if mat_ref:
@@ -278,7 +296,8 @@ class LevelDocument:
     @classmethod
     def read(cls, path: Path) -> "LevelDocument":
         path = Path(path)
-        return cls(json.loads(path.read_text()), path)
+        doc = read_ark_document(path, "level")
+        return cls(doc if "level" in doc else {"level": doc}, path)
 
     @property
     def level(self) -> dict:
@@ -496,7 +515,7 @@ def load_arkset(scene, path: Path, root_transform: np.ndarray | None = None,
     Returns {"instances", "nodes", "instance_ids", "missing"}.
     """
     path = Path(path)
-    doc = json.loads(path.read_text())["set"]
+    doc = read_ark_document(path, "set")
     root = find_assets_root(path)
     mesh_assets = doc.get("meshAssets", [])
     msh_cache: dict = {}
@@ -606,7 +625,7 @@ def load_arkskel(path: Path):
     from arkoserenderer_tpu.scene.animation import Skeleton, topo_sort_joints
 
     path = Path(path)
-    doc = json.loads(path.read_text())["skeleton"]
+    doc = read_ark_document(path, "skeleton")
     n = int(doc.get("maxJointIdx", 0)) + 1
     parents = np.full(n, -1, np.int32)
     inv_bind = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
@@ -708,7 +727,7 @@ def load_arkanim(path: Path, joint_names: list[str] | None = None):
     from arkoserenderer_tpu.scene.animation import AnimationClip, AnimChannel
 
     path = Path(path)
-    doc = json.loads(path.read_text())["animation"]
+    doc = read_ark_document(path, "animation")
     tracks = [np.asarray(t, np.float32) for t in doc.get("inputTracks", [])]
     name_to_idx = {nm: i for i, nm in enumerate(joint_names or []) if nm}
     channels = []
@@ -718,8 +737,8 @@ def load_arkanim(path: Path, joint_names: list[str] | None = None):
         for ch in doc.get(key, []):
             sampler = ch.get("sampler", {})
             out = sampler.get("outputValues", [])
-            if width == 1:
-                vals = np.asarray(out, np.float32).reshape(-1, 1)
+            if width == 1 or isinstance(out, np.ndarray):
+                vals = np.asarray(out, np.float32).reshape(-1, width)
             else:
                 comps = "xyzw"[:width]
                 vals = np.array([[v[c] for c in comps] for v in out], np.float32)
@@ -801,9 +820,10 @@ def load_arkhair(scene, path: Path, transform: np.ndarray | None = None,
     Returns {"strands", "points", "segment_id"}.
     """
     path = Path(path)
-    doc = json.loads(path.read_text())["hair"]
-    raw_pos = np.array([[v["x"], v["y"], v["z"]] for v in doc["positions"]],
-                       np.float32) if doc.get("positions") else np.zeros((0, 3), np.float32)
+    doc = read_ark_document(path, "hair")
+    raw_pos = _vec_array(doc.get("positions"), "xyz")
+    if raw_pos is None:
+        raw_pos = np.zeros((0, 3), np.float32)
     indices = np.asarray(doc.get("indices", []), np.int64)
     default_thickness = float(doc.get("defaultThickness", 1.0))
     thickness = np.asarray(doc.get("thickness", []), np.float32)
@@ -823,10 +843,11 @@ def load_arkhair(scene, path: Path, transform: np.ndarray | None = None,
     if not strands and len(raw_pos):
         # No index stream: defaultSegmentCount/segmentCounts partition the
         # positions array directly.
-        seg_counts = np.asarray(
-            doc.get("segmentCounts", []) or
-            [int(doc.get("defaultSegmentCount", 0))] * int(doc.get("strandCount", 0)),
-            np.int64)
+        raw_counts = doc.get("segmentCounts")
+        if raw_counts is None or len(raw_counts) == 0:
+            raw_counts = ([int(doc.get("defaultSegmentCount", 0))]
+                          * int(doc.get("strandCount", 0)))
+        seg_counts = np.asarray(raw_counts, np.int64)
         start = 0
         for sc in seg_counts:
             strands.append(np.arange(start, start + sc + 1, dtype=np.int64))
