@@ -71,3 +71,30 @@ def pytest_collection_modifyitems(config, items):
         short = item.nodeid.split("/")[-1]
         if mod in SMOKE_MODULES or short in SMOKE_IDS:
             item.add_marker(_pytest.mark.smoke)
+
+
+# -- gate wall-clock ----------------------------------------------------------
+# Print the lane's total wall-clock at the end of every run so budget drift
+# is visible in CI output (VERDICT r4: "a gate nobody can run is not a
+# gate"). The CI gate (`pytest tests/`) promises <10 min on an 8-vCPU box.
+_GATE_T0 = None
+
+
+def pytest_sessionstart(session):
+    global _GATE_T0
+    import time
+
+    _GATE_T0 = time.time()
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    import time
+
+    if _GATE_T0 is None:
+        return
+    wall = time.time() - _GATE_T0
+    budget = 600.0
+    note = "" if wall < budget else "  <-- OVER the 10-min CI-gate budget"
+    terminalreporter.write_line(
+        f"[gate wall-clock] {wall:.1f} s (CI-gate budget 600 s){note}"
+    )
