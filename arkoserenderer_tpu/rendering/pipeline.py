@@ -131,6 +131,7 @@ class RenderPipeline:
         self.registry = Registry()
         self._executes: list[tuple[str, ExecuteFn]] | None = None
         self._compiled = None
+        self._dt_cache: dict[float, jax.Array] = {}
         # Optional traced scene prologue: fn(scene, frame_index, delta_time)
         # -> scene, fused into the frame program. The TPU-native home for
         # rigid/procedural animation (the reference ticks animations on the
@@ -203,18 +204,35 @@ class RenderPipeline:
 
     def compile(self, donate_state: bool = True):
         """Jit the frame function (donating persistent buffers so history
-        updates are in-place on device — the 2-frames-in-flight analogue)."""
+        updates are in-place on device — the 2-frames-in-flight analogue).
+
+        The cache is keyed by ``donate_state``: donation changes the
+        executable's input/output aliasing, and silently handing a caller
+        the other variant is a correctness bug (a donating frame fed the
+        same args twice is undefined). Note a second variant is a separate
+        XLA compile — prefer the default everywhere.
+        """
+        key = bool(donate_state)
         if self._compiled is None:
-            self._compiled = jax.jit(
+            self._compiled = {}
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
                 self.frame_fn, donate_argnums=(0,) if donate_state else ()
             )
-        return self._compiled
+        return self._compiled[key]
 
     def render_frame(self, state, scene, camera_state, frame_index, delta_time=1 / 60):
         fn = self.compile()
+        # delta_time is almost always the same value every frame; cache its
+        # device scalar (each eager asarray is a tunnel round trip).
+        dt = self._dt_cache.get(delta_time)
+        if dt is None:
+            dt = self._dt_cache[delta_time] = jnp.asarray(delta_time, jnp.float32)
+            if len(self._dt_cache) > 64:
+                self._dt_cache.clear()
         return fn(
             state, scene, camera_state,
-            jnp.asarray(frame_index, jnp.int32), jnp.asarray(delta_time, jnp.float32),
+            jnp.asarray(frame_index, jnp.int32), dt,
         )
 
     def describe(self) -> str:

@@ -456,27 +456,11 @@ def _driver_mode(args) -> None:
         }), flush=True)
         return
 
-    # Multi-session median (DEVNOTES: device timings vary across sessions
-    # for the same executable): extra fresh-process runs whenever the budget
-    # genuinely has room for one (VERDICT r4 weak #2: the old 2x gate never
-    # fired). With the warm compile cache a repeat session is ~30 s.
-    values = [flagship_line["value"]]
-    while len(values) < 3 and remaining() - reserve_s > per_cfg_timeout:
-        extra, _ = _run_config_subprocess(
-            flagship, args.iters, args.small, False,
-            min(per_cfg_timeout, remaining() - reserve_s))
-        if extra is None:
-            break
-        values.append(extra["value"])
-    values.sort()
-    med = values[len(values) // 2] if len(values) % 2 else round(
-        0.5 * (values[len(values) // 2 - 1] + values[len(values) // 2]), 3)
-    flagship_line["value"] = med
-    flagship_line["vs_baseline"] = round(BUDGET_MS / med, 4)
-    flagship_line["sessions"] = len(values)
-
-    # Secondary configs, CHEAPEST-FIRST (VERDICT r4 #1a), each with a
+    # Secondary configs FIRST, CHEAPEST-FIRST (VERDICT r4 #1a), each with a
     # budget-aware slice (r4 #1c) so one slow config can't starve the rest.
+    # Coverage beats precision: all 10 config lines land before any budget
+    # goes to flagship median re-runs (a cold-cache round once spent 450 s
+    # on medians and starved rt down to a 90 s slice — never again).
     secondary = ["rt", "ddgi", "full_post", "bindless", "forward_upscaled",
                  "stress", "meshlet", "helmet", "flagship", "showcase"]
     for i, name in enumerate(secondary):
@@ -490,6 +474,25 @@ def _driver_mode(args) -> None:
             name, args.iters, args.small, False, min(slice_s, avail))
         if line is None:
             print(f"# config {name} failed: {tail[-300:]}", flush=True)
+
+    # Multi-session median (DEVNOTES: device timings vary across sessions
+    # for the same executable): extra fresh-process runs whenever the budget
+    # genuinely has room for one (VERDICT r4 weak #2: the old 2x gate never
+    # fired). With the warm compile cache a repeat session is ~60 s.
+    values = [flagship_line["value"]]
+    while len(values) < 3 and remaining() - reserve_s > 90:
+        extra, _ = _run_config_subprocess(
+            flagship, args.iters, args.small, False,
+            min(per_cfg_timeout, remaining() - reserve_s))
+        if extra is None:
+            break
+        values.append(extra["value"])
+    values.sort()
+    med = values[len(values) // 2] if len(values) % 2 else round(
+        0.5 * (values[len(values) // 2 - 1] + values[len(values) // 2]), 3)
+    flagship_line["value"] = med
+    flagship_line["vs_baseline"] = round(BUDGET_MS / med, 4)
+    flagship_line["sessions"] = len(values)
 
     # Per-pass ms table as its own final budget item (r4 #1c): the showcase
     # pipeline's per-node timing display (VulkanBackend.cpp:1831-1935 /
