@@ -360,12 +360,19 @@ def run_config(name: str, small: bool, iters: int, timings: bool,
 def _run_config_subprocess(name: str, iters: int, small: bool, timings: bool,
                            timeout_s: float,
                            timings_deadline: float | None = None):
-    """Run one config in a fresh subprocess; return (json_line|None, tail).
+    """Run config(s) in a fresh subprocess; return (json_line|None, tail).
 
-    Fresh process per config for two reasons: (a) on the axon TPU runtime
+    ``name`` may be a comma-joined group ("rt,full_post,bindless"): the
+    child runs each config sequentially in ONE process, amortizing the
+    ~25 s TPU tunnel init across the group (12 individual sessions do not
+    fit the 900 s driver budget with medians; 5 do). Returns the LAST
+    value-bearing JSON line; use _parse_value_lines on captured stdout for
+    the full per-config set.
+
+    Fresh process per group for two reasons: (a) on the axon TPU runtime
     any D2H readback or device-array closure permanently degrades the
     process's dispatch path (~33 ms/dispatch — DEVNOTES round 3), so a
-    poisoned config must not contaminate the next one's numbers; (b) a
+    poisoned config must not contaminate the next group's numbers; (b) a
     failed TPU backend init is cached for the life of the process, so
     retrying only helps from a clean process (BENCH_r03 died exactly there).
     """
@@ -392,10 +399,19 @@ def _run_config_subprocess(name: str, iters: int, small: bool, timings: bool,
             stdout = stdout.decode(errors="replace")
         if stdout:
             print(stdout, end="", flush=True)
-        return None, f"timeout after {timeout_s:.0f}s: {e}"
+        return None, f"timeout after {timeout_s:.0f}s: {e}", stdout
     if stdout:
         print(stdout, end="", flush=True)
     line = None
+    for cand in _parse_value_lines(stdout).values():
+        line = cand
+    tail = stderr[-2000:]
+    return line, tail, stdout
+
+
+def _parse_value_lines(stdout: str) -> dict[str, dict]:
+    """{config description -> its ms/frame JSON line} from child stdout."""
+    out: dict[str, dict] = {}
     for ln in stdout.splitlines():
         ln = ln.strip()
         if ln.startswith("{"):
@@ -404,9 +420,8 @@ def _run_config_subprocess(name: str, iters: int, small: bool, timings: bool,
             except json.JSONDecodeError:
                 continue
             if isinstance(cand, dict) and "value" in cand:
-                line = cand
-    tail = stderr[-2000:]
-    return line, tail
+                out[cand.get("metric", ln)] = cand
+    return out
 
 
 def _driver_mode(args) -> None:
@@ -430,7 +445,10 @@ def _driver_mode(args) -> None:
     per_cfg_timeout = float(os.environ.get("ARKTPU_BENCH_CFG_TIMEOUT_S", "420"))
     # Reserved tail slice for the per-pass timings item so secondary configs
     # cannot starve it (BASELINE config 5's table MUST land).
-    reserve_s = float(os.environ.get("ARKTPU_BENCH_TIMINGS_RESERVE_S", "240"))
+    # Warm-cache showcase --timings measures ~120 s end-to-end (session init
+    # + cached compiles + table); 180 s covers it with margin without
+    # starving the secondary configs the way 240 s would.
+    reserve_s = float(os.environ.get("ARKTPU_BENCH_TIMINGS_RESERVE_S", "180"))
     t0 = time.time()
 
     def remaining() -> float:
@@ -456,22 +474,48 @@ def _driver_mode(args) -> None:
         }), flush=True)
         return
 
-    # Secondary configs FIRST, CHEAPEST-FIRST (VERDICT r4 #1a), each with a
-    # budget-aware slice (r4 #1c) so one slow config can't starve the rest.
-    # Coverage beats precision: all 10 config lines land before any budget
-    # goes to flagship median re-runs (a cold-cache round once spent 450 s
-    # on medians and starved rt down to a 90 s slice — never again).
-    secondary = ["rt", "ddgi", "full_post", "bindless", "forward_upscaled",
-                 "stress", "meshlet", "helmet", "flagship", "showcase"]
-    for i, name in enumerate(secondary):
+    # Secondary configs FIRST, in GROUPS that amortize the ~25 s TPU session
+    # init (VERDICT r4 #1a cheapest-first + r4 #1c budget-aware slices; 12
+    # individual sessions at ~70-90 s each do not fit 900 s with medians,
+    # 5 sessions do). Coverage beats precision: all config lines land before
+    # any budget goes to flagship median re-runs (a cold-cache round once
+    # spent 450 s on medians and starved rt down to a 90 s slice — never
+    # again). showcase is NOT here: the reserved timings item below runs it
+    # and prints its ms/frame line before the table. A config whose line is
+    # missing after its group run (crash/timeout mid-group) is retried
+    # individually with whatever budget remains.
+    groups = [
+        ["rt", "full_post", "bindless", "forward_upscaled"],
+        ["ddgi", "meshlet", "stress"],
+        ["helmet", "flagship"],
+    ]
+    missing: list[str] = []
+    n_left = sum(len(g) for g in groups)
+    for group in groups:
         avail = remaining() - reserve_s
         if avail < 45:
-            print(f"# budget exhausted; skipped remaining configs from {name}",
-                  flush=True)
-            break
-        slice_s = min(per_cfg_timeout, max(90.0, avail / (len(secondary) - i)))
-        line, tail = _run_config_subprocess(
-            name, args.iters, args.small, False, min(slice_s, avail))
+            print(f"# budget exhausted; skipped group {group}", flush=True)
+            missing.extend(group)
+            n_left -= len(group)
+            continue
+        slice_s = min(per_cfg_timeout * len(group),
+                      max(60.0 * len(group), avail * len(group) / n_left))
+        _, _tail, stdout = _run_config_subprocess(
+            ",".join(group), args.iters, args.small, False,
+            min(slice_s, avail))
+        landed = _parse_value_lines(stdout)
+        for name in group:
+            if not any(CONFIGS[name][2] in k for k in landed):
+                missing.append(name)
+        n_left -= len(group)
+    for name in list(missing):
+        avail = remaining() - reserve_s
+        if avail < 45:
+            print(f"# budget exhausted; {name} not retried", flush=True)
+            continue
+        line, tail, _ = _run_config_subprocess(
+            name, args.iters, args.small, False,
+            min(per_cfg_timeout, avail))
         if line is None:
             print(f"# config {name} failed: {tail[-300:]}", flush=True)
 
@@ -481,7 +525,7 @@ def _driver_mode(args) -> None:
     # fired). With the warm compile cache a repeat session is ~60 s.
     values = [flagship_line["value"]]
     while len(values) < 3 and remaining() - reserve_s > 90:
-        extra, _ = _run_config_subprocess(
+        extra, _, _ = _run_config_subprocess(
             flagship, args.iters, args.small, False,
             min(per_cfg_timeout, remaining() - reserve_s))
         if extra is None:
@@ -528,7 +572,10 @@ def main() -> None:
     enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--config", choices=list(CONFIGS), default=None)
+    ap.add_argument("--config", default=None,
+                    help="config name, or a comma-joined group "
+                         "('rt,full_post') run sequentially in this process "
+                         f"(amortizes TPU session init); one of {list(CONFIGS)}")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--timings", action="store_true")
@@ -539,7 +586,7 @@ def main() -> None:
 
     if args.all:
         for name in CONFIGS:
-            line, tail = _run_config_subprocess(
+            line, tail, _ = _run_config_subprocess(
                 name, args.iters, args.small, args.timings, 600.0,
                 timings_deadline=args.timings_deadline)
             if line is None:
@@ -550,8 +597,13 @@ def main() -> None:
         _driver_mode(args)
         return
 
-    run_config(args.config, args.small, args.iters, args.timings,
-               timings_deadline=args.timings_deadline)
+    names = [n.strip() for n in args.config.split(",") if n.strip()]
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:
+        ap.error(f"unknown config(s) {unknown}; choose from {list(CONFIGS)}")
+    for name in names:
+        run_config(name, args.small, args.iters, args.timings,
+                   timings_deadline=args.timings_deadline)
 
 
 if __name__ == "__main__":
