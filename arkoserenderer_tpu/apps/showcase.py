@@ -186,10 +186,11 @@ def main(argv=None) -> None:
         out = r.render_frame()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / max(args.frames, 1)
-    save_png(args.out, np.asarray(out))
-    print(f"{args.frames} frames @ {dt * 1e3:.2f} ms/frame -> {args.out}")
 
     if args.timings:
+        # BEFORE the PNG readback: on the axon runtime any D2H transfer
+        # permanently degrades the process's dispatch latency (~33 ms —
+        # DEVNOTES), which would poison every timing row measured after it.
         from arkoserenderer_tpu.utils.timing import format_timings, time_passes
 
         t = time_passes(
@@ -198,6 +199,9 @@ def main(argv=None) -> None:
             emit=lambda s: print(s, flush=True),
         )
         print(format_timings(t))
+
+    save_png(args.out, np.asarray(out))
+    print(f"{args.frames} frames @ {dt * 1e3:.2f} ms/frame -> {args.out}")
 
 
 if __name__ == "__main__":
