@@ -35,6 +35,7 @@ def test_checkpoint_resume_continues_taa_history(tmp_path):
     np.testing.assert_allclose(resumed, expected, atol=1e-5)
 
 
+@pytest.mark.heavy  # multi-frame convergence: nightly lane
 def test_pathtracer_checkpoint_resume_bitexact(tmp_path):
     from arkoserenderer_tpu.models.pathtracer import PathTracer
 

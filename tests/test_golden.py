@@ -122,7 +122,14 @@ def render_cases():
     }
 
 
-@pytest.mark.parametrize("name", sorted(render_cases().keys()))
+# pathtraced is the slowest single test in the suite (~124 s serial: a
+# multi-spp converged PT frame); it runs in the nightly heavy lane — PT
+# correctness stays gate-covered by test_pathtracer + the truth harness.
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.heavy) if n == "pathtraced" else n
+     for n in sorted(render_cases().keys())],
+)
 def test_golden(name):
     if name == "helmet" and not SAMPLES.exists():
         pytest.skip("reference sample assets not mounted")

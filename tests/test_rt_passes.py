@@ -86,6 +86,7 @@ def test_octahedral_roundtrip(rng):
     assert float(jnp.min(uv)) >= 0.0 and float(jnp.max(uv)) <= 1.0
 
 
+@pytest.mark.heavy  # multi-frame convergence: nightly lane
 def test_ddgi_probe_debug_overlay():
     from arkoserenderer_tpu.ops.ddgi import ProbeGridConfig
     from arkoserenderer_tpu.rendering.passes.ddgi_debug import DDGIProbeDebugPass
@@ -280,6 +281,7 @@ def test_half_res_rt_matches_full_res_roughly():
     assert (np.abs(a - b).max(axis=-1) > 0.1).mean() < 0.06
 
 
+@pytest.mark.heavy  # multi-frame convergence: nightly lane
 def test_reflections_carry_local_light():
     """Reflections of a spot-lit surface must include the spot's energy
     (shade_hits evaluates the scene's local lights like the primary loop):
@@ -323,6 +325,7 @@ def test_reflections_carry_local_light():
     assert lit.mean() > dark.mean()
 
 
+@pytest.mark.heavy  # multi-frame convergence: nightly lane
 def test_ddgi_probes_collect_local_light():
     """Probe rays evaluate local lights at their hits: with the sun and
     environment off, a spot on the floor is the only energy and DDGI

@@ -210,6 +210,7 @@ def test_soft_spot_shadow_penumbra():
     assert ((plane2 < 0.05) | (plane2 > 0.95)).all()
 
 
+@pytest.mark.heavy  # multi-frame convergence: nightly lane
 def test_pathtracer_soft_sun_penumbra():
     """PT parity: a soft sun produces intermediate shadow values where the
     hard sun is binary, with total energy roughly preserved."""

@@ -1,6 +1,7 @@
 """SSSS (config #5 component) and the upscaler slot (DLSS analogue)."""
 
 import numpy as np
+import pytest
 
 from arkoserenderer_tpu.assets.procedural import build_test_scene
 from arkoserenderer_tpu.core.types import RasterConfig
@@ -56,6 +57,7 @@ def test_ideal_render_resolution():
     assert w % 8 == 0 and h % 8 == 0
 
 
+@pytest.mark.heavy  # multi-frame convergence: nightly lane
 def test_temporal_upscale_converges_toward_native():
     """TSR north star (DLSSNode slot): a STATIC scene rendered at 2/3 res
     with jittered temporal accumulation converges toward the native
