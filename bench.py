@@ -462,7 +462,7 @@ def _driver_mode(args) -> None:
             print(f"# flagship attempt {attempt} failed; retrying in {backoff}s",
                   flush=True)
             time.sleep(backoff)
-        flagship_line, last_tail = _run_config_subprocess(
+        flagship_line, last_tail, _ = _run_config_subprocess(
             flagship, args.iters, args.small, False, per_cfg_timeout)
         if flagship_line is not None:
             break
