@@ -48,15 +48,30 @@ WRAP_CLAMP = 1
 # Host-side pool building
 
 
-def generate_mip_chain(img: np.ndarray) -> list[np.ndarray]:
-    """Simple 2x2 box-filter mip chain; img is (H, W, 4) uint8.
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """Exact sRGB EOTF on [0, 1] float arrays."""
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.0031308, c * 12.92, 1.055 * np.maximum(c, 0.0) ** (1 / 2.4) - 0.055)
+
+
+def generate_mip_chain(img: np.ndarray, *, srgb: bool = False) -> list[np.ndarray]:
+    """2x2 box-filter mip chain; img is (H, W, 4) uint8.
 
     (Reference counterpart: ImageAsset::generateMipmaps, and the runtime
-    mipgen in CommandList::generateMipmaps.) Box filtering happens in linear
-    space approximation-free for round 1 (TODO: sRGB-aware downsampling).
+    mipgen in CommandList::generateMipmaps.) For sRGB-encoded color textures
+    the RGB channels are decoded to linear before averaging and re-encoded
+    after (averaging gamma-encoded values darkens mips: a 0/255 checkerboard
+    must downsample to linear 0.5 ~= sRGB 188, not 128); alpha is always
+    linear. Non-color data (normals, metallic/roughness) filters raw.
     """
     mips = [img]
     cur = img.astype(np.float32)
+    if srgb:
+        cur[..., :3] = _srgb_to_linear(cur[..., :3] / 255.0)
+        cur[..., 3] /= 255.0
     while cur.shape[0] > 1 or cur.shape[1] > 1:
         h = max(cur.shape[0] // 2, 1)
         w = max(cur.shape[1] // 2, 1)
@@ -66,7 +81,12 @@ def generate_mip_chain(img: np.ndarray) -> list[np.ndarray]:
             cur = cur.reshape(h, 2, 1, 4).mean(axis=1)
         else:
             cur = cur.reshape(1, w, 2, 4).mean(axis=2)
-        mips.append(np.clip(cur + 0.5, 0, 255).astype(np.uint8))
+        if srgb:
+            enc = np.concatenate(
+                [_linear_to_srgb(cur[..., :3]), cur[..., 3:]], axis=-1) * 255.0
+        else:
+            enc = cur
+        mips.append(np.clip(enc + 0.5, 0, 255).astype(np.uint8))
     return mips
 
 
@@ -120,7 +140,7 @@ class TexturePoolBuilder:
                 pad[..., -1] = 255  # alpha defaults to opaque
             img = np.concatenate([img, pad], axis=-1)
         tid = self._count
-        mips = generate_mip_chain(img) if mipmapped else [img]
+        mips = generate_mip_chain(img, srgb=srgb) if mipmapped else [img]
         mips = mips[:MAX_MIPS]
         for level, m in enumerate(mips):
             n = m.shape[0] * m.shape[1]

@@ -25,6 +25,20 @@ def test_mip_chain_sizes():
     ]
 
 
+def test_mip_chain_srgb_aware():
+    # A 0/255 sRGB checkerboard averages to linear 0.5, which re-encodes to
+    # ~188 — the naive gamma-space average (128) darkens mips by ~24%.
+    img = np.zeros((2, 2, 4), np.uint8)
+    img[..., 3] = 255
+    img[0, 0, :3] = img[1, 1, :3] = 255
+    srgb_mips = tx.generate_mip_chain(img, srgb=True)
+    raw_mips = tx.generate_mip_chain(img, srgb=False)
+    assert abs(int(srgb_mips[1][0, 0, 0]) - 188) <= 1
+    assert abs(int(raw_mips[1][0, 0, 0]) - 128) <= 1
+    # Alpha stays linear in both modes.
+    assert srgb_mips[1][0, 0, 3] == 255
+
+
 def test_nearest_texel_at_center(rng):
     img = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
     pool, (tid,) = make_pool([img])
